@@ -1,0 +1,29 @@
+"""sup3r_tpu: TPU-native super-resolution framework for renewable energy
+resource data.
+
+A from-scratch, TPU-first (JAX/XLA/Pallas/pjit) re-design of the
+capabilities of NREL/sup3r: GAN-based spatiotemporal downscaling of
+coarse climate/weather fields to high-resolution wind/solar/temperature
+data, with chunked continental-scale inference, bias correction, solar
+irradiance post-processing and QA.
+
+Design principles (vs. the TF/xarray/dask reference):
+  * Eager, explicit host data plane (numpy + h5py) feeding device
+    arrays — no lazy dask graphs; chunk streaming is explicit and
+    double-buffered.
+  * Models are pure-functional pytrees applied by jitted programs;
+    training steps are single ``jit``-compiled functions with
+    data-parallel gradient ``psum`` over a ``jax.sharding.Mesh``.
+  * Inference scales by spatiotemporal domain decomposition with halo
+    padding (same overlap/crop math as the reference slicer) batched
+    over devices.
+"""
+
+__version__ = '0.1.0'
+
+from sup3r_tpu.utilities.utilities import RANDOM_GENERATOR  # noqa: F401
+
+import os
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), 'configs')
+TEST_DATA_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'data')

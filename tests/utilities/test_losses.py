@@ -1,0 +1,106 @@
+"""Loss library behavior (mirrors tests/utilities/test_loss_metrics.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sup3r_tpu.ops.losses import (
+    LowResLoss,
+    SlicedWassersteinLoss,
+    coarse_mse_loss,
+    exp_loss,
+    get_loss_fun,
+    material_derivative_loss,
+    mmd_loss,
+    spatial_extremes_loss,
+    spatial_fft_loss,
+    spatiotemporal_fft_loss,
+    temporal_extremes_loss,
+)
+
+RNG = np.random.default_rng(1)
+
+
+def _pair(shape):
+    return (jnp.asarray(RNG.random(shape), dtype=jnp.float32),
+            jnp.asarray(RNG.random(shape), dtype=jnp.float32))
+
+
+def test_zero_for_identical_inputs():
+    x, _ = _pair((2, 6, 6, 8, 2))
+    for fn in [exp_loss, mmd_loss, coarse_mse_loss, spatial_extremes_loss,
+               temporal_extremes_loss, spatial_fft_loss,
+               spatiotemporal_fft_loss, material_derivative_loss]:
+        if fn is spatial_fft_loss:
+            val = fn(x[..., 0, :], x[..., 0, :])
+        else:
+            val = fn(x, x)
+        assert abs(float(val)) < 1e-5, fn.__name__
+
+
+def test_losses_positive_and_differentiable():
+    x1, x2 = _pair((2, 4, 4, 8, 2))
+    for fn in [exp_loss, coarse_mse_loss, temporal_extremes_loss,
+               spatiotemporal_fft_loss, material_derivative_loss]:
+        val = float(fn(x1, x2))
+        assert val > 0
+        g = jax.grad(lambda a: fn(a, x2))(x1)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_extremes_losses_sensitive_to_extremes():
+    """A loss on min/max should respond more to peak changes than MAE-level
+    mean changes (reference test semantics)."""
+    x1, _ = _pair((2, 4, 4, 8, 2))
+    x2 = x1.at[:, :, :, 3, :].multiply(5.0)  # temporal spike
+    x3 = x1 + 0.01
+    spike = float(temporal_extremes_loss(x1, x2))
+    shift = float(temporal_extremes_loss(x1, x3))
+    assert spike > shift
+
+
+def test_low_res_loss():
+    x1, x2 = _pair((2, 8, 8, 8, 2))
+    loss = LowResLoss(s_enhance=2, t_enhance=2, t_method='average',
+                      tf_loss='MeanAbsoluteError')
+    val = float(loss(x1, x2))
+    assert val > 0
+    assert abs(float(loss(x1, x1))) < 1e-6
+    # with extremes term
+    loss_ex = LowResLoss(s_enhance=2, t_enhance=2,
+                         ex_loss='TemporalExtremesLoss')
+    assert float(loss_ex(x1, x2)) > 0
+
+    # 4D spatial-only input
+    y1, y2 = _pair((2, 8, 8, 2))
+    loss4 = LowResLoss(s_enhance=2, tf_loss='MeanSquaredError')
+    assert float(loss4(y1, y2)) > 0
+
+
+def test_sliced_wasserstein():
+    x1, x2 = _pair((2, 4, 4, 4, 2))
+    loss = SlicedWassersteinLoss(n_projections=64)
+    assert float(loss(x1, x2)) > 0
+    assert abs(float(loss(x1, x1))) < 1e-6
+
+
+def test_get_loss_fun_resolution():
+    assert get_loss_fun('MeanSquaredError') is not None
+    assert get_loss_fun('mae') is not None
+    fn = get_loss_fun({'LowResLoss': {'s_enhance': 2}})
+    assert isinstance(fn, LowResLoss)
+    multi = get_loss_fun([('MeanAbsoluteError', 1.0),
+                          ('TemporalExtremesLoss', 0.5)])
+    x1, x2 = _pair((2, 4, 4, 4, 2))
+    assert float(multi(x1, x2)) > 0
+    with pytest.raises(KeyError):
+        get_loss_fun('NotALoss')
+
+
+def test_multi_term_weights_add_up():
+    x1, x2 = _pair((2, 4, 4, 4, 2))
+    single = get_loss_fun('MeanAbsoluteError')
+    double = get_loss_fun([('MeanAbsoluteError', 2.0)])
+    np.testing.assert_allclose(
+        2 * float(single(x1, x2)), float(double(x1, x2)), rtol=1e-6)
