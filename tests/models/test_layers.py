@@ -1,0 +1,213 @@
+"""Layer DSL + Network interpreter behavior, incl. parity with the
+reference's shipped JSON configs (loaded directly from /root/reference
+when present)."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sup3r_tpu.configs import CONFIGS, get_config
+from sup3r_tpu.models.layers import build_layers
+from sup3r_tpu.models.network import Network
+
+REF_CONFIG_DIR = '/root/reference/sup3r/configs'
+KEY = jax.random.PRNGKey(0)
+
+
+def test_basic_layer_shapes():
+    net = Network([
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]], 'mode': 'REFLECT'},
+        {'class': 'Conv2D', 'filters': 8, 'kernel_size': 3, 'strides': 1},
+        {'class': 'Cropping2D', 'cropping': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+    ])
+    params, out_shape = net.init(KEY, (2, 10, 10, 3))
+    assert out_shape == (2, 10, 10, 8)
+    x = jnp.ones((2, 10, 10, 3))
+    y = net.apply(params, x)
+    assert y.shape == out_shape
+
+
+def test_conv_transpose_grows_then_crop():
+    net = Network([
+        {'class': 'Conv2DTranspose', 'filters': 4, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping2D', 'cropping': 1},
+    ])
+    params, out_shape = net.init(KEY, (1, 6, 6, 2))
+    assert out_shape == (1, 6, 6, 4)
+    assert net.apply(params, jnp.ones((1, 6, 6, 2))).shape == out_shape
+
+
+def test_spatial_expansion_pixel_shuffle():
+    net = Network([{'class': 'SpatialExpansion', 'spatial_mult': 2}])
+    params, out_shape = net.init(KEY, (1, 4, 4, 8))
+    assert out_shape == (1, 8, 8, 2)
+    x = jnp.arange(4 * 4 * 8, dtype=jnp.float32).reshape(1, 4, 4, 8)
+    y = net.apply(params, x)
+    assert y.shape == (1, 8, 8, 2)
+    # TF depth_to_space ordering: out[0, 0, 1, 0] == in[0, 0, 0, 2]
+    assert float(y[0, 0, 1, 0]) == float(x[0, 0, 0, 2])
+    assert net.s_enhance == 2 and net.t_enhance == 1
+
+
+def test_st_expansion_methods():
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 2, 2, 3, 8)), jnp.float32)
+    for method, t_mult, out_c in [('nearest', 4, 8), ('linear', 4, 8),
+                                  ('depth_to_time', 4, 2)]:
+        net = Network([{'class': 'SpatioTemporalExpansion',
+                        'temporal_mult': t_mult,
+                        'temporal_method': method}])
+        p, shape = net.init(KEY, x.shape)
+        assert shape == (1, 2, 2, 12, out_c), method
+        assert net.apply(p, x).shape == shape
+        assert net.t_enhance == 4
+
+    # combined spatial + temporal
+    net = Network([{'class': 'SpatioTemporalExpansion', 'spatial_mult': 2,
+                    'temporal_mult': 2, 'temporal_method': 'nearest'}])
+    p, shape = net.init(KEY, x.shape)
+    assert shape == (1, 4, 4, 6, 2)
+
+
+def test_depth_to_time_roll():
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 1, 8)
+    net = Network([{'class': 'SpatioTemporalExpansion',
+                    'temporal_mult': 8,
+                    'temporal_method': 'depth_to_time', 't_roll': 4}])
+    p, _ = net.init(KEY, x.shape)
+    y = np.asarray(net.apply(p, x)).ravel()
+    np.testing.assert_array_equal(y, np.roll(np.arange(8), 4))
+
+
+def test_skip_connection_residual():
+    net = Network([
+        {'class': 'SkipConnection', 'name': 'a'},
+        {'class': 'Activation', 'activation': 'relu'},
+        {'class': 'SkipConnection', 'name': 'a'},
+    ])
+    p, _ = net.init(KEY, (1, 2, 2, 1))
+    x = -jnp.ones((1, 2, 2, 1))
+    # relu(-1) = 0, + skip(-1) = -1
+    np.testing.assert_allclose(np.asarray(net.apply(p, x)), -1.0)
+
+
+def test_unclosed_skip_raises():
+    net = Network([{'class': 'SkipConnection', 'name': 'lonely'}])
+    p, _ = net.init(KEY, (1, 2, 2, 1))
+    with pytest.raises(ValueError, match='Unclosed skip'):
+        net.apply(p, jnp.ones((1, 2, 2, 1)))
+
+
+def test_exo_layers():
+    net = Network([
+        {'class': 'Sup3rConcat', 'name': 'topography'},
+        {'class': 'Conv2D', 'filters': 2, 'kernel_size': 1},
+    ])
+    p, shape = net.init(KEY, (2, 4, 4, 3))
+    assert shape == (2, 4, 4, 2)
+    x = jnp.ones((2, 4, 4, 3))
+    topo = jnp.ones((2, 4, 4, 1))
+    assert net.apply(p, x, exo={'topography': topo}).shape == shape
+    assert net.exo_features == ['topography']
+    with pytest.raises(KeyError, match='topography'):
+        net.apply(p, x, exo={})
+
+    add = Network([{'class': 'Sup3rAdder', 'name': 'topography'}])
+    pa, _ = add.init(KEY, (2, 4, 4, 1))
+    y = add.apply(pa, x[..., :1], exo={'topography': topo})
+    np.testing.assert_allclose(np.asarray(y), 2.0)
+
+
+def test_obs_layers():
+    net = Network([{'class': 'Sup3rConcatObs', 'name': 'obs_ws'}])
+    p, shape = net.init(KEY, (1, 4, 4, 2))
+    assert shape == (1, 4, 4, 4)
+    obs = jnp.full((1, 4, 4, 1), jnp.nan).at[0, 0, 0, 0].set(3.0)
+    y = net.apply(p, jnp.ones((1, 4, 4, 2)), exo={'obs_ws': obs})
+    assert bool(jnp.isfinite(y).all())
+    assert net.obs_features == ['obs_ws']
+
+
+def test_repeat_expansion():
+    layers = build_layers([{'n': 3, 'repeat': [
+        {'class': 'Activation', 'activation': 'relu'}]}])
+    assert len(layers) == 3
+
+
+@pytest.mark.parametrize('name', sorted(CONFIGS))
+def test_builtin_configs_build_and_shape(name):
+    """Every built-in architecture initializes and has consistent static
+    shape math."""
+    cfg = get_config(name)
+    net = Network(cfg['hidden_layers'])
+    if 'disc' in name:
+        if 'disc_test' in name:
+            # 'same'-padding test discs accept small samples
+            in_shape = ((2, 10, 10, 2) if not net.is_5d
+                        else (2, 12, 12, 16, 2))
+            params, out_shape = net.init(KEY, in_shape)
+            assert out_shape == (2, 1)
+        else:
+            # production 'valid' pyramids need large samples; check the
+            # static shape math only
+            in_shape = ((2, 61, 61, 2) if not net.is_5d
+                        else (2, 61, 61, 61, 2))
+            assert net.out_shape(in_shape) == (2, 1)
+        return
+    s, t = net.s_enhance, net.t_enhance
+    n_feat_out = net.out_shape(
+        (1, 8, 8, 8, 3) if net.is_5d else (1, 8, 8, 3))[-1]
+    in_shape = ((1, 6, 6, 4, n_feat_out + len(net.exo_features))
+                if net.is_5d else
+                (1, 6, 6, n_feat_out + len(net.exo_features)))
+    params, out_shape = net.init(KEY, in_shape)
+    if net.is_5d:
+        assert out_shape[1:3] == (6 * s, 6 * s)
+        assert out_shape[3] == 4 * t
+    else:
+        assert out_shape[1:3] == (6 * s, 6 * s)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_CONFIG_DIR),
+                    reason='reference configs not mounted')
+@pytest.mark.parametrize('path', sorted(
+    glob.glob(os.path.join(REF_CONFIG_DIR, '*', '*.json'))))
+def test_reference_json_configs_load(path):
+    """The interpreter must load every shipped reference JSON config and
+    produce shape-consistent enhancement factors (SURVEY §2.2)."""
+    net = Network(path)
+    name = os.path.basename(path)
+    if name.startswith('disc'):
+        in_shape = ((2, 61, 61, 2) if not net.is_5d
+                    else (2, 61, 61, 61, 2))
+        assert net.out_shape(in_shape) == (2, 1)
+        return
+    if name.startswith('gen_') and 'x' in name:
+        parts = name.replace('.json', '').split('_')
+        mults = [p for p in parts if p.endswith('x')]
+        if len(mults) == 2:
+            s_exp, t_exp = int(mults[0][:-1]), int(mults[1][:-1])
+            assert net.t_enhance == t_exp, path
+            assert net.s_enhance == s_exp, path
+        elif len(mults) == 1:
+            assert net.s_enhance == int(mults[0][:-1]), path
+    # init on a small input and check apply runs
+    n_out = 2
+    if name.startswith('gen_'):
+        n_out = int(name.replace('.json', '').split('_')[-1][:-1])
+    n_in = n_out + len(net.exo_features)
+    in_shape = (1, 4, 4, 2, n_in) if net.is_5d else (1, 4, 4, n_in)
+    params, out_shape = net.init(KEY, in_shape)
+    exo = {f: jnp.ones((1, *out_shape[1:-1], 1))
+           for f in net.exo_features}
+    # exo rasters are injected at post-expansion resolution
+    y = net.apply(params, jnp.ones(in_shape, jnp.float32), exo=exo)
+    assert y.shape == out_shape
+    assert y.shape[-1] == n_out
