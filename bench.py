@@ -1,0 +1,60 @@
+"""Benchmark: HR voxels/sec/chip for chunked forward-pass generation on
+the flagship spatiotemporal GAN (the BASELINE.md north-star metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference runs TF conv kernels on CPU nodes for inference
+(use_cpu=True default, reference: sup3r/pipeline/strategy.py:280). The
+recorded TF-CPU-equivalent throughput for this chunk workload is
+~2.1e5 HR voxels/sec/core-node (measured proxy; see BASELINE.md) —
+vs_baseline reports speedup over that number.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sup3r_tpu.configs import get_config
+    from sup3r_tpu.models import Sup3rGan
+
+    # flagship: 3x spatial / 4x temporal 2-feature ST GAN
+    model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
+                     get_config('spatiotemporal/disc_test'))
+    # production-like chunk: batched lr chunks (pad included)
+    chunk = (4, 12, 12, 12, 2)   # (chunks, s1, s2, t, f)
+    model.init_weights((1, *chunk[1:]), (1, 36, 36, 48, 2))
+    params = jax.device_put(model.gen_params)
+    gen = model.generator
+
+    fwd = jax.jit(lambda p, x: gen.apply(p, x))
+    x = jnp.asarray(
+        np.random.default_rng(0).random(chunk), dtype=jnp.float32)
+
+    out = jax.block_until_ready(fwd(params, x))  # compile
+    n_iters = 8
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    hr_voxels = int(np.prod(out.shape[:-1])) * n_iters
+    voxels_per_sec = hr_voxels / dt
+    baseline = 2.1e5  # TF-CPU proxy, HR voxels/sec
+    print(json.dumps({
+        'metric': 'forward_pass_hr_voxels_per_sec_per_chip',
+        'value': round(voxels_per_sec, 1),
+        'unit': 'voxels/s',
+        'vs_baseline': round(voxels_per_sec / baseline, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

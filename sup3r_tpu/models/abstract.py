@@ -1,0 +1,364 @@
+"""Model base classes: inference contract + shared training machinery.
+
+``AbstractInterface`` is the inference-side contract every model obeys
+(load/generate/meta/enhancement factors — reference:
+sup3r/models/interface.py). ``AbstractSingleModel`` adds the train-side
+machinery shared by GAN/conditional models: normalization stats, loss
+resolution, exo feature routing, checkpoint I/O (reference:
+sup3r/models/abstract.py).
+"""
+
+import json
+import logging
+import os
+import platform
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+import sup3r_tpu
+from sup3r_tpu.models.network import Network
+from sup3r_tpu.ops.losses import get_loss_fun
+from sup3r_tpu.utilities import safe_serialize
+
+logger = logging.getLogger(__name__)
+
+try:
+    from flax import serialization as flax_serialization
+except ImportError:  # pragma: no cover - flax is baked into this image
+    flax_serialization = None
+
+
+VERSION_RECORD = {
+    'sup3r_tpu': sup3r_tpu.__version__,
+    'jax': jax.__version__,
+    'numpy': np.__version__,
+    'python': sys.version,
+    'platform': platform.platform(),
+}
+
+
+class AbstractInterface:
+    """Inference contract: every model exposes ``generate``, ``load``,
+    ``meta``, enhancement factors and feature lists."""
+
+    meta: dict
+
+    @classmethod
+    def load(cls, model_dir, verbose=True):
+        """Load a model from a save directory."""
+        raise NotImplementedError
+
+    def generate(self, low_res, norm_in=True, un_norm_out=True,
+                 exogenous_data=None):
+        """Generate high-res output from low-res input."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    @property
+    def s_enhance(self):
+        """Spatial enhancement factor (from meta, else layer mults)."""
+        s = self.meta.get('s_enhance')
+        if s is None and hasattr(self, '_gen'):
+            s = self._gen.s_enhance
+        return s
+
+    @property
+    def t_enhance(self):
+        """Temporal enhancement factor (from meta, else layer mults)."""
+        t = self.meta.get('t_enhance')
+        if t is None and hasattr(self, '_gen'):
+            t = self._gen.t_enhance
+        return t
+
+    @property
+    def s_enhancements(self):
+        """Per-step spatial enhancements (single-step: [s_enhance])."""
+        return [self.s_enhance]
+
+    @property
+    def t_enhancements(self):
+        """Per-step temporal enhancements (single-step: [t_enhance])."""
+        return [self.t_enhance]
+
+    @property
+    def input_dims(self):
+        """4 if the model takes spatial-only input, 5 for spatiotemporal."""
+        if hasattr(self, '_gen'):
+            return self._gen.input_dims
+        if self.meta.get('input_resolution') is None:
+            return 5
+        return 4 if self.is_4d else 5
+
+    @property
+    def is_5d(self):
+        """Whether the model expects 5D input."""
+        return self.input_dims == 5
+
+    @property
+    def is_4d(self):
+        """Whether the model expects 4D (spatial only) input."""
+        return hasattr(self, '_gen') and not self._gen.is_5d
+
+    @property
+    def lr_features(self):
+        """Low-res input feature names (training order)."""
+        return self.meta.get('lr_features', [])
+
+    @property
+    def hr_out_features(self):
+        """High-res output feature names."""
+        return self.meta.get('hr_out_features', [])
+
+    @property
+    def obs_features(self):
+        """Observation-fusion feature names (from Sup3rObs layers)."""
+        if hasattr(self, '_gen'):
+            return self._gen.obs_features
+        return []
+
+    @property
+    def hr_exo_features(self):
+        """High-res exogenous features, ordered like the network's exo
+        layers (reference: sup3r/models/interface.py:392-418)."""
+        features = []
+        if hasattr(self, '_gen'):
+            features = list(self._gen.exo_features)
+        obs = [f.replace('_obs', '') for f in self.obs_features]
+        features += [f for f in obs if f not in self.hr_out_features]
+        return features
+
+    @property
+    def hr_features(self):
+        """All high-res channel names in training batches (out + exo)."""
+        return list(self.hr_out_features) + list(self.hr_exo_features)
+
+    @property
+    def smoothing(self):
+        """Gaussian smoothing sigma used on coarsened training input."""
+        return self.meta.get('smoothing')
+
+    @property
+    def smoothed_features(self):
+        """Features that were smoothed in training input."""
+        return self.meta.get('smoothed_features', [])
+
+    @property
+    def model_params(self):
+        """Serializable params for save directory."""
+        return {'meta': self.meta}
+
+    @property
+    def version_record(self):
+        """Versions this model was built with."""
+        return VERSION_RECORD
+
+    def set_model_params(self, **kwargs):
+        """Merge training-session params into meta (validating enhancement
+        factors against layer attributes — reference:
+        sup3r/models/interface.py:453)."""
+        keys = ('input_resolution', 'lr_features', 'hr_exo_features',
+                'hr_out_features', 'smoothed_features', 'smoothing',
+                's_enhance', 't_enhance')
+        for key in keys:
+            if key in kwargs and kwargs[key] is not None:
+                self.meta[key] = kwargs[key]
+        if hasattr(self, '_gen'):
+            s_layers = self._gen.s_enhance
+            t_layers = self._gen.t_enhance
+            s = self.meta.get('s_enhance')
+            t = self.meta.get('t_enhance')
+            if s is not None and s_layers not in (1, s):
+                raise RuntimeError(
+                    f'Model layers suggest s_enhance={s_layers} but '
+                    f'params say {s}')
+            if t is not None and t_layers not in (1, t):
+                raise RuntimeError(
+                    f'Model layers suggest t_enhance={t_layers} but '
+                    f'params say {t}')
+        exo_feats = kwargs.get('hr_exo_features')
+        if exo_feats and hasattr(self, '_gen'):
+            net_feats = self.hr_exo_features
+            if list(exo_feats) != list(net_feats):
+                raise RuntimeError(
+                    f'Batch handler exo features {exo_feats} do not match '
+                    f'network exo layers {net_feats}')
+
+    def save_params(self, out_dir):
+        """Write model_params.json to the save directory (reference
+        format: sup3r/models/interface.py:501)."""
+        os.makedirs(out_dir, exist_ok=True)
+        fp = os.path.join(out_dir, 'model_params.json')
+        params = self.model_params
+        params['version_record'] = self.version_record
+        with open(fp, 'w') as f:
+            f.write(safe_serialize(params, indent=2, sort_keys=True))
+
+
+class AbstractSingleModel(AbstractInterface):
+    """Shared single-model machinery: norm stats, loss resolution,
+    exo plumbing, parameter (de)serialization."""
+
+    def __init__(self):
+        self.meta = {}
+        self._means = None
+        self._stdevs = None
+        self._history = None
+        self.loss_name = 'MeanSquaredError'
+        self.loss_fun = get_loss_fun(self.loss_name)
+
+    # ------------------------------------------------------------------
+    # normalization
+    def set_norm_stats(self, new_means, new_stdevs):
+        """Set per-feature means/stds used to normalize IO."""
+        if new_means is not None:
+            self._means = {k: float(v) for k, v in new_means.items()}
+        if new_stdevs is not None:
+            self._stdevs = {k: float(v) for k, v in new_stdevs.items()}
+
+    def _stats_for(self, features):
+        means = np.array([self._means[f] for f in features],
+                         dtype=np.float32)
+        stds = np.array([self._stdevs[f] for f in features],
+                        dtype=np.float32)
+        stds = np.where(stds == 0, 1, stds)
+        return means, stds
+
+    def norm_input(self, low_res):
+        """Normalize physical-units low-res input."""
+        if self._means is None:
+            return low_res
+        missing = [f for f in self.lr_features if f not in self._means]
+        if missing:
+            raise KeyError(
+                f'Low-res features {missing} missing from norm stats')
+        means, stds = self._stats_for(self.lr_features)
+        return (np.asarray(low_res) - means) / stds
+
+    def un_norm_output(self, output):
+        """Denormalize generated output back to physical units."""
+        if self._means is None:
+            return output
+        missing = [f for f in self.hr_out_features if f not in self._means]
+        if missing:
+            raise KeyError(
+                f'Output features {missing} missing from norm stats')
+        means, stds = self._stats_for(self.hr_out_features)
+        return np.asarray(output) * stds + means
+
+    # ------------------------------------------------------------------
+    # loss
+    def set_loss_function(self, loss):
+        """Resolve and set the content loss function."""
+        self.loss_name = loss
+        self.loss_fun = get_loss_fun(loss)
+
+    @property
+    def model_params(self):
+        params = super().model_params
+        params.update({
+            'means': self._means,
+            'stdevs': self._stdevs,
+            'loss': self.loss_name
+            if isinstance(self.loss_name, (str, list, dict))
+            else str(self.loss_name),
+        })
+        return params
+
+    @property
+    def history(self):
+        """Training history DataFrame (one row per epoch)."""
+        return self._history
+
+    # ------------------------------------------------------------------
+    # exo routing (training batches carry exo channels last)
+    def get_hr_exo_input(self, hi_res):
+        """Extract the exo channels (last channels of a training HR batch)
+        into the exo dict format the network expects (reference:
+        sup3r/models/abstract.py:416)."""
+        if not self.hr_exo_features:
+            return {}
+        out = {}
+        hr_features = self.hr_features
+        for f in self.hr_exo_features:
+            idx = hr_features.index(f)
+            out[f] = hi_res[..., idx:idx + 1]
+        return out
+
+    def _combine_loss_input(self, hi_res_true, hi_res_gen):
+        """Append the true exo channels onto generated output so the
+        discriminator sees the full channel set (reference:
+        sup3r/models/abstract.py:438)."""
+        if hi_res_true.shape[-1] > hi_res_gen.shape[-1]:
+            exo = self.get_hr_exo_input(hi_res_true)
+            extra = [exo[f] for f in self.hr_exo_features]
+            hi_res_gen = jnp.concatenate([hi_res_gen, *extra], axis=-1)
+        return hi_res_gen
+
+    # ------------------------------------------------------------------
+    # parameter (de)serialization
+    @staticmethod
+    def save_network_params(params, fp):
+        """Serialize a params pytree to a msgpack file."""
+        with open(fp, 'wb') as f:
+            f.write(flax_serialization.to_bytes(
+                jax.tree.map(np.asarray, params)))
+
+    @staticmethod
+    def load_network_params(template, fp):
+        """Deserialize a params pytree using ``template`` for structure."""
+        with open(fp, 'rb') as f:
+            return flax_serialization.from_bytes(template, f.read())
+
+    @classmethod
+    def load_saved_params(cls, out_dir, verbose=True):
+        """Read model_params.json from a save directory."""
+        fp = os.path.join(out_dir, 'model_params.json')
+        with open(fp) as f:
+            params = json.load(f)
+        if verbose:
+            logger.info('Loading model from %s', out_dir)
+        return params
+
+    def save_history(self, out_dir):
+        """Write history.csv if there is any history."""
+        if isinstance(self._history, pd.DataFrame):
+            self._history.to_csv(os.path.join(out_dir, 'history.csv'))
+
+    @staticmethod
+    def load_network(config, name):
+        """Build a Network from a config list/dict/file path."""
+        if isinstance(config, dict) and 'hidden_layers' in config:
+            config = config['hidden_layers']
+        net = Network(config)
+        logger.debug('Built %s network with %d layers', name, len(net))
+        return net
+
+    @staticmethod
+    def update_loss_details(record, new_details, prefix=''):
+        """Append a row of loss details to a record DataFrame."""
+        row = {f'{prefix}{k}': float(v) for k, v in new_details.items()}
+        row_df = pd.DataFrame([row])
+        if record is None or len(record) == 0:
+            return row_df
+        return pd.concat([record, row_df], ignore_index=True)
+
+    @staticmethod
+    def early_stop(history, column, threshold=0.005, n_epoch=5):
+        """True when ``column`` improved less than ``threshold``
+        (relative) for ``n_epoch`` consecutive epochs (reference:
+        sup3r/models/abstract.py:643-698)."""
+        if history is None or column not in history or len(
+                history[column]) < n_epoch + 1:
+            return False
+        vals = np.asarray(history[column])[-(n_epoch + 1):]
+        diffs = np.abs(np.diff(vals)) / np.abs(vals[:-1])
+        stop = bool(np.all(diffs < threshold))
+        if stop:
+            logger.info(
+                'Early stop: %s changed by less than %.4f for %d epochs',
+                column, threshold, n_epoch)
+        return stop

@@ -1,0 +1,657 @@
+"""Sup3rGan: super-resolution GAN with relativistic adversarial loss.
+
+TPU-first training design: the whole (generator fwd + both losses +
+both backward passes + both optimizer updates + gating) is ONE jitted
+program. Data parallelism is expressed by sharding the batch over a
+``jax.sharding.Mesh`` data axis and letting XLA insert the gradient
+all-reduces over ICI — replacing the reference's host-thread-per-GPU
+gradient summation (reference: sup3r/models/abstract.py:807-914).
+
+Loss semantics match the reference (sup3r/models/base.py:507-549
+relativistic average discriminator loss; :830-911 calc_loss; disc
+gating by loss bounds :1145-1176; adaptive adversarial weight
+:439-606).
+"""
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from sup3r_tpu.models.abstract import AbstractSingleModel
+from sup3r_tpu.models.network import Network
+from sup3r_tpu.ops.losses import get_loss_fun
+
+logger = logging.getLogger(__name__)
+
+
+def _sigmoid_bce(logits, labels):
+    """Numerically-stable sigmoid cross entropy (tf.nn semantics)."""
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def relativistic_disc_loss(disc_out_true, disc_out_gen):
+    """ESRGAN relativistic average discriminator loss [Wang2018].
+
+    Swap the arguments to get the generator's adversarial loss.
+    Reference parity: sup3r/models/base.py:507-549.
+    """
+    true_logits = disc_out_true - jnp.mean(disc_out_gen)
+    fake_logits = disc_out_gen - jnp.mean(disc_out_true)
+    logits = jnp.concatenate([true_logits, fake_logits], axis=0)
+    labels = jnp.concatenate(
+        [jnp.ones_like(disc_out_true), jnp.zeros_like(disc_out_gen)],
+        axis=0)
+    return jnp.mean(_sigmoid_bce(logits, labels))
+
+
+def _make_optimizer(config):
+    """optax optimizer from a config dict {'name', 'learning_rate', ...}."""
+    config = dict(config or {})
+    name = config.pop('name', 'Adam').lower()
+    lr = float(config.pop('learning_rate', 1e-4))
+    builders = {
+        'adam': optax.adam,
+        'adamw': optax.adamw,
+        'sgd': optax.sgd,
+        'rmsprop': optax.rmsprop,
+    }
+    if name not in builders:
+        raise KeyError(f'Unknown optimizer "{name}"')
+    kwargs = {}
+    for key in ('b1', 'b2', 'eps'):
+        if key in config:
+            kwargs[key] = config[key]
+    if 'beta_1' in config:
+        kwargs['b1'] = config['beta_1']
+    if 'beta_2' in config:
+        kwargs['b2'] = config['beta_2']
+    return builders[name](lr, **kwargs), {'name': name.capitalize(),
+                                          'learning_rate': lr, **kwargs}
+
+
+class Sup3rGan(AbstractSingleModel):
+    """Super-resolving GAN (reference: sup3r/models/base.py:44)."""
+
+    def __init__(self, gen_layers, disc_layers, optimizer=None,
+                 learning_rate=1e-4, optimizer_disc=None,
+                 learning_rate_disc=None, loss='MeanSquaredError',
+                 meta=None, means=None, stdevs=None, name=None):
+        """
+        Parameters
+        ----------
+        gen_layers / disc_layers : list | str
+            ``hidden_layers`` config list, or path to a JSON file with a
+            ``hidden_layers`` key (reference configs load directly).
+        optimizer / optimizer_disc : dict | None
+            Optimizer configs like ``{'name': 'Adam', 'learning_rate':
+            1e-4}``; ``learning_rate(_disc)`` shortcuts override.
+        loss : str | dict | list
+            Content loss spec resolved by
+            :func:`sup3r_tpu.ops.losses.get_loss_fun`.
+        """
+        super().__init__()
+        self.name = name or self.__class__.__name__
+        self._gen = self.load_network(gen_layers, 'generator')
+        self._disc = self.load_network(disc_layers, 'discriminator')
+        self._gen_config = self._gen.config
+        self._disc_config = self._disc.config
+
+        if optimizer is None:
+            optimizer = {'name': 'Adam', 'learning_rate': learning_rate}
+        if optimizer_disc is None:
+            optimizer_disc = dict(optimizer)
+            if learning_rate_disc is not None:
+                optimizer_disc['learning_rate'] = learning_rate_disc
+        self._gen_tx, self._optimizer_config = _make_optimizer(optimizer)
+        self._disc_tx, self._optimizer_disc_config = _make_optimizer(
+            optimizer_disc)
+
+        self.set_loss_function(loss)
+        self.meta = meta if meta is not None else {}
+        self.set_norm_stats(means, stdevs)
+
+        self.gen_params = None
+        self.disc_params = None
+        self._gen_opt_state = None
+        self._disc_opt_state = None
+        self._gen_in_shape = None
+        self._disc_in_shape = None
+        self._train_step_fn = None
+        self._gen_apply_fn = None
+        self._train_record = None
+        self._val_record = None
+        self.total_batches = 0
+        self._init_key = jax.random.PRNGKey(42)
+
+    # ------------------------------------------------------------------
+    # weights
+    def init_weights(self, lr_shape, hr_shape, seed=None):
+        """Initialize generator/discriminator params for the given input
+        shapes (idempotent unless shapes change channel counts)."""
+        if seed is not None:
+            self._init_key = jax.random.PRNGKey(seed)
+        if self.gen_params is None or (
+                self._gen_in_shape and lr_shape[-1] != self._gen_in_shape[-1]
+        ):
+            k1, k2 = jax.random.split(self._init_key)
+            self.gen_params, gen_out = self._gen.init(k1, lr_shape)
+            self._gen_in_shape = tuple(lr_shape)
+            disc_in = tuple(hr_shape)
+            self.disc_params, _ = self._disc.init(k2, disc_in)
+            self._disc_in_shape = disc_in
+            self._gen_opt_state = self._gen_tx.init(self.gen_params)
+            self._disc_opt_state = self._disc_tx.init(self.disc_params)
+            logger.debug(
+                'Initialized GAN weights: gen in %s -> out %s; disc in %s',
+                lr_shape, gen_out, disc_in)
+
+    @property
+    def generator(self):
+        """Generator Network object."""
+        return self._gen
+
+    @property
+    def discriminator(self):
+        """Discriminator Network object."""
+        return self._disc
+
+    @property
+    def generator_weights(self):
+        """Generator params pytree."""
+        return self.gen_params
+
+    @property
+    def discriminator_weights(self):
+        """Discriminator params pytree."""
+        return self.disc_params
+
+    @property
+    def weights(self):
+        """All trainable params."""
+        return {'generator': self.gen_params,
+                'discriminator': self.disc_params}
+
+    # ------------------------------------------------------------------
+    # losses (functional, traceable)
+    def _split_exo(self, hr):
+        """Split a training HR batch into exo dict + full tensor."""
+        n_exo = len(self.hr_exo_features)
+        if n_exo == 0:
+            return {}, hr
+        exo = {}
+        for i, f in enumerate(self.hr_exo_features):
+            idx = len(self.hr_out_features) + i
+            exo[f] = hr[..., idx:idx + 1]
+        return exo, hr
+
+    def calc_loss(self, hi_res_true, hi_res_gen, weight_gen_advers=0.001,
+                  train_gen=True, train_disc=False, compute_disc=False):
+        """Compute GAN losses for a (true, generated) HR pair.
+
+        Returns (loss, loss_details). Traceable under jit. Reference
+        parity: sup3r/models/base.py:830-911.
+        """
+        hi_res_gen = self._combine_loss_input(hi_res_true, hi_res_gen)
+        if hi_res_gen.shape != hi_res_true.shape:
+            raise RuntimeError(
+                f'Generated shape {hi_res_gen.shape} != true shape '
+                f'{hi_res_true.shape}; check enhancement factors')
+        d_true = self._disc.apply(self.disc_params, hi_res_true)
+        d_gen = self._disc.apply(self.disc_params, hi_res_gen)
+        details = {}
+        loss = None
+        if compute_disc or train_disc:
+            details['loss_disc'] = relativistic_disc_loss(d_true, d_gen)
+        if train_gen:
+            n_exo = len(self.hr_exo_features)
+            slc = slice(0, -n_exo) if n_exo else slice(None)
+            content = self.loss_fun(hi_res_gen[..., slc],
+                                    hi_res_true[..., slc])
+            advers = relativistic_disc_loss(d_gen, d_true)
+            loss = content + weight_gen_advers * advers
+            details.update(loss_gen=loss, loss_gen_content=content,
+                           loss_gen_advers=advers)
+        elif train_disc:
+            loss = details['loss_disc']
+        return loss, details
+
+    # ------------------------------------------------------------------
+    # the single jitted train step
+    def _build_train_step(self):
+        """Build the jitted (gen+disc) train step.
+
+        One XLA program: generator forward/backward, discriminator
+        forward/backward, both optimizer updates, with boolean gating of
+        each update via ``lax.cond`` so per-batch gating never triggers
+        recompiles."""
+        gen, disc = self._gen, self._disc
+        loss_fun = self.loss_fun
+        gen_tx, disc_tx = self._gen_tx, self._disc_tx
+        n_exo = len(self.hr_exo_features)
+        exo_names = list(self.hr_exo_features)
+
+        def split_exo(hr):
+            if n_exo == 0:
+                return {}
+            n_out = hr.shape[-1] - n_exo
+            return {f: hr[..., n_out + i:n_out + i + 1]
+                    for i, f in enumerate(exo_names)}
+
+        def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv):
+            exo = split_exo(hr)
+            out = gen.apply(gen_params, lr, exo=exo)
+            full = (jnp.concatenate(
+                [out] + [exo[f] for f in exo_names], axis=-1)
+                if n_exo else out)
+            d_true = disc.apply(disc_params, hr)
+            d_gen = disc.apply(disc_params, full)
+            slc = slice(0, -n_exo) if n_exo else slice(None)
+            content = loss_fun(out, hr[..., slc])
+            advers = relativistic_disc_loss(d_gen, d_true)
+            loss = content + w_adv * advers
+            aux = {'content': content, 'advers': advers, 'hi_res_gen': full}
+            return loss, aux
+
+        def disc_loss_fn(disc_params, hr, hi_res_gen):
+            d_true = disc.apply(disc_params, hr)
+            d_gen = disc.apply(disc_params, hi_res_gen)
+            return relativistic_disc_loss(d_true, d_gen)
+
+        def step(gen_params, disc_params, gen_opt, disc_opt, lr, hr,
+                 w_adv, do_gen, do_disc):
+            (gen_loss, aux), gen_grads = jax.value_and_grad(
+                gen_loss_fn, has_aux=True)(
+                    gen_params, disc_params, lr, hr, w_adv)
+            hi_res_gen = jax.lax.stop_gradient(aux['hi_res_gen'])
+            disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(
+                disc_params, hr, hi_res_gen)
+
+            def upd_gen(_):
+                updates, new_opt = gen_tx.update(gen_grads, gen_opt,
+                                                 gen_params)
+                return optax.apply_updates(gen_params, updates), new_opt
+
+            def upd_disc(_):
+                updates, new_opt = disc_tx.update(disc_grads, disc_opt,
+                                                  disc_params)
+                return optax.apply_updates(disc_params, updates), new_opt
+
+            gen_params_new, gen_opt_new = jax.lax.cond(
+                do_gen, upd_gen, lambda _: (gen_params, gen_opt), None)
+            disc_params_new, disc_opt_new = jax.lax.cond(
+                do_disc, upd_disc, lambda _: (disc_params, disc_opt), None)
+
+            details = {
+                'loss_gen': gen_loss,
+                'loss_gen_content': aux['content'],
+                'loss_gen_advers': aux['advers'],
+                'loss_disc': disc_loss,
+            }
+            return (gen_params_new, disc_params_new, gen_opt_new,
+                    disc_opt_new, details)
+
+        return jax.jit(step, donate_argnums=(0, 1, 2, 3))
+
+    @property
+    def train_step_fn(self):
+        """The compiled train step (built lazily)."""
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        return self._train_step_fn
+
+    def run_gradient_descent(self, low_res, hi_res_true,
+                             weight_gen_advers=0.001, train_gen=True,
+                             train_disc=False):
+        """One gated optimization step on a (lr, hr) batch pair.
+
+        Both sub-networks' grads are computed in one fused program;
+        ``train_gen``/``train_disc`` gate which updates apply."""
+        lr = jnp.asarray(low_res, dtype=jnp.float32)
+        hr = jnp.asarray(hi_res_true, dtype=jnp.float32)
+        (self.gen_params, self.disc_params, self._gen_opt_state,
+         self._disc_opt_state, details) = self.train_step_fn(
+            self.gen_params, self.disc_params, self._gen_opt_state,
+            self._disc_opt_state, lr, hr,
+            jnp.float32(weight_gen_advers), jnp.bool_(train_gen),
+            jnp.bool_(train_disc))
+        return {k: float(v) for k, v in details.items()}
+
+    # ------------------------------------------------------------------
+    # inference
+    def _get_gen_apply(self):
+        if self._gen_apply_fn is None:
+            gen = self._gen
+
+            def apply(params, x, exo):
+                return gen.apply(params, x, exo=exo)
+
+            self._gen_apply_fn = jax.jit(apply)
+        return self._gen_apply_fn
+
+    def _parse_exo_for_generate(self, exogenous_data, low_res_shape):
+        """Accept either a simple {feature: array} dict or the structured
+        ExoData format ({feature: {'steps': [{'combine_type', 'data'}]}})
+        and return the {feature: array} dict of mid-network rasters."""
+        if not exogenous_data:
+            return {}
+        out = {}
+        for feat, val in exogenous_data.items():
+            if isinstance(val, dict) and 'steps' in val:
+                for step in val['steps']:
+                    if step.get('combine_type') == 'layer':
+                        out[feat] = step['data']
+            else:
+                out[feat] = val
+        return {k: jnp.asarray(np.asarray(v), dtype=jnp.float32)
+                for k, v in out.items()}
+
+    def generate(self, low_res, norm_in=True, un_norm_out=True,
+                 exogenous_data=None):
+        """Public inference: normalize -> generator -> denormalize.
+
+        low_res: 4D/5D physical-units array (n_obs first). Reference
+        parity: sup3r/models/abstract.py:1037-1105."""
+        low_res = np.asarray(low_res, dtype=np.float32)
+        exo = self._parse_exo_for_generate(exogenous_data, low_res.shape)
+        if norm_in and self._means is not None:
+            low_res = self.norm_input(low_res)
+        if self.gen_params is None:
+            hr_shape = self._dummy_hr_shape(low_res.shape)
+            self.init_weights(low_res.shape, hr_shape)
+        for f in self._gen.exo_features + self._gen.obs_features:
+            if f not in exo:
+                raise KeyError(
+                    f'Model requires exogenous feature "{f}" passed via '
+                    f'exogenous_data; got {sorted(exo)}')
+        # exo arrays need a batch dim matching low_res
+        fixed_exo = {}
+        for k, v in exo.items():
+            if v.ndim == low_res.ndim - 1:
+                v = v[None] if v.shape[0] != low_res.shape[0] else v[..., None]
+            fixed_exo[k] = v
+        out = self._get_gen_apply()(self.gen_params,
+                                    jnp.asarray(low_res), fixed_exo)
+        out = np.asarray(out)
+        if un_norm_out and self._means is not None:
+            out = self.un_norm_output(out)
+        return out
+
+    def _dummy_hr_shape(self, lr_shape):
+        s, t = self._gen.s_enhance, self._gen.t_enhance
+        n_out = self._gen.out_shape(lr_shape)[-1]
+        n_hr = n_out + len(self.hr_exo_features)
+        if len(lr_shape) == 5:
+            return (lr_shape[0], lr_shape[1] * s, lr_shape[2] * s,
+                    lr_shape[3] * t, n_hr)
+        return (lr_shape[0], lr_shape[1] * s, lr_shape[2] * s, n_hr)
+
+    # ------------------------------------------------------------------
+    # save / load
+    @property
+    def model_params(self):
+        params = super().model_params
+        params.update({
+            'gen_config': self._gen_config,
+            'disc_config': self._disc_config,
+            'gen_in_shape': self._gen_in_shape,
+            'disc_in_shape': self._disc_in_shape,
+            'optimizer': self._optimizer_config,
+            'optimizer_disc': self._optimizer_disc_config,
+        })
+        return params
+
+    def save(self, out_dir):
+        """Save params + meta to a directory (model_gen.msgpack,
+        model_disc.msgpack, model_params.json, history.csv — same
+        directory layout idea as the reference's pkl format, reference:
+        sup3r/models/base.py:133-214)."""
+        os.makedirs(out_dir, exist_ok=True)
+        if self.gen_params is not None:
+            self.save_network_params(
+                self.gen_params, os.path.join(out_dir, 'model_gen.msgpack'))
+            self.save_network_params(
+                self.disc_params,
+                os.path.join(out_dir, 'model_disc.msgpack'))
+            self.save_network_params(
+                (self._gen_opt_state, self._disc_opt_state),
+                os.path.join(out_dir, 'opt_state.msgpack'))
+        self.save_params(out_dir)
+        self.save_history(out_dir)
+        logger.info('Saved GAN to %s', out_dir)
+
+    @classmethod
+    def load(cls, model_dir, verbose=True):
+        """Load a saved GAN (reference: sup3r/models/base.py:184-214)."""
+        params = cls.load_saved_params(model_dir, verbose=verbose)
+        model = cls(
+            params['gen_config'], params['disc_config'],
+            optimizer=params.get('optimizer'),
+            optimizer_disc=params.get('optimizer_disc'),
+            loss=params.get('loss', 'MeanSquaredError'),
+            meta=params.get('meta', {}),
+            means=params.get('means'), stdevs=params.get('stdevs'))
+        gen_in = params.get('gen_in_shape')
+        disc_in = params.get('disc_in_shape')
+        if gen_in is not None:
+            model.init_weights(tuple(gen_in), tuple(disc_in))
+            model.gen_params = cls.load_network_params(
+                model.gen_params,
+                os.path.join(model_dir, 'model_gen.msgpack'))
+            model.disc_params = cls.load_network_params(
+                model.disc_params,
+                os.path.join(model_dir, 'model_disc.msgpack'))
+            fp_opt = os.path.join(model_dir, 'opt_state.msgpack')
+            if os.path.exists(fp_opt):
+                self_state = (model._gen_opt_state, model._disc_opt_state)
+                (model._gen_opt_state,
+                 model._disc_opt_state) = cls.load_network_params(
+                    self_state, fp_opt)
+        fp_history = os.path.join(model_dir, 'history.csv')
+        if os.path.exists(fp_history):
+            model._history = pd.read_csv(fp_history, index_col=0)
+        return model
+
+    # ------------------------------------------------------------------
+    # training loop
+    @staticmethod
+    def get_weight_update_fraction(history, comparison_key,
+                                   update_bounds=(0.5, 0.95),
+                                   update_frac=0.0):
+        """Multiplier for the adversarial weight based on how often the
+        disc trained last epoch (reference: sup3r/models/base.py:439)."""
+        val = history[comparison_key]
+        if isinstance(val, (list, tuple, np.ndarray, pd.Series)):
+            val = np.asarray(val).ravel()[-1]
+        if val < update_bounds[0]:
+            return 1 + update_frac
+        if val > update_bounds[1]:
+            return 1 / (1 + update_frac)
+        return 1
+
+    def update_adversarial_weights(self, history, adaptive_update_fraction,
+                                   adaptive_update_bounds,
+                                   weight_gen_advers, train_disc):
+        """Adapt the adversarial weight from disc training frequency."""
+        if adaptive_update_fraction > 0 and train_disc:
+            frac = self.get_weight_update_fraction(
+                history, 'train_disc_train_frac',
+                update_frac=adaptive_update_fraction,
+                update_bounds=adaptive_update_bounds)
+            weight_gen_advers *= frac
+            if frac != 1:
+                logger.debug('New adversarial weight: %.4e',
+                             weight_gen_advers)
+        return weight_gen_advers
+
+    @staticmethod
+    def check_batch_handler_attrs(batch_handler):
+        """Pull optional metadata attrs off a batch handler."""
+        return {
+            k: getattr(batch_handler, k, None)
+            for k in ['smoothing', 'lr_features', 'hr_exo_features',
+                      'hr_out_features', 'smoothed_features']
+            if hasattr(batch_handler, k)
+        }
+
+    def _train_batch(self, batch, train_gen, only_gen, gen_too_good,
+                     train_disc, only_disc, disc_too_good,
+                     weight_gen_advers):
+        """Gated updates for one batch (reference:
+        sup3r/models/base.py:944-1032)."""
+        do_gen = bool(only_gen or (train_gen and not gen_too_good))
+        do_disc = bool(only_disc or (train_disc and not disc_too_good))
+        details = self.run_gradient_descent(
+            batch.low_res, batch.high_res,
+            weight_gen_advers=weight_gen_advers,
+            train_gen=do_gen, train_disc=do_disc)
+        details['gen_train_frac'] = float(do_gen)
+        details['disc_train_frac'] = float(do_disc)
+        return details
+
+    def _train_epoch(self, batch_handler, weight_gen_advers, train_gen,
+                     train_disc, disc_loss_bounds):
+        """One epoch with loss-bound disc/gen gating (reference:
+        sup3r/models/base.py:1097-1191)."""
+        disc_th_low = np.min(disc_loss_bounds)
+        disc_th_high = np.max(disc_loss_bounds)
+        only_gen = train_gen and not train_disc
+        only_disc = train_disc and not train_gen
+
+        loss_disc_mean = 0.0
+        if (self._train_record is not None
+                and 'train_loss_disc' in self._train_record):
+            loss_disc_mean = float(
+                self._train_record['train_loss_disc'].mean())
+
+        n_batches = len(batch_handler)
+        for ib, batch in enumerate(batch_handler):
+            t0 = time.time()
+            disc_too_good = loss_disc_mean <= disc_th_low
+            disc_too_bad = (loss_disc_mean > disc_th_high) and train_disc
+            gen_too_good = disc_too_bad
+
+            details = self._train_batch(
+                batch, train_gen, only_gen, gen_too_good, train_disc,
+                only_disc, disc_too_good, weight_gen_advers)
+            self._train_record = self.update_loss_details(
+                self._train_record, details, prefix='train_')
+            loss_disc_mean = float(
+                self._train_record['train_loss_disc'].mean())
+            logger.debug(
+                'Batch %d/%d gen %.3e disc %.3e (%.3fs)', ib + 1,
+                n_batches, details['loss_gen'], details['loss_disc'],
+                time.time() - t0)
+        self.total_batches += n_batches
+        out = self._train_record.mean().to_dict()
+        out['total_batches'] = int(self.total_batches)
+        return out
+
+    def calc_val_loss(self, batch_handler, weight_gen_advers):
+        """Mean validation losses over the val queue (reference:
+        sup3r/models/base.py:913-943)."""
+        val_data = getattr(batch_handler, 'val_data', None)
+        if val_data is None or (hasattr(val_data, '__len__')
+                                and len(val_data) == 0):
+            return {}
+        record = None
+        for batch in val_data:
+            lr = jnp.asarray(batch.low_res, dtype=jnp.float32)
+            hr = jnp.asarray(batch.high_res, dtype=jnp.float32)
+            exo, _ = self._split_exo(hr)
+            out = self._get_gen_apply()(self.gen_params, lr, exo)
+            _, details = self.calc_loss(
+                hr, out, weight_gen_advers=weight_gen_advers,
+                train_gen=True, compute_disc=True)
+            record = self.update_loss_details(record, details,
+                                              prefix='val_')
+        return record.mean().to_dict() if record is not None else {}
+
+    def train(self, batch_handler, input_resolution, n_epoch,
+              weight_gen_advers=0.001, train_gen=True, train_disc=True,
+              disc_loss_bounds=(0.45, 0.6), checkpoint_int=None,
+              out_dir='./gan_{epoch}', early_stop_on=None,
+              early_stop_threshold=0.005, early_stop_n_epoch=5,
+              adaptive_update_bounds=(0.9, 0.99),
+              adaptive_update_fraction=0.0, multi_gpu=False,
+              tensorboard_log=False, tensorboard_profile=False):
+        """Train the GAN (reference: sup3r/models/base.py:624-828).
+
+        ``multi_gpu``/tensorboard args accepted for API parity; data
+        parallelism here is mesh sharding of the batch (see module
+        docstring) and profiling hooks are jax.profiler-based.
+        """
+        self.set_norm_stats(batch_handler.means, batch_handler.stds)
+        params = self.check_batch_handler_attrs(batch_handler)
+        self.set_model_params(
+            input_resolution=input_resolution,
+            s_enhance=batch_handler.s_enhance,
+            t_enhance=batch_handler.t_enhance, **params)
+
+        lr_shape = (1, *batch_handler.lr_shape)
+        hr_shape = (1, *batch_handler.hr_shape)
+        self.init_weights(lr_shape, hr_shape)
+
+        epochs = list(range(n_epoch))
+        if self._history is None:
+            self._history = pd.DataFrame(columns=['elapsed_time'])
+        else:
+            epochs = [e + len(self._history) for e in epochs]
+
+        t0 = time.time()
+        stop = False
+        for epoch in epochs:
+            self._train_record = None
+            loss_details = self._train_epoch(
+                batch_handler, weight_gen_advers, train_gen, train_disc,
+                disc_loss_bounds)
+            val_details = self.calc_val_loss(batch_handler,
+                                             weight_gen_advers)
+            loss_details.update(val_details)
+            logger.info(
+                'Epoch %d gen loss %.3e disc loss %.3e', epoch,
+                loss_details.get('train_loss_gen', np.nan),
+                loss_details.get('train_loss_disc', np.nan))
+
+            extras = {
+                'weight_gen_advers': weight_gen_advers,
+                'disc_loss_bound_0': disc_loss_bounds[0],
+                'disc_loss_bound_1': disc_loss_bounds[1],
+                'learning_rate_gen':
+                    self._optimizer_config['learning_rate'],
+                'learning_rate_disc':
+                    self._optimizer_disc_config['learning_rate'],
+                'train_gen': int(train_gen),
+                'train_disc': int(train_disc),
+            }
+            weight_gen_advers = self.update_adversarial_weights(
+                loss_details, adaptive_update_fraction,
+                adaptive_update_bounds, weight_gen_advers, train_disc)
+
+            row = {'elapsed_time': time.time() - t0, **loss_details,
+                   **extras}
+            row_df = pd.DataFrame(row, index=[epoch])
+            self._history = (row_df if len(self._history) == 0 else
+                             pd.concat([self._history, row_df]))
+
+            if early_stop_on is not None and early_stop_on in self._history:
+                stop = self.early_stop(
+                    self._history, early_stop_on,
+                    threshold=early_stop_threshold,
+                    n_epoch=early_stop_n_epoch)
+            save_now = (
+                stop or epoch == epochs[-1]
+                or (checkpoint_int is not None
+                    and (epoch % checkpoint_int) == 0))
+            if save_now and out_dir is not None:
+                self.save(out_dir.format(epoch=epoch))
+            if stop:
+                break
+        if hasattr(batch_handler, 'stop'):
+            batch_handler.stop()

@@ -1,0 +1,178 @@
+"""Batch handlers: (train queue, val queue, stats) composition.
+
+Reference parity: sup3r/preprocessing/batch_handlers/factory.py:33-339.
+Rather than a metaclass factory, each handler is a small class wiring a
+sampler type to queue types; the constructor signature mirrors the
+reference factory products.
+"""
+
+import logging
+
+from sup3r_tpu.preprocessing.batch_queues import (
+    BatchQueueDC,
+    DualBatchQueue,
+    SingleBatchQueue,
+    ValBatchQueueDC,
+)
+from sup3r_tpu.preprocessing.samplers import (
+    DualSampler,
+    Sampler,
+    SamplerDC,
+)
+from sup3r_tpu.preprocessing.stats import StatsCollection
+
+logger = logging.getLogger(__name__)
+
+
+class _EmptyVal:
+    """Empty validation iterable."""
+
+    def __len__(self):
+        return 0
+
+    def __iter__(self):
+        return iter(())
+
+
+class BaseBatchHandler:
+    """Common composition: stats -> samplers -> train/val queues."""
+
+    SAMPLER = Sampler
+    MAIN_QUEUE = SingleBatchQueue
+    VAL_QUEUE = SingleBatchQueue
+
+    def __init__(self, train_containers, val_containers=None,
+                 batch_size=16, n_batches=64, s_enhance=1, t_enhance=1,
+                 means=None, stds=None, sample_shape=None,
+                 feature_sets=None, queue_cap=4, max_workers=1,
+                 transform_kwargs=None, mode='eager',
+                 sampler_kwargs=None, queue_kwargs=None):
+        val_containers = val_containers or []
+        self.s_enhance = s_enhance
+        self.t_enhance = t_enhance
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+
+        stats = StatsCollection(
+            list(train_containers) + list(val_containers),
+            means=means, stds=stds)
+        self.means = stats.means
+        self.stds = stats.stds
+
+        sampler_kwargs = dict(sampler_kwargs or {})
+        self._sampler_args = dict(
+            sample_shape=sample_shape, batch_size=batch_size,
+            feature_sets=feature_sets, **sampler_kwargs)
+        samplers = [self._make_sampler(c) for c in train_containers]
+        queue_kwargs = dict(
+            batch_size=batch_size, n_batches=n_batches,
+            s_enhance=s_enhance, t_enhance=t_enhance,
+            queue_cap=queue_cap, max_workers=max_workers,
+            transform_kwargs=transform_kwargs, **(queue_kwargs or {}))
+        self._queue = self.MAIN_QUEUE(samplers, **queue_kwargs)
+
+        if val_containers:
+            val_samplers = [self._make_sampler(c) for c in val_containers]
+            vq_kwargs = dict(queue_kwargs)
+            vq_kwargs['thread_name'] = 'validation'
+            self.val_data = self.VAL_QUEUE(val_samplers, **vq_kwargs)
+        else:
+            self.val_data = _EmptyVal()
+
+        # metadata forwarded to the model at train() time
+        q = self._queue
+        self.lr_features = q.lr_features
+        self.hr_exo_features = q.hr_exo_features
+        self.hr_out_features = q.hr_out_features
+        self.smoothing = (transform_kwargs or {}).get('smoothing')
+        ignore = (transform_kwargs or {}).get('smoothing_ignore', [])
+        self.smoothed_features = [
+            f for f in self.lr_features if f not in ignore
+        ] if self.smoothing else []
+
+    def _make_sampler(self, container):
+        data = (container if hasattr(container, 'features')
+                else getattr(container, 'data', container))
+        return self.SAMPLER(data, **self._sampler_args)
+
+    @property
+    def lr_shape(self):
+        """Per-observation LR shape."""
+        return self._queue.lr_shape
+
+    @property
+    def hr_shape(self):
+        """Per-observation HR shape."""
+        return self._queue.hr_shape
+
+    @property
+    def shapes(self):
+        """(1, *lr_shape), (1, *hr_shape) pair."""
+        return (1, *self.lr_shape), (1, *self.hr_shape)
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        return iter(self._queue)
+
+    def __next__(self):
+        return next(self._queue)
+
+    def start(self):
+        """Start producer threads."""
+        self._queue.start()
+
+    def stop(self):
+        """Stop producer threads."""
+        self._queue.stop()
+        if hasattr(self.val_data, 'stop'):
+            self.val_data.stop()
+
+
+class BatchHandler(BaseBatchHandler):
+    """Uniform sampling + coarsening transform (reference factory
+    product 'BatchHandler')."""
+
+
+class DualBatchHandler(BaseBatchHandler):
+    """Pre-paired LR/HR containers (reference 'DualBatchHandler')."""
+
+    SAMPLER = DualSampler
+    MAIN_QUEUE = DualBatchQueue
+    VAL_QUEUE = DualBatchQueue
+
+    def _make_sampler(self, container):
+        data = (container if hasattr(container, 'features')
+                else getattr(container, 'data', container))
+        return self.SAMPLER(data, s_enhance=self.s_enhance,
+                            t_enhance=self.t_enhance, **self._sampler_args)
+
+
+class BatchHandlerDC(BaseBatchHandler):
+    """Data-centric handler: loss-adaptive bin sampling + per-bin val
+    queue (reference: batch_handlers/dc.py:24)."""
+
+    SAMPLER = SamplerDC
+    MAIN_QUEUE = BatchQueueDC
+    VAL_QUEUE = ValBatchQueueDC
+
+    def __init__(self, *args, n_space_bins=1, n_time_bins=1, **kwargs):
+        kwargs.setdefault('queue_kwargs', {})
+        kwargs['queue_kwargs'].update(
+            n_space_bins=n_space_bins, n_time_bins=n_time_bins)
+        self.n_space_bins = n_space_bins
+        self.n_time_bins = n_time_bins
+        super().__init__(*args, **kwargs)
+
+    @property
+    def spatial_weights(self):
+        return self._queue.spatial_weights
+
+    @property
+    def temporal_weights(self):
+        return self._queue.temporal_weights
+
+    def update_weights(self, spatial_weights, temporal_weights):
+        """Push new bin weights (called by Sup3rGanDC per epoch)."""
+        self._queue.update_weights(spatial_weights, temporal_weights)

@@ -1,0 +1,307 @@
+"""Asynchronous batch queues: host prefetch threads feeding the train
+loop.
+
+The reference fills a tf.queue.FIFOQueue from producer threads
+(reference: sup3r/preprocessing/batch_queues/abstract.py:30-364). Here
+a plain ``queue.Queue`` of numpy batches is filled by a producer thread
+pool; the HR->LR coarsening transform runs on host numpy (cheap
+reshape-means) so the device only ever sees final (lr, hr) pairs —
+and the jitted train step overlaps with the next batch's production.
+"""
+
+import logging
+import threading
+from collections import namedtuple
+from concurrent.futures import ThreadPoolExecutor
+from queue import Empty, Full, Queue
+
+import numpy as np
+
+from sup3r_tpu.ops import (
+    smooth_data,
+    spatial_coarsening,
+    temporal_coarsening,
+)
+from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+logger = logging.getLogger(__name__)
+
+Batch = namedtuple('Batch', ['low_res', 'high_res'])
+BatchWithObs = namedtuple('BatchWithObs', ['low_res', 'high_res', 'obs'])
+
+
+class AbstractBatchQueue:
+    """Prefetching batch queue over one or more samplers."""
+
+    BATCH_CLASS = Batch
+
+    def __init__(self, samplers, batch_size=16, n_batches=64,
+                 s_enhance=1, t_enhance=1, queue_cap=4, max_workers=1,
+                 transform_kwargs=None, mode='eager', thread_name='training'):
+        self.samplers = samplers
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.s_enhance = s_enhance
+        self.t_enhance = t_enhance
+        self.queue = Queue(maxsize=queue_cap)
+        self.max_workers = max_workers
+        self.transform_kwargs = transform_kwargs or {}
+        self._training_flag = threading.Event()
+        self._thread = None
+        self._pool = None
+        self._thread_name = thread_name
+
+    # ------------------------------------------------------------------
+    @property
+    def container_weights(self):
+        """Sampling probability per sampler, proportional to data size
+        (reference: collections/base.py:53)."""
+        sizes = [s.data.size for s in self.samplers]
+        total = sum(sizes)
+        return np.array([s / total for s in sizes])
+
+    def get_random_container(self):
+        """Pick a sampler weighted by its data size."""
+        if len(self.samplers) == 1:
+            return self.samplers[0]
+        idx = RANDOM_GENERATOR.choice(
+            len(self.samplers), p=self.container_weights)
+        return self.samplers[idx]
+
+    def sample_batch(self):
+        """Draw batch_size HR samples from a random sampler and stack."""
+        sampler = self.get_random_container()
+        samples = [next(sampler) for _ in range(self.batch_size)]
+        return self._stack(samples)
+
+    def _stack(self, samples):
+        return np.stack(samples, axis=0)
+
+    def transform(self, samples):
+        """Produce the final (low_res, high_res) pair. Abstract."""
+        raise NotImplementedError
+
+    def post_proc(self, samples):
+        """samples -> Batch namedtuple."""
+        lr, hr = self.transform(samples, **self.transform_kwargs)
+        return self.BATCH_CLASS(low_res=lr, high_res=hr)
+
+    # ------------------------------------------------------------------
+    # threading
+    def start(self):
+        """Start the producer thread."""
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._training_flag.set()
+        self._pool = ThreadPoolExecutor(max_workers=self.max_workers)
+        self._thread = threading.Thread(
+            target=self._enqueue_batches,
+            name=f'{self._thread_name}_queue', daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        """Stop the producer and drain the queue."""
+        self._training_flag.clear()
+        while True:
+            try:
+                self.queue.get_nowait()
+            except Empty:
+                break
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def _enqueue_batches(self):
+        while self._training_flag.is_set():
+            try:
+                batch = self.post_proc(self.sample_batch())
+            except Exception:
+                logger.exception('Batch producer error')
+                raise
+            while self._training_flag.is_set():
+                try:
+                    self.queue.put(batch, timeout=0.2)
+                    break
+                except Full:
+                    continue
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        self.start()
+        for _ in range(self.n_batches):
+            while True:
+                try:
+                    yield self.queue.get(timeout=1.0)
+                    break
+                except Empty:
+                    if not self._training_flag.is_set():
+                        return
+
+    def __next__(self):
+        self.start()
+        return self.queue.get(timeout=60)
+
+
+class SingleBatchQueue(AbstractBatchQueue):
+    """Queue producing (lr, hr) by coarsening sampled HR data
+    (reference: batch_queues/base.py:30-86)."""
+
+    def __init__(self, samplers, **kwargs):
+        super().__init__(samplers, **kwargs)
+        s = self.samplers[0]
+        self.features = s.features
+        self.lr_features = s.lr_features
+        self.hr_exo_features = s.hr_exo_features
+        self.hr_out_features = s.hr_out_features
+        self.hr_features_ind = s.hr_features_ind
+        self.sample_shape = s.sample_shape
+        self._is_4d = self.sample_shape[2] == 1 and self.t_enhance == 1
+
+    @property
+    def lr_shape(self):
+        """(s1, s2[, t], f) of one LR observation."""
+        s1 = self.sample_shape[0] // self.s_enhance
+        s2 = self.sample_shape[1] // self.s_enhance
+        t = self.sample_shape[2] // self.t_enhance
+        nf = len(self.lr_features)
+        return (s1, s2, nf) if self._is_4d else (s1, s2, t, nf)
+
+    @property
+    def hr_shape(self):
+        """(s1, s2[, t], f) of one HR observation."""
+        s1, s2, t = self.sample_shape
+        nf = len(self.hr_features_ind)
+        return (s1, s2, nf) if self._is_4d else (s1, s2, t, nf)
+
+    def transform(self, samples, smoothing=None, smoothing_ignore=None,
+                  temporal_coarsening_method='subsample'):
+        """HR batch (n, s1, s2, t, f) -> (lr, hr) pair."""
+        lr = spatial_coarsening(samples, self.s_enhance)
+        if self.t_enhance > 1:
+            lr = temporal_coarsening(lr, self.t_enhance,
+                                     temporal_coarsening_method)
+        if smoothing is not None:
+            lr = smooth_data(np.array(lr), self.features,
+                             smoothing_ignore or [], smoothing)
+        hr = samples[..., self.hr_features_ind]
+        if self._is_4d:
+            lr = lr[:, :, :, 0, :]
+            hr = hr[:, :, :, 0, :]
+        return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
+
+
+class DualBatchQueue(AbstractBatchQueue):
+    """Queue for pre-paired (lr, hr[, obs]) samples (reference:
+    batch_queues/dual.py:14)."""
+
+    def __init__(self, samplers, **kwargs):
+        super().__init__(samplers, **kwargs)
+        s = self.samplers[0]
+        self.lr_features = s.lr_features
+        self.hr_exo_features = s.hr_exo_features
+        self.hr_out_features = s.hr_out_features
+        self.features = s.features
+        self.sample_shape = s.hr_sample_shape
+        self._has_obs = getattr(s, 'obs_data', None) is not None
+        self._is_4d = self.sample_shape[2] == 1 and self.t_enhance == 1
+        self._check_enhancement_factors()
+
+    def _check_enhancement_factors(self):
+        for s in self.samplers:
+            assert s.s_enhance == self.s_enhance
+            assert s.t_enhance == self.t_enhance
+
+    @property
+    def lr_shape(self):
+        s = self.samplers[0]
+        shp = (*s.lr_sample_shape, len(self.lr_features))
+        return (shp[0], shp[1], shp[3]) if self._is_4d else shp
+
+    @property
+    def hr_shape(self):
+        s = self.samplers[0]
+        shp = (*s.hr_sample_shape, len(s.hr_features))
+        return (shp[0], shp[1], shp[3]) if self._is_4d else shp
+
+    def _stack(self, samples):
+        """samples are (lr, hr[, obs]) tuples — stack each member."""
+        members = list(zip(*samples))
+        return tuple(np.stack(m, axis=0) for m in members)
+
+    def transform(self, samples, smoothing=None, smoothing_ignore=None):
+        lr, hr = samples[0], samples[1]
+        if smoothing is not None:
+            lr = smooth_data(np.array(lr), self.lr_features,
+                             smoothing_ignore or [], smoothing)
+        if self._is_4d:
+            lr, hr = lr[:, :, :, 0, :], hr[:, :, :, 0, :]
+        return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
+
+    def post_proc(self, samples):
+        if self._has_obs:
+            lr, hr = self.transform(samples[:2], **self.transform_kwargs)
+            obs = samples[2]
+            if self._is_4d:
+                obs = obs[:, :, :, 0, :]
+            return BatchWithObs(low_res=lr, high_res=hr, obs=obs)
+        lr, hr = self.transform(samples, **self.transform_kwargs)
+        return Batch(low_res=lr, high_res=hr)
+
+
+class BatchQueueDC(SingleBatchQueue):
+    """Data-centric queue: samplers draw from loss-adaptive bins
+    (reference: batch_queues/dc.py:13)."""
+
+    def __init__(self, samplers, n_space_bins=1, n_time_bins=1, **kwargs):
+        self.n_space_bins = n_space_bins
+        self.n_time_bins = n_time_bins
+        self._spatial_weights = np.ones(n_space_bins) / n_space_bins
+        self._temporal_weights = np.ones(n_time_bins) / n_time_bins
+        super().__init__(samplers, **kwargs)
+        self.update_weights(self._spatial_weights, self._temporal_weights)
+
+    @property
+    def spatial_weights(self):
+        """Current spatial bin weights."""
+        return self._spatial_weights
+
+    @property
+    def temporal_weights(self):
+        """Current temporal bin weights."""
+        return self._temporal_weights
+
+    def update_weights(self, spatial_weights, temporal_weights):
+        """Push new bin weights into every sampler."""
+        self._spatial_weights = np.asarray(spatial_weights)
+        self._temporal_weights = np.asarray(temporal_weights)
+        for s in self.samplers:
+            s.update_weights(self._spatial_weights,
+                             self._temporal_weights)
+
+
+class ValBatchQueueDC(BatchQueueDC):
+    """Validation queue yielding one batch per spatiotemporal bin so
+    per-bin losses are measurable (reference: batch_queues/dc.py:69)."""
+
+    def __init__(self, samplers, n_space_bins=1, n_time_bins=1, **kwargs):
+        kwargs['n_batches'] = n_space_bins * n_time_bins
+        super().__init__(samplers, n_space_bins=n_space_bins,
+                         n_time_bins=n_time_bins, **kwargs)
+
+    def sample_batch(self):
+        """Focus all weight on the bin for the current batch index."""
+        i = getattr(self, '_batch_counter', 0)
+        s_idx = i % self.n_space_bins
+        t_idx = i // self.n_space_bins % self.n_time_bins
+        s_w = np.zeros(self.n_space_bins)
+        s_w[s_idx] = 1
+        t_w = np.zeros(self.n_time_bins)
+        t_w[t_idx] = 1
+        self.update_weights(s_w, t_w)
+        self._batch_counter = i + 1
+        return super().sample_batch()

@@ -1,0 +1,277 @@
+"""Samplers: uniform / weighted spatiotemporal crops from GridDatasets.
+
+Reference parity: sup3r/preprocessing/samplers/base.py (Sampler, feature
+sets :287-358), samplers/utilities.py (uniform/weighted box & time
+samplers), samplers/dual.py (DualSampler), samplers/dc.py (SamplerDC).
+"""
+
+import logging
+
+from sup3r_tpu.names import parse_feature
+from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+logger = logging.getLogger(__name__)
+
+
+def uniform_box_sampler(data_shape, sample_shape):
+    """Random (s1_slice, s2_slice) crop of ``sample_shape`` within
+    ``data_shape`` (reference: samplers/utilities.py:28)."""
+    s1 = min(sample_shape[0], data_shape[0])
+    s2 = min(sample_shape[1], data_shape[1])
+    start1 = RANDOM_GENERATOR.integers(0, data_shape[0] - s1 + 1)
+    start2 = RANDOM_GENERATOR.integers(0, data_shape[1] - s2 + 1)
+    return [slice(start1, start1 + s1), slice(start2, start2 + s2)]
+
+
+def uniform_time_sampler(data_shape, sample_shape, crop_slice=slice(None)):
+    """Random time slice of length ``sample_shape`` (reference:
+    samplers/utilities.py:77)."""
+    t_indices = range(data_shape[2])[crop_slice]
+    shape = min(sample_shape, len(t_indices))
+    start = RANDOM_GENERATOR.integers(
+        t_indices[0], t_indices[-1] - shape + 2)
+    return slice(start, start + shape)
+
+
+def weighted_box_sampler(data_shape, sample_shape, weights):
+    """Spatial crop where the grid is divided into len(weights) chunks
+    along a flattened spatial index and the crop start is drawn from the
+    chunk chosen by ``weights`` (reference: samplers/utilities.py:52)."""
+    max_cols = max(data_shape[1] - sample_shape[1] + 1, 1)
+    max_rows = max(data_shape[0] - sample_shape[0] + 1, 1)
+    indices = range(max_rows * max_cols)
+    chunks = [
+        indices[x: x + max(len(indices) // len(weights), 1)]
+        for x in range(0, len(indices),
+                       max(len(indices) // len(weights), 1))
+    ][:len(weights)]
+    chunk_idx = RANDOM_GENERATOR.choice(
+        len(chunks), p=[w / sum(weights) for w in weights])
+    chunk = chunks[chunk_idx]
+    flat = RANDOM_GENERATOR.choice(chunk)
+    row, col = flat // max_cols, flat % max_cols
+    return [slice(row, row + sample_shape[0]),
+            slice(col, col + sample_shape[1])]
+
+
+def weighted_time_sampler(data_shape, sample_shape, weights):
+    """Time slice with start drawn from the temporal bin chosen by
+    ``weights`` (reference: samplers/utilities.py:104)."""
+    shape = min(sample_shape, data_shape[2])
+    t_indices = (range(data_shape[2]) if shape == 1
+                 else range(data_shape[2] - shape + 1))
+    chunk_size = max(len(t_indices) // len(weights), 1)
+    chunks = [t_indices[x: x + chunk_size]
+              for x in range(0, len(t_indices), chunk_size)][:len(weights)]
+    chunk_idx = RANDOM_GENERATOR.choice(
+        len(chunks), p=[w / sum(weights) for w in weights])
+    start = RANDOM_GENERATOR.choice(chunks[chunk_idx])
+    return slice(start, start + shape)
+
+
+class Sampler:
+    """Uniform spatiotemporal crop sampler over a GridDataset.
+
+    feature_sets splits the feature list into what goes to the low-res
+    input vs the high-res target (reference: samplers/base.py:287-358):
+      * ``lr_only_features``: in LR input only (e.g. coarse-only vars)
+      * ``hr_exo_features``: exogenous HR channels (must be the last
+        features, order matching the network's exo layers)
+    """
+
+    def __init__(self, data, sample_shape=None, batch_size=16,
+                 feature_sets=None):
+        self.data = data
+        self.sample_shape = tuple(sample_shape or (10, 10, 1))
+        if len(self.sample_shape) == 2:
+            self.sample_shape = (*self.sample_shape, 1)
+        self.batch_size = batch_size
+        feature_sets = feature_sets or {}
+        self.features = [
+            f.lower() for f in feature_sets.get('features', data.features)]
+        self._lr_only_features = [
+            f.lower() for f in feature_sets.get('lr_only_features', [])]
+        self._hr_exo_features = [
+            f.lower() for f in feature_sets.get('hr_exo_features', [])]
+        self._check_features()
+
+    def _match(self, patterns):
+        """Expand any wildcard patterns against the feature list."""
+        out = []
+        for p in patterns:
+            if '*' in p:
+                base = p.replace('*', '')
+                out.extend(f for f in self.features
+                           if parse_feature(f)[0] == parse_feature(
+                               base)[0] or base in f)
+            else:
+                out.append(p)
+        return out
+
+    def _check_features(self):
+        exo = self._match(self._hr_exo_features)
+        if exo:
+            tail = self.features[-len(exo):]
+            if tail != exo:
+                raise ValueError(
+                    f'hr_exo_features {exo} must be the LAST features; '
+                    f'feature list ends with {tail}')
+
+    @property
+    def lr_features(self):
+        """Features for the low-res input (all features)."""
+        return self.features
+
+    @property
+    def hr_exo_features(self):
+        """Exogenous high-res channels (last features)."""
+        return self._match(self._hr_exo_features)
+
+    @property
+    def hr_features(self):
+        """Features kept in the high-res target batch."""
+        return [f for f in self.features
+                if f not in self._lr_only_features]
+
+    @property
+    def hr_out_features(self):
+        """Features the generator must output."""
+        out = [f for f in self.hr_features
+               if f not in self.hr_exo_features]
+        if not out:
+            raise RuntimeError('No high-res output features!')
+        return out
+
+    @property
+    def hr_features_ind(self):
+        """Channel indices of hr_features within the full feature list."""
+        return [self.features.index(f) for f in self.hr_features]
+
+    @property
+    def shape(self):
+        """Underlying data shape."""
+        return self.data.shape
+
+    def get_sample_index(self):
+        """One random (s1, s2, t, features) crop index."""
+        box = uniform_box_sampler(self.data.shape, self.sample_shape[:2])
+        t = uniform_time_sampler(self.data.shape, self.sample_shape[2])
+        return (*box, t, self.features)
+
+    def __next__(self):
+        """One HR sample: (s1, s2, t, n_features)."""
+        return self.data.sample(self.get_sample_index())
+
+
+class SamplerDC(Sampler):
+    """Data-centric sampler: crop location drawn from loss-adaptive
+    spatial/temporal bin weights (reference: samplers/dc.py:23)."""
+
+    def __init__(self, data, sample_shape=None, batch_size=16,
+                 feature_sets=None, spatial_weights=None,
+                 temporal_weights=None):
+        super().__init__(data, sample_shape=sample_shape,
+                         batch_size=batch_size, feature_sets=feature_sets)
+        self.spatial_weights = spatial_weights
+        self.temporal_weights = temporal_weights
+
+    def update_weights(self, spatial_weights, temporal_weights):
+        """Update sampling weights (called per epoch by Sup3rGanDC)."""
+        self.spatial_weights = spatial_weights
+        self.temporal_weights = temporal_weights
+
+    def get_sample_index(self):
+        if self.spatial_weights is not None:
+            box = weighted_box_sampler(
+                self.data.shape, self.sample_shape[:2],
+                self.spatial_weights)
+        else:
+            box = uniform_box_sampler(self.data.shape,
+                                      self.sample_shape[:2])
+        if self.temporal_weights is not None:
+            t = weighted_time_sampler(
+                self.data.shape, self.sample_shape[2],
+                self.temporal_weights)
+        else:
+            t = uniform_time_sampler(self.data.shape, self.sample_shape[2])
+        return (*box, t, self.features)
+
+
+class DualSampler:
+    """Paired LR/HR sampler with enhancement-consistent crop indices
+    (reference: samplers/dual.py:17)."""
+
+    def __init__(self, data, sample_shape=None, batch_size=16,
+                 s_enhance=1, t_enhance=1, feature_sets=None):
+        """``data``: PairedDataset with ``low_res`` and ``high_res``
+        members (optionally ``obs``)."""
+        self.data = data
+        self.lr_data = data['low_res']
+        self.hr_data = data['high_res']
+        self.obs_data = data.members.get('obs')
+        self.s_enhance = s_enhance
+        self.t_enhance = t_enhance
+        self.batch_size = batch_size
+        hr_shape = tuple(sample_shape or (10, 10, 1))
+        if len(hr_shape) == 2:
+            hr_shape = (*hr_shape, 1)
+        self.hr_sample_shape = hr_shape
+        assert all(hr_shape[i] % s_enhance == 0 for i in (0, 1)), (
+            f'HR sample shape {hr_shape} not divisible by s_enhance '
+            f'{s_enhance}')
+        assert hr_shape[2] % t_enhance == 0
+        self.lr_sample_shape = (hr_shape[0] // s_enhance,
+                                hr_shape[1] // s_enhance,
+                                hr_shape[2] // t_enhance)
+        self.sample_shape = hr_shape
+        feature_sets = feature_sets or {}
+        self.lr_features = [
+            f.lower() for f in feature_sets.get(
+                'lr_features', self.lr_data.features)]
+        hr_feats = feature_sets.get('hr_features',
+                                    self.hr_data.features)
+        self.features = list(dict.fromkeys(
+            self.lr_features + [f.lower() for f in hr_feats]))
+        self._hr_exo_features = [
+            f.lower() for f in feature_sets.get('hr_exo_features', [])]
+        self.hr_features = [f.lower() for f in hr_feats]
+        # shape consistency
+        lr_shape, hr_shape_full = self.lr_data.shape, self.hr_data.shape
+        assert lr_shape[0] * s_enhance == hr_shape_full[0], (
+            f'LR/HR grids inconsistent with s_enhance={s_enhance}: '
+            f'{lr_shape} vs {hr_shape_full}')
+        assert lr_shape[2] * t_enhance == hr_shape_full[2]
+
+    @property
+    def hr_exo_features(self):
+        return self._hr_exo_features
+
+    @property
+    def hr_out_features(self):
+        return [f for f in self.hr_features
+                if f not in self._hr_exo_features]
+
+    def get_sample_index(self):
+        """Aligned (lr_index, hr_index) crop pair."""
+        lr_box = uniform_box_sampler(self.lr_data.shape,
+                                     self.lr_sample_shape[:2])
+        lr_t = uniform_time_sampler(self.lr_data.shape,
+                                    self.lr_sample_shape[2])
+        hr_box = [slice(s.start * self.s_enhance, s.stop * self.s_enhance)
+                  for s in lr_box]
+        hr_t = slice(lr_t.start * self.t_enhance,
+                     lr_t.stop * self.t_enhance)
+        lr_idx = (*lr_box, lr_t, self.lr_features)
+        hr_idx = (*hr_box, hr_t, self.hr_features)
+        return lr_idx, hr_idx
+
+    def __next__(self):
+        """(lr_sample, hr_sample[, obs_sample]) tuple."""
+        lr_idx, hr_idx = self.get_sample_index()
+        lr = self.lr_data.sample(lr_idx)
+        hr = self.hr_data.sample(hr_idx)
+        if self.obs_data is not None:
+            obs = self.obs_data.sample(
+                (*hr_idx[:3], self.obs_data.features))
+            return lr, hr, obs
+        return lr, hr

@@ -1,0 +1,97 @@
+"""Multi-container statistics: size-weighted means/stds with JSON
+caching (reference: sup3r/preprocessing/collections/stats.py:30-168)."""
+
+import json
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class StatsCollection:
+    """Compute per-feature means/stds over a list of GridDatasets,
+    weighted by container size, with optional JSON persistence."""
+
+    def __init__(self, containers, means=None, stds=None):
+        """``means``/``stds``: dicts, or .json file paths to load/save."""
+        self.containers = containers
+        self.means = self.get_means(means)
+        self.stds = self.get_stds(stds)
+        self.save_stats(means, stds)
+        self.normalize_containers()
+
+    def _datasets(self):
+        """High-res member per container (paired datasets use the first
+        member for stats, like the reference)."""
+        out = []
+        for c in self.containers:
+            data = c if hasattr(c, 'features') else getattr(c, 'data', c)
+            if hasattr(data, 'members'):
+                data = list(data.members.values())[0]
+            out.append(data)
+        return out
+
+    @property
+    def container_weights(self):
+        sizes = [d.size for d in self._datasets()]
+        total = sum(sizes)
+        return np.array([s / total for s in sizes])
+
+    @staticmethod
+    def _loadable(arg):
+        return isinstance(arg, str) and os.path.exists(arg)
+
+    def get_means(self, means):
+        """Resolve means: dict passthrough, file load, or compute."""
+        if isinstance(means, dict) and means:
+            return {k: float(v) for k, v in means.items()}
+        if self._loadable(means):
+            with open(means) as f:
+                return json.load(f)
+        weights = self.container_weights
+        dsets = self._datasets()
+        features = dsets[0].features
+        out = {}
+        for f in features:
+            vals = [np.nanmean(d[f]) for d in dsets]
+            out[f] = float(np.sum(weights * np.array(vals)))
+        return out
+
+    def get_stds(self, stds):
+        """Resolve stds: dict passthrough, file load, or compute
+        (sqrt of weighted mean of variances)."""
+        if isinstance(stds, dict) and stds:
+            return {k: float(v) for k, v in stds.items()}
+        if self._loadable(stds):
+            with open(stds) as f:
+                return json.load(f)
+        weights = self.container_weights
+        dsets = self._datasets()
+        features = dsets[0].features
+        out = {}
+        for f in features:
+            vals = [np.nanvar(d[f]) for d in dsets]
+            out[f] = float(np.sqrt(np.sum(weights * np.array(vals))))
+        return out
+
+    def save_stats(self, means, stds):
+        """Write stats to the given .json paths if they don't exist."""
+        if isinstance(means, str) and not os.path.exists(means):
+            with open(means, 'w') as f:
+                json.dump(self.means, f, indent=2)
+        if isinstance(stds, str) and not os.path.exists(stds):
+            with open(stds, 'w') as f:
+                json.dump(self.stds, f, indent=2)
+
+    def normalize_containers(self):
+        """Normalize every container in place with the collected stats."""
+        for c in self.containers:
+            data = c if hasattr(c, 'features') else getattr(c, 'data', c)
+            members = (list(data.members.values())
+                       if hasattr(data, 'members') else [data])
+            for m in members:
+                means = {f: self.means.get(f, 0.0) for f in m.features}
+                stds = {f: self.stds.get(f, 1.0) for f in m.features}
+                m.normalize(means, stds)

@@ -1,0 +1,190 @@
+"""GAN training integration tests (mirrors reference
+tests/training/test_train_gan.py:49-122)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sup3r_tpu.configs import get_config
+from sup3r_tpu.models import Sup3rGan
+from sup3r_tpu.preprocessing import BatchHandler
+from sup3r_tpu.utilities.test_helpers import make_fake_dset
+
+
+def _handler(s_enhance, t_enhance, sample_shape, features=('u_100m',
+                                                           'v_100m'),
+             **kwargs):
+    train = make_fake_dset((20, 20, 60), list(features))
+    val = make_fake_dset((20, 20, 30), list(features))
+    return BatchHandler(
+        [train], [val], batch_size=2, n_batches=2, s_enhance=s_enhance,
+        t_enhance=t_enhance, sample_shape=sample_shape, **kwargs)
+
+
+def _small_gen_s(n_feats=2, mult=2):
+    return {'hidden_layers': [
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]], 'mode': 'REFLECT'},
+        {'class': 'Conv2DTranspose', 'filters': 16, 'kernel_size': 3,
+         'strides': 1, 'activation': 'relu'},
+        {'class': 'Cropping2D', 'cropping': 4},
+        {'class': 'SkipConnection', 'name': 'a'},
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]], 'mode': 'REFLECT'},
+        {'class': 'Conv2DTranspose', 'filters': 16, 'kernel_size': 3,
+         'strides': 1, 'activation': None},
+        {'class': 'Cropping2D', 'cropping': 4},
+        {'class': 'SkipConnection', 'name': 'a'},
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]], 'mode': 'REFLECT'},
+        {'class': 'Conv2DTranspose', 'filters': 16 * mult * mult,
+         'kernel_size': 3, 'strides': 1, 'activation': None},
+        {'class': 'Cropping2D', 'cropping': 4},
+        {'class': 'SpatialExpansion', 'spatial_mult': mult},
+        {'class': 'Activation', 'activation': 'relu'},
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]], 'mode': 'REFLECT'},
+        {'class': 'Conv2DTranspose', 'filters': n_feats, 'kernel_size': 3,
+         'strides': 1, 'activation': None},
+        {'class': 'Cropping2D', 'cropping': 4},
+    ]}
+
+
+def _small_gen_st(n_feats=2, s_mult=2, t_mult=2):
+    pad = {'class': 'FlexiblePadding',
+           'paddings': [[0, 0], [3, 3], [3, 3], [3, 3], [0, 0]],
+           'mode': 'REFLECT'}
+    return {'hidden_layers': [
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3, 'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'SpatioTemporalExpansion', 'temporal_mult': t_mult,
+         'temporal_method': 'nearest'},
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 8 * s_mult * s_mult,
+         'kernel_size': 3, 'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+        {'class': 'SpatioTemporalExpansion', 'spatial_mult': s_mult},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        dict(pad),
+        {'class': 'Conv3D', 'filters': n_feats, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+    ]}
+
+
+def test_train_spatial(tmp_path):
+    """Spatial GAN: weights change, history exists, save/load round trip
+    preserves outputs and meta."""
+    handler = _handler(2, 1, (10, 10, 1))
+    model = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'),
+                     learning_rate=1e-4)
+    out_dir = os.path.join(tmp_path, 'gan_{epoch}')
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=2, weight_gen_advers=1e-2,
+                train_gen=True, train_disc=True, out_dir=out_dir,
+                checkpoint_int=1)
+
+    assert model.history is not None
+    assert len(model.history) == 2
+    assert 'train_loss_gen' in model.history
+    assert 'val_loss_gen' in model.history
+    assert model.meta['s_enhance'] == 2
+    assert model.lr_features == ['u_100m', 'v_100m']
+    assert model.hr_out_features == ['u_100m', 'v_100m']
+
+    # generate in physical units
+    lr = np.random.default_rng(0).random((1, 8, 8, 2)).astype(np.float32)
+    out = model.generate(lr)
+    assert out.shape == (1, 16, 16, 2)
+
+    # save/load round trip
+    final_dir = os.path.join(tmp_path, 'gan_1')
+    assert os.path.exists(os.path.join(final_dir, 'model_params.json'))
+    loaded = Sup3rGan.load(final_dir)
+    assert loaded.meta['s_enhance'] == 2
+    out2 = loaded.generate(lr)
+    np.testing.assert_allclose(out, out2, rtol=1e-5, atol=1e-6)
+    assert len(loaded.history) == 2
+
+
+def test_train_st():
+    """Spatiotemporal GAN trains and the generator weights move."""
+    handler = _handler(2, 2, (8, 8, 8))
+    model = Sup3rGan(_small_gen_st(),
+                     {'hidden_layers': [
+                         {'class': 'Conv3D', 'filters': 8,
+                          'kernel_size': 3, 'strides': 2,
+                          'padding': 'same'},
+                         {'class': 'LeakyReLU', 'alpha': 0.2},
+                         {'class': 'Flatten'},
+                         {'class': 'Dense', 'units': 1}]},
+                     learning_rate=1e-4)
+    model.init_weights((1, 4, 4, 4, 2), (1, 8, 8, 8, 2))
+    w_before = np.asarray(model.gen_params[1]['kernel']).copy()
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, weight_gen_advers=1e-2, out_dir=None)
+    w_after = np.asarray(model.gen_params[1]['kernel'])
+    assert not np.allclose(w_before, w_after)
+    assert model.meta['t_enhance'] == 2
+
+
+def test_disc_gating():
+    """With disc loss bounds set to extremes, the disc never trains and
+    disc_train_frac is 0."""
+    handler = _handler(2, 1, (10, 10, 1))
+    model = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'))
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, disc_loss_bounds=(np.inf, np.inf),
+                out_dir=None)
+    assert model.history['train_disc_train_frac'].values[-1] == 0.0
+
+    handler2 = _handler(2, 1, (10, 10, 1))
+    model2 = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'))
+    model2.train(handler2, input_resolution={'spatial': '30km',
+                                            'temporal': '60min'},
+                 n_epoch=1, disc_loss_bounds=(-np.inf, np.inf),
+                 out_dir=None)
+    assert model2.history['train_disc_train_frac'].values[-1] == 1.0
+
+
+def test_train_exo_features():
+    """Training with topography as an hr_exo feature: content loss
+    excludes the exo channel and generate() requires exo input."""
+    features = ['u_100m', 'v_100m', 'topography']
+    handler = _handler(2, 1, (10, 10, 1), features=features,
+                       feature_sets={'hr_exo_features': ['topography']})
+    gen_cfg = _small_gen_s(n_feats=2)
+    gen_cfg['hidden_layers'].insert(
+        -3, {'class': 'Sup3rConcat', 'name': 'topography'})
+    model = Sup3rGan(gen_cfg, get_config('spatial/disc_test'))
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    assert model.hr_exo_features == ['topography']
+    assert model.hr_out_features == ['u_100m', 'v_100m']
+
+    lr = np.random.default_rng(0).random((1, 5, 5, 3)).astype(np.float32)
+    with pytest.raises(KeyError, match='topography'):
+        model.generate(lr)
+    topo = np.random.default_rng(1).random((1, 10, 10, 1)).astype(
+        np.float32)
+    out = model.generate(lr, exogenous_data={'topography': topo})
+    assert out.shape == (1, 10, 10, 2)
+
+
+def test_early_stopping():
+    """Early stop triggers when the monitored column stops improving."""
+    import pandas as pd
+
+    history = pd.DataFrame({'val_loss_gen': [1.0] * 8})
+    assert Sup3rGan.early_stop(history, 'val_loss_gen', threshold=0.01,
+                               n_epoch=5)
+    history2 = pd.DataFrame({'val_loss_gen': np.linspace(2, 1, 8)})
+    assert not Sup3rGan.early_stop(history2, 'val_loss_gen',
+                                   threshold=0.01, n_epoch=5)
