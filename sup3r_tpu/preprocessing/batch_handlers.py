@@ -91,9 +91,10 @@ class BaseBatchHandler:
         ] if self.smoothing else []
 
     def _make_sampler(self, container):
-        data = (container if hasattr(container, 'features')
-                else getattr(container, 'data', container))
-        return self.SAMPLER(data, **self._sampler_args)
+        from sup3r_tpu.preprocessing.stats import unwrap_container
+
+        return self.SAMPLER(unwrap_container(container),
+                            **self._sampler_args)
 
     @property
     def lr_shape(self):
@@ -143,10 +144,12 @@ class DualBatchHandler(BaseBatchHandler):
     VAL_QUEUE = DualBatchQueue
 
     def _make_sampler(self, container):
-        data = (container if hasattr(container, 'features')
-                else getattr(container, 'data', container))
-        return self.SAMPLER(data, s_enhance=self.s_enhance,
-                            t_enhance=self.t_enhance, **self._sampler_args)
+        from sup3r_tpu.preprocessing.stats import unwrap_container
+
+        return self.SAMPLER(unwrap_container(container),
+                            s_enhance=self.s_enhance,
+                            t_enhance=self.t_enhance,
+                            **self._sampler_args)
 
 
 class BatchHandlerDC(BaseBatchHandler):

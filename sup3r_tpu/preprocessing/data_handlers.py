@@ -1,0 +1,285 @@
+"""DataHandlers: Loader -> Rasterizer -> Deriver composition (+ daily
+coarsening and climate-change variants).
+
+Reference parity: sup3r/preprocessing/data_handlers/base.py:46
+(DataHandler), :293 (DailyDataHandler), :383-396 (H5WindCC/H5SolarCC),
+nc_cc.py:24 (DataHandlerNCforCC).
+"""
+
+import logging
+
+import numpy as np
+import pandas as pd
+from scipy.spatial import cKDTree
+
+from sup3r_tpu.preprocessing.derivers import (
+    Deriver,
+    RegistryBase,
+    RegistryH5SolarCC,
+    RegistryH5WindCC,
+    RegistryNCforCC,
+    RegistryNCforCCwithPowerLaw,
+)
+from sup3r_tpu.preprocessing.grid import GridDataset, PairedDataset
+from sup3r_tpu.preprocessing.loaders import Loader, LoaderH5
+from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+logger = logging.getLogger(__name__)
+
+
+class DataHandler:
+    """Load + rasterize + derive features for one spatiotemporal extent.
+
+    ``.data`` is the derived GridDataset ready for sampling."""
+
+    FEATURE_REGISTRY = RegistryBase
+
+    def __init__(self, file_paths, features='all', target=None,
+                 shape=None, time_slice=slice(None), threshold=None,
+                 raster_file=None, time_roll=0, time_shift=None,
+                 hr_spatial_coarsen=1, nan_method_kwargs=None,
+                 interp_kwargs=None, cache_kwargs=None, res_kwargs=None,
+                 FeatureRegistry=None):
+        self.file_paths = file_paths
+        registry = FeatureRegistry or self.FEATURE_REGISTRY
+
+        cached = self._check_cache(cache_kwargs, features)
+        if cached is not None:
+            self.rasterizer = None
+            self.data = cached
+        else:
+            self.rasterizer = Rasterizer(
+                file_paths, features='all', target=target, shape=shape,
+                time_slice=time_slice, threshold=threshold,
+                raster_file=raster_file, res_kwargs=res_kwargs)
+            self._rasterizer_hook()
+            raster_data = self.rasterizer.data
+            feats = (raster_data.features if features in ('all', None)
+                     else features)
+            deriver = Deriver(
+                raster_data, feats, time_roll=time_roll,
+                time_shift=time_shift,
+                hr_spatial_coarsen=hr_spatial_coarsen,
+                nan_method_kwargs=nan_method_kwargs,
+                FeatureRegistry=registry, interp_kwargs=interp_kwargs)
+            self.data = deriver.data
+            self._deriver_hook()
+            if cache_kwargs is not None:
+                from sup3r_tpu.postprocessing.cachers import Cacher
+
+                Cacher(self.data, cache_kwargs)
+
+    def _check_cache(self, cache_kwargs, features):
+        if not cache_kwargs or 'cache_pattern' not in cache_kwargs:
+            return None
+        from sup3r_tpu.postprocessing.cachers import load_cached
+
+        return load_cached(cache_kwargs['cache_pattern'], features)
+
+    def _rasterizer_hook(self):
+        """Subclass hook after rasterization (e.g. clearsky_ghi
+        injection for GCM handlers)."""
+
+    def _deriver_hook(self):
+        """Subclass hook after derivation (e.g. daily coarsening)."""
+
+    # container API used by samplers / stats
+    @property
+    def features(self):
+        if hasattr(self.data, 'members'):
+            return self.data.features
+        return self.data.features
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def lat_lon(self):
+        if hasattr(self.data, 'members'):
+            return list(self.data.members.values())[-1].lat_lon
+        return self.data.lat_lon
+
+    @property
+    def time_index(self):
+        if hasattr(self.data, 'members'):
+            return list(self.data.members.values())[-1].time_index
+        return self.data.time_index
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+
+class DailyDataHandler(DataHandler):
+    """Produces a (daily, hourly) PairedDataset: hourly data trimmed to
+    whole days + daily coarsening with min/max handling for temperature
+    and RH extremes (reference: data_handlers/base.py:293-380)."""
+
+    def _deriver_hook(self):
+        hourly = self.data
+        ti = hourly.time_index
+        assert ti is not None, 'DailyDataHandler needs a time index'
+        day_ids = pd.DatetimeIndex(ti.date)
+        days = day_ids.unique()
+        n_per_day = len(ti) // len(days) if len(days) else 0
+        msg = (f'DailyDataHandler needs at least 24 hourly steps, got '
+               f'{len(ti)}')
+        assert len(ti) >= 24, msg
+        # trim partial days
+        keep = np.isin(day_ids, [
+            d for d in days if (day_ids == d).sum() == 24])
+        hourly = GridDataset(
+            hourly.data[:, :, keep], hourly.features,
+            lat_lon=hourly.lat_lon, time_index=ti[keep])
+        day_ids = pd.DatetimeIndex(hourly.time_index.date)
+        days = day_ids.unique()
+
+        daily_arrs = []
+        for i, f in enumerate(hourly.features):
+            chan = hourly.data[..., i]
+            parts = []
+            for d in days:
+                sel = chan[:, :, day_ids == d]
+                if '_max_' in f:
+                    parts.append(sel.max(axis=2))
+                elif '_min_' in f:
+                    parts.append(sel.min(axis=2))
+                elif 'total_' in f:
+                    parts.append(sel.sum(axis=2))
+                else:
+                    parts.append(sel.mean(axis=2))
+            daily_arrs.append(np.stack(parts, axis=2))
+        daily = GridDataset(
+            np.stack(daily_arrs, axis=-1), hourly.features,
+            lat_lon=hourly.lat_lon,
+            time_index=pd.DatetimeIndex(days))
+        self.data = PairedDataset(daily=daily, hourly=hourly)
+        self.daily = daily
+        self.hourly = hourly
+
+
+class DataHandlerH5WindCC(DailyDataHandler):
+    """Daily/hourly wind handler for WTK H5 (reference:
+    data_handlers/base.py:383)."""
+
+    FEATURE_REGISTRY = RegistryH5WindCC
+
+
+class DataHandlerH5SolarCC(DailyDataHandler):
+    """Daily/hourly solar handler for NSRDB H5 — requires ghi +
+    clearsky_ghi for the daily csr average (reference:
+    data_handlers/base.py:390)."""
+
+    FEATURE_REGISTRY = RegistryH5SolarCC
+
+    def __init__(self, file_paths, features='all', **kwargs):
+        required = ['ghi', 'clearsky_ghi']
+        if features not in ('all', None):
+            missing = [f for f in required if f not in [x.lower()
+                                                        for x in features]]
+            if 'clearsky_ratio' in [x.lower() for x in features] and missing:
+                features = list(features) + missing
+        super().__init__(file_paths, features=features, **kwargs)
+
+    def _deriver_hook(self):
+        """Daily clearsky_ratio must be total ghi / total cs ghi, not a
+        mean of hourly ratios (reference: data_handlers/base.py:341)."""
+        super()._deriver_hook()
+        feats = self.daily.features
+        if 'clearsky_ratio' in feats and 'ghi' in feats and (
+                'clearsky_ghi' in feats):
+            ghi = self.daily['ghi']
+            cs = self.daily['clearsky_ghi']
+            with np.errstate(divide='ignore', invalid='ignore'):
+                self.daily['clearsky_ratio'] = np.where(
+                    cs > 0, ghi / cs, np.nan)
+
+
+class DataHandlerNCforCC(DataHandler):
+    """GCM netcdf handler: optionally regrids NSRDB clearsky_ghi onto
+    the GCM grid with daily-mean coarsening and rsds max-scaling
+    (reference: data_handlers/nc_cc.py:24-243)."""
+
+    FEATURE_REGISTRY = RegistryNCforCC
+
+    def __init__(self, file_paths, features='all', nsrdb_source_fp=None,
+                 nsrdb_agg=1, nsrdb_smoothing=0, **kwargs):
+        self._nsrdb_source_fp = nsrdb_source_fp
+        self._nsrdb_agg = nsrdb_agg
+        self._nsrdb_smoothing = nsrdb_smoothing
+        self._features_req = features
+        super().__init__(file_paths, features=features, **kwargs)
+
+    def _rasterizer_hook(self):
+        feats = self._features_req
+        need_cs = feats not in ('all', None) and any(
+            f.lower() in ('clearsky_ratio', 'clearsky_ghi')
+            for f in feats)
+        if need_cs and self._nsrdb_source_fp is not None:
+            self.rasterizer.data.data_vars['clearsky_ghi'] = (
+                self.get_clearsky_ghi())
+            self.rasterizer.data.var_dims['clearsky_ghi'] = (
+                'south_north', 'west_east', 'time')
+
+    def get_clearsky_ghi(self):
+        """Regrid NSRDB clearsky_ghi to the GCM grid: KDTree agg of
+        nsrdb_agg nearest sites, daily mean, scaled so its max matches
+        rsds max (reference: nc_cc.py:160-241)."""
+        nsrdb = LoaderH5(self._nsrdb_source_fp)
+        cs_ghi = nsrdb.get('clearsky_ghi')  # (t, sites)
+        nsrdb_ti = nsrdb.time_index
+        target_grid = self.rasterizer.lat_lon.reshape(-1, 2)
+        tree = cKDTree(nsrdb.lat_lon_flat)
+        _, idx = tree.query(target_grid, k=self._nsrdb_agg)
+        if idx.ndim == 1:
+            idx = idx[:, None]
+        agg = cs_ghi[:, idx].mean(axis=-1)  # (t, n_points)
+
+        # daily means aligned to gcm time index
+        day_ids = pd.DatetimeIndex(nsrdb_ti.date)
+        days = day_ids.unique()
+        daily = np.stack([agg[day_ids == d].mean(axis=0) for d in days])
+        gcm_ti = self.rasterizer.data.time_index
+        gcm_days = pd.DatetimeIndex(pd.DatetimeIndex(gcm_ti).date)
+        # map each gcm step to same day-of-year in the nsrdb year
+        doy_nsrdb = pd.DatetimeIndex(days).dayofyear
+        out = np.empty((len(gcm_ti), daily.shape[1]), dtype=np.float32)
+        for i, d in enumerate(gcm_days):
+            match = np.where(doy_nsrdb == d.dayofyear)[0]
+            out[i] = daily[match[0] if len(match) else 0]
+        s1, s2 = self.rasterizer.grid_shape
+        cs = out.T.reshape(s1, s2, len(gcm_ti))
+        if 'rsds' in self.rasterizer.data:
+            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
+            cs = cs * (rsds_max / max(np.nanmax(cs), 1e-6))
+        return cs.astype(np.float32)
+
+
+class DataHandlerNCforCCwithPowerLaw(DataHandlerNCforCC):
+    """NCforCC with power-law near-surface wind extrapolation
+    (reference: nc_cc.py:243)."""
+
+    FEATURE_REGISTRY = RegistryNCforCCwithPowerLaw
+
+
+def get_input_handler_class(input_handler_name):
+    """Resolve a handler class by name (reference:
+    sup3r/preprocessing/utilities.py:38)."""
+    classes = {
+        'DataHandler': DataHandler,
+        'DailyDataHandler': DailyDataHandler,
+        'DataHandlerH5WindCC': DataHandlerH5WindCC,
+        'DataHandlerH5SolarCC': DataHandlerH5SolarCC,
+        'DataHandlerNCforCC': DataHandlerNCforCC,
+        'DataHandlerNCforCCwithPowerLaw': DataHandlerNCforCCwithPowerLaw,
+        'Rasterizer': Rasterizer,
+    }
+    if input_handler_name is None:
+        return DataHandler
+    if isinstance(input_handler_name, type):
+        return input_handler_name
+    if input_handler_name not in classes:
+        raise KeyError(
+            f'Unknown input handler "{input_handler_name}"; options: '
+            f'{sorted(classes)}')
+    return classes[input_handler_name]

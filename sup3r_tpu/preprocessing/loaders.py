@@ -1,0 +1,525 @@
+"""File loaders: standardized eager access to H5 (rex-style flattened)
+and NetCDF (gridded) resource files.
+
+Replaces the reference's rex/xarray loader stack (reference:
+sup3r/preprocessing/loaders/base.py:28, h5.py:24, nc.py:21) with direct
+h5py access — NetCDF4 files ARE HDF5, and NetCDF3 classic falls back to
+scipy.io.netcdf_file. Data is exposed lazily per-variable so continental
+files stream by slice instead of loading wholesale.
+
+Standardization applied (matching the reference):
+  * lowercase names; orog/hgt/elevation -> topography; ERA short names
+    (u10 -> u_10m, ...) via ERA_NAME_MAP
+  * float32 values with scale_factor decoding
+  * descending latitudes (row 0 = northernmost)
+  * descending pressure levels (level 0 = max pressure)
+"""
+
+import logging
+import os
+from glob import glob
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from sup3r_tpu.names import (
+    COORD_NAMES,
+    DIM_NAMES,
+    ERA_NAME_MAP,
+    FEATURE_NAMES,
+    Dimension,
+)
+
+logger = logging.getLogger(__name__)
+
+_IGNORE_VARS = {
+    'time_bnds', 'lat_bnds', 'lon_bnds', 'nbnd', 'bnds', 'time_index',
+    'meta', 'coordinates', 'expver', 'number', 'crs',
+}
+
+
+def expand_paths(file_paths):
+    """Expand glob patterns / lists into a sorted unique path list."""
+    if isinstance(file_paths, str):
+        file_paths = [file_paths]
+    out = []
+    for pattern in file_paths:
+        matches = sorted(glob(pattern)) if any(
+            c in pattern for c in '*?[') else [pattern]
+        out.extend(matches)
+    out = list(dict.fromkeys(out))
+    missing = [f for f in out if not os.path.exists(f)]
+    if missing or not out:
+        raise FileNotFoundError(f'Could not find files: {missing or file_paths}')
+    return out
+
+
+def get_source_type(file_paths):
+    """'h5' or 'nc' from file extension(s)."""
+    paths = file_paths if isinstance(file_paths, (list, tuple)) else [
+        file_paths]
+    exts = {os.path.splitext(str(p))[1].lower() for p in paths}
+    if exts.issubset({'.h5', '.hdf5'}):
+        return 'h5'
+    return 'nc'
+
+
+def standardize_var_name(name):
+    """Map a raw variable name to the canonical feature name."""
+    name = name.lower()
+    name = FEATURE_NAMES.get(name, name)
+    name = ERA_NAME_MAP.get(name, name)
+    return name
+
+
+def decode_cf_time(values, units, calendar='standard'):
+    """Decode CF-convention numeric time into a pd.DatetimeIndex.
+
+    Handles 'X since <date>' for seconds/minutes/hours/days, with
+    'noleap'/'365_day' and '360_day' calendars decoded by explicit
+    year/day arithmetic (pandas can't represent those natively, so the
+    nearest proleptic-gregorian date is used — same behavior as the
+    reference's ``to_datetimeindex`` conversion)."""
+    units = units.decode() if isinstance(units, bytes) else str(units)
+    calendar = (calendar.decode() if isinstance(calendar, bytes)
+                else str(calendar or 'standard')).lower()
+    parts = units.split(' since ')
+    step, base = parts[0].strip().lower(), parts[1].strip()
+    base = base.replace('T', ' ').split('.')[0]
+    date_part = base.split(' ')[0]
+    y, m, d = (int(x) for x in date_part.split('-'))
+    time_part = base.split(' ')[1] if ' ' in base else '00:00:00'
+
+    seconds_per = {'seconds': 1, 'second': 1, 's': 1, 'minutes': 60,
+                   'hours': 3600, 'hour': 3600, 'h': 3600,
+                   'days': 86400, 'day': 86400, 'd': 86400}[step]
+    values = np.asarray(values, dtype=np.float64)
+
+    if calendar in ('noleap', '365_day', '360_day'):
+        dpy = 360 if calendar == '360_day' else 365
+        days = values * seconds_per / 86400.0
+        years = y + (days // dpy).astype(int)
+        doy = days % dpy
+        # map day-of-year through a fixed no-leap month table
+        if calendar == '360_day':
+            month_len = [30] * 12
+        else:
+            month_len = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+        cum = np.cumsum([0, *month_len])
+        out = []
+        for yr, dy in zip(years, doy):
+            mi = int(np.searchsorted(cum, dy, side='right')) - 1
+            mi = min(mi, 11)
+            day = int(dy - cum[mi]) + 1
+            frac = dy - int(dy)
+            ts = pd.Timestamp(year=int(yr + (m - 1 + mi) // 12),
+                              month=(m - 1 + mi) % 12 + 1,
+                              day=min(day, month_len[mi]))
+            out.append(ts + pd.Timedelta(seconds=round(frac * 86400)))
+        return pd.DatetimeIndex(out)
+
+    origin = pd.Timestamp(f'{y:04d}-{m:02d}-{d:02d} {time_part}')
+    deltas = pd.to_timedelta(values * seconds_per, unit='s')
+    return pd.DatetimeIndex(origin + deltas)
+
+
+class RawDataset:
+    """Gridded variables with canonical dims (s1, s2, t[, level]) plus
+    coords — the loader→rasterizer→deriver interchange container."""
+
+    def __init__(self, data_vars, var_dims, lat_lon, time_index=None,
+                 levels=None, attrs=None):
+        """data_vars: {name: ndarray}; var_dims: {name: tuple of dim
+        names}; lat_lon: (s1, s2, 2)."""
+        self.data_vars = data_vars
+        self.var_dims = var_dims
+        self.lat_lon = np.asarray(lat_lon, dtype=np.float32)
+        self.time_index = time_index
+        self.levels = levels
+        self.attrs = dict(attrs or {})
+
+    @property
+    def features(self):
+        return list(self.data_vars)
+
+    @property
+    def grid_shape(self):
+        return self.lat_lon.shape[:2]
+
+    @property
+    def shape(self):
+        t = 0 if self.time_index is None else len(self.time_index)
+        return (*self.grid_shape, t, len(self.data_vars))
+
+    def __contains__(self, name):
+        return str(name).lower() in self.data_vars
+
+    def __getitem__(self, name):
+        return self.data_vars[str(name).lower()]
+
+    def dims(self, name):
+        """Canonical dim names of a variable."""
+        return self.var_dims[str(name).lower()]
+
+    def isel(self, s1=slice(None), s2=slice(None), t=slice(None)):
+        """Slice all variables spatially/temporally."""
+        new_vars, new_dims = {}, {}
+        for name, arr in self.data_vars.items():
+            dims = self.var_dims[name]
+            idx = []
+            for dim in dims:
+                if dim == Dimension.SOUTH_NORTH:
+                    idx.append(s1)
+                elif dim == Dimension.WEST_EAST:
+                    idx.append(s2)
+                elif dim == Dimension.TIME:
+                    idx.append(t)
+                else:
+                    idx.append(slice(None))
+            new_vars[name] = arr[tuple(idx)]
+            new_dims[name] = dims
+        ti = None if self.time_index is None else self.time_index[t]
+        return RawDataset(new_vars, new_dims, self.lat_lon[s1, s2],
+                          time_index=ti, levels=self.levels,
+                          attrs=self.attrs)
+
+    def __repr__(self):
+        return (f'RawDataset(grid={self.grid_shape}, '
+                f'vars={list(self.data_vars)})')
+
+
+def _nc_open(path):
+    """Open a NetCDF file: h5py for NetCDF4/HDF5, scipy for classic."""
+    with open(path, 'rb') as f:
+        magic = f.read(4)
+    if magic.startswith(b'CDF'):
+        from scipy.io import netcdf_file
+
+        return ('scipy', netcdf_file(path, 'r', mmap=False))
+    return ('h5py', h5py.File(path, 'r'))
+
+
+def _nc_vars(backend, handle):
+    """(name -> (dims, array_like, attrs)) for a NetCDF handle."""
+    out = {}
+    if backend == 'scipy':
+        for name, var in handle.variables.items():
+            attrs = {k: getattr(var, k) for k in var._attributes}
+            out[name] = (tuple(var.dimensions), var.data, attrs)
+    else:
+        def is_dim_scale(ds):
+            return ds.attrs.get('CLASS') == b'DIMENSION_SCALE'
+
+        for name, ds in handle.items():
+            if not isinstance(ds, h5py.Dataset):
+                continue
+            if 'DIMENSION_LIST' in ds.attrs:
+                dims = []
+                for i in range(ds.ndim):
+                    refs = ds.attrs['DIMENSION_LIST'][i]
+                    dims.append(handle[refs[0]].name.strip('/')
+                                if len(refs) else f'dim_{i}')
+                dims = tuple(dims)
+            elif is_dim_scale(ds):
+                dims = (name,)
+            else:
+                dims = tuple(f'dim_{i}' for i in range(ds.ndim))
+            attrs = dict(ds.attrs)
+            out[name] = (dims, ds, attrs)
+    return out
+
+
+class LoaderNC:
+    """Load NetCDF file(s) into a standardized RawDataset.
+
+    Multiple files merge variables on a common grid and/or concatenate
+    along time (reference: xr_open_mfdataset usage at
+    sup3r/preprocessing/loaders/nc.py:28)."""
+
+    def __init__(self, file_paths, features='all', res_kwargs=None,
+                 chunks=None, BaseLoader=None):
+        self.file_paths = expand_paths(file_paths)
+        per_file = [self._load_one(p) for p in self.file_paths]
+        self.data = self._merge(per_file)
+        if features != 'all' and features is not None:
+            keep = [standardize_var_name(f) for f in features]
+            self.data.data_vars = {
+                k: v for k, v in self.data.data_vars.items() if k in keep}
+            self.data.var_dims = {
+                k: v for k, v in self.data.var_dims.items() if k in keep}
+
+    def _load_one(self, path):
+        backend, handle = _nc_open(path)
+        try:
+            return self._standardize(_nc_vars(backend, handle))
+        finally:
+            if backend == 'h5py':
+                pass  # keep open for lazy h5py reads? -> eager read above
+            else:
+                handle.close()
+
+    def _standardize(self, raw_vars):
+        # resolve coordinate arrays
+        lower = {k.lower(): k for k in raw_vars}
+
+        def get_coord(*names):
+            for n in names:
+                if n in lower:
+                    return raw_vars[lower[n]]
+            return None
+
+        lat = get_coord('latitude', 'lat', 'xlat', 'south_north')
+        lon = get_coord('longitude', 'lon', 'xlong', 'west_east')
+        time = get_coord('time', 'valid_time', 'xtime')
+        level = get_coord('level', 'plev', 'isobaricinhpa',
+                          'pressure_level')
+        assert lat is not None and lon is not None, 'No lat/lon found'
+
+        lat_vals = np.asarray(lat[1][:], dtype=np.float32)
+        lon_vals = np.asarray(lon[1][:], dtype=np.float32)
+        lat_dims, lon_dims = lat[0], lon[0]
+        if lat_vals.ndim == 1:
+            lon2d, lat2d = np.meshgrid(lon_vals, lat_vals)
+        else:
+            lat2d, lon2d = lat_vals, lon_vals
+
+        time_index = None
+        if time is not None:
+            t_attrs = time[2]
+            t_vals = np.asarray(time[1][:])
+            if 'units' in t_attrs and 'since' in str(t_attrs['units']):
+                time_index = decode_cf_time(
+                    t_vals, t_attrs['units'],
+                    t_attrs.get('calendar', 'standard'))
+            elif np.issubdtype(t_vals.dtype, np.integer) and t_vals.max() \
+                    > 10**14:
+                time_index = pd.DatetimeIndex(t_vals.astype(
+                    'datetime64[ns]'))
+            else:
+                time_index = pd.DatetimeIndex(
+                    pd.to_datetime(t_vals))
+
+        levels = None if level is None else np.asarray(
+            level[1][:], dtype=np.float32)
+
+        # dim-name -> canonical mapping
+        time_dim = None if time is None else time[0][0]
+        level_dim = None if level is None else level[0][0]
+        lat_dim = lat_dims[0] if len(lat_dims) else None
+        lon_dim = (lon_dims[0] if lat_vals.ndim == 1
+                   else (lat_dims[1] if len(lat_dims) > 1 else None))
+
+        def canon_dims(dims):
+            out = []
+            for d in dims:
+                if d == time_dim:
+                    out.append(Dimension.TIME)
+                elif d == level_dim:
+                    out.append(Dimension.PRESSURE_LEVEL)
+                elif d == lat_dim:
+                    out.append(Dimension.SOUTH_NORTH)
+                elif d == lon_dim:
+                    out.append(Dimension.WEST_EAST)
+                else:
+                    out.append(DIM_NAMES.get(d.lower(), d))
+            return tuple(out)
+
+        coord_names = {lower.get(n) for n in (
+            'latitude', 'lat', 'xlat', 'longitude', 'lon', 'xlong',
+            'time', 'valid_time', 'xtime', 'level', 'plev',
+            'isobaricinhpa', 'pressure_level', 'south_north', 'west_east')}
+
+        target_order = (Dimension.SOUTH_NORTH, Dimension.WEST_EAST,
+                        Dimension.TIME, Dimension.PRESSURE_LEVEL)
+        data_vars, var_dims = {}, {}
+        for name, (dims, arr, attrs) in raw_vars.items():
+            if name in coord_names or name.lower() in _IGNORE_VARS:
+                continue
+            cdims = canon_dims(dims)
+            if Dimension.SOUTH_NORTH not in cdims or (
+                    Dimension.WEST_EAST not in cdims):
+                continue
+            values = np.asarray(arr[:], dtype=np.float32)
+            if 'scale_factor' in attrs:
+                sf = float(np.asarray(attrs['scale_factor']).ravel()[0])
+                off = float(np.asarray(attrs.get('add_offset', 0)
+                                       ).ravel()[0])
+                values = values * sf + off
+            fill = attrs.get('_FillValue', attrs.get('missing_value'))
+            if fill is not None:
+                fv = float(np.asarray(fill).ravel()[0])
+                if not np.isnan(fv):
+                    values = np.where(values == fv, np.nan, values)
+            # reorder to canonical
+            order = [cdims.index(d) for d in target_order if d in cdims]
+            values = np.transpose(values, order)
+            cdims = tuple(d for d in target_order if d in cdims)
+            data_vars[standardize_var_name(name)] = values
+            var_dims[standardize_var_name(name)] = cdims
+
+        dset = RawDataset(data_vars, var_dims, np.dstack([lat2d, lon2d]),
+                          time_index=time_index, levels=levels)
+        return self._enforce_descending(dset)
+
+    @staticmethod
+    def _enforce_descending(dset):
+        """Descending lats (north first) + descending pressure levels."""
+        if dset.lat_lon[-1, 0, 0] > dset.lat_lon[0, 0, 0]:
+            dset.lat_lon = dset.lat_lon[::-1].copy()
+            for name, arr in dset.data_vars.items():
+                if Dimension.SOUTH_NORTH in dset.var_dims[name]:
+                    ax = dset.var_dims[name].index(Dimension.SOUTH_NORTH)
+                    dset.data_vars[name] = np.flip(arr, axis=ax).copy()
+        if dset.levels is not None and len(dset.levels) > 1 and (
+                dset.levels[-1] > dset.levels[0]):
+            dset.levels = dset.levels[::-1].copy()
+            for name, arr in dset.data_vars.items():
+                dims = dset.var_dims[name]
+                if Dimension.PRESSURE_LEVEL in dims:
+                    ax = dims.index(Dimension.PRESSURE_LEVEL)
+                    dset.data_vars[name] = np.flip(arr, axis=ax).copy()
+        return dset
+
+    @staticmethod
+    def _merge(datasets):
+        """Merge variable sets; concat along time when the same variable
+        appears with disjoint time ranges."""
+        if len(datasets) == 1:
+            return datasets[0]
+        base = datasets[0]
+        for other in datasets[1:]:
+            same_grid = base.grid_shape == other.grid_shape
+            assert same_grid, 'Cannot merge NC files on different grids'
+            overlap = set(base.data_vars) & set(other.data_vars)
+            if overlap and base.time_index is not None and (
+                    other.time_index is not None) and not (
+                    base.time_index.equals(other.time_index)):
+                # time concat
+                order = np.argsort(
+                    np.concatenate([base.time_index.values,
+                                    other.time_index.values]))
+                for name in overlap:
+                    ax = base.var_dims[name].index(Dimension.TIME)
+                    cat = np.concatenate(
+                        [base.data_vars[name], other.data_vars[name]],
+                        axis=ax)
+                    base.data_vars[name] = np.take(cat, order, axis=ax)
+                base.time_index = pd.DatetimeIndex(
+                    np.concatenate([base.time_index.values,
+                                    other.time_index.values])[order])
+            else:
+                for name in other.data_vars:
+                    if name not in base.data_vars:
+                        base.data_vars[name] = other.data_vars[name]
+                        base.var_dims[name] = other.var_dims[name]
+                if base.time_index is None:
+                    base.time_index = other.time_index
+                if base.levels is None:
+                    base.levels = other.levels
+        return base
+
+
+class _H5Var:
+    """Lazy handle for one (time, sites) H5 dataset with scale decode."""
+
+    def __init__(self, datasets, scale):
+        self._datasets = datasets  # list of h5py datasets (time concat)
+        self._scale = scale
+
+    def get(self, time_slice=slice(None), gids=None):
+        """Read (time, sites) float32 data for a time slice + gid set."""
+        blocks = []
+        for ds in self._datasets:
+            if ds.ndim == 1:
+                arr = ds[:] if gids is None else ds[:][gids]
+                blocks.append(arr[None])
+                continue
+            arr = ds[time_slice, :]
+            if gids is not None:
+                arr = arr[:, gids]
+            blocks.append(arr)
+        if len(blocks) == 1:
+            out = blocks[0]
+        else:
+            out = np.concatenate(blocks, axis=0)
+        return out.astype(np.float32) / self._scale
+
+
+class LoaderH5:
+    """rex-style flattened H5 loader: 'meta' table + (time, sites)
+    datasets + byte-string time_index (reference:
+    sup3r/preprocessing/loaders/h5.py:24)."""
+
+    def __init__(self, file_paths, features='all', res_kwargs=None,
+                 chunks=None, BaseLoader=None):
+        self.file_paths = expand_paths(file_paths)
+        self._handles = [h5py.File(p, 'r') for p in self.file_paths]
+        h0 = self._handles[0]
+        meta_src = h0['meta']
+        if isinstance(meta_src, h5py.Group):
+            self.meta = pd.DataFrame(
+                {k: meta_src[k][:] for k in meta_src})
+        else:
+            self.meta = pd.DataFrame(meta_src[:])
+
+        tis = []
+        for h in self._handles:
+            if 'time_index' in h:
+                ti = h['time_index'][:]
+                ti = pd.DatetimeIndex(
+                    [t.decode()[:19] if isinstance(t, bytes) else str(t)
+                     for t in ti])
+                tis.append(ti)
+        self.time_index = (pd.DatetimeIndex(
+            np.concatenate([t.values for t in tis])) if tis else None)
+
+        self._vars = {}
+        skip = {'meta', 'time_index', 'coordinates'}
+        for name in h0:
+            if name in skip or isinstance(h0[name], h5py.Group):
+                continue
+            dsets = [h[name] for h in self._handles if name in h]
+            scale = float(h0[name].attrs.get('scale_factor', 1.0))
+            self._vars[standardize_var_name(name)] = _H5Var(dsets, scale)
+        if features != 'all' and features is not None:
+            keep = {standardize_var_name(f) for f in features}
+            self._vars = {k: v for k, v in self._vars.items()
+                          if k in keep}
+
+    @property
+    def features(self):
+        return list(self._vars)
+
+    @property
+    def lat_lon_flat(self):
+        """(sites, 2) coordinates."""
+        return np.column_stack([
+            np.asarray(self.meta['latitude'], dtype=np.float32),
+            np.asarray(self.meta['longitude'], dtype=np.float32)])
+
+    @property
+    def elevation(self):
+        """(sites,) elevation if present in meta."""
+        if 'elevation' in self.meta:
+            return np.asarray(self.meta['elevation'], dtype=np.float32)
+        return None
+
+    def get(self, feature, time_slice=slice(None), gids=None):
+        """(time, sites) float32 block for a feature."""
+        f = standardize_var_name(feature)
+        if f not in self._vars:
+            raise KeyError(f'"{feature}" not in {self.features}')
+        return self._vars[f].get(time_slice, gids)
+
+    def close(self):
+        for h in self._handles:
+            h.close()
+
+
+def Loader(file_paths, features='all', **kwargs):
+    """Factory: pick LoaderH5/LoaderNC by file type (reference:
+    sup3r/preprocessing/loaders/__init__.py)."""
+    if get_source_type(file_paths) == 'h5':
+        return LoaderH5(file_paths, features=features, **kwargs)
+    return LoaderNC(file_paths, features=features, **kwargs)

@@ -7,7 +7,20 @@ import os
 
 import numpy as np
 
+from sup3r_tpu.preprocessing.grid import GridDataset, PairedDataset
+
 logger = logging.getLogger(__name__)
+
+
+def unwrap_container(c):
+    """Resolve any container (DataHandler, GridDataset, PairedDataset)
+    to its underlying GridDataset/PairedDataset."""
+    if isinstance(c, (GridDataset, PairedDataset)):
+        return c
+    data = getattr(c, 'data', None)
+    if isinstance(data, (GridDataset, PairedDataset)):
+        return data
+    return c
 
 
 class StatsCollection:
@@ -27,7 +40,7 @@ class StatsCollection:
         member for stats, like the reference)."""
         out = []
         for c in self.containers:
-            data = c if hasattr(c, 'features') else getattr(c, 'data', c)
+            data = unwrap_container(c)
             if hasattr(data, 'members'):
                 data = list(data.members.values())[0]
             out.append(data)
@@ -88,7 +101,7 @@ class StatsCollection:
     def normalize_containers(self):
         """Normalize every container in place with the collected stats."""
         for c in self.containers:
-            data = c if hasattr(c, 'features') else getattr(c, 'data', c)
+            data = unwrap_container(c)
             members = (list(data.members.values())
                        if hasattr(data, 'members') else [data])
             for m in members:

@@ -29,6 +29,81 @@ def make_fake_dset(shape, features, start='2023-01-01', freq='h',
                        time_index=time_index)
 
 
+def make_fake_nc_file(path, shape, features, start='2023-01-01',
+                      freq='h', levels=None, ascending_lats=False,
+                      lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3)):
+    """Write a NetCDF3 file (via scipy, no netCDF4 needed) with
+    (time[, level], lat, lon) variables — the shape convention of raw
+    ERA5/GCM files."""
+    from scipy.io import netcdf_file
+
+    s1, s2, t = shape
+    lat0, lat1 = lat_range if not ascending_lats else lat_range[::-1]
+    lat = np.linspace(lat0, lat1, s1)
+    lon = np.linspace(*lon_range, s2)
+    time_index = pd.date_range(start, periods=t, freq=freq)
+    hours = ((time_index - pd.Timestamp('1900-01-01'))
+             .total_seconds() / 3600).astype('float64')
+
+    with netcdf_file(path, 'w') as f:
+        f.createDimension('time', t)
+        f.createDimension('lat', s1)
+        f.createDimension('lon', s2)
+        dims = ('time', 'lat', 'lon')
+        if levels is not None:
+            f.createDimension('level', len(levels))
+            dims = ('time', 'level', 'lat', 'lon')
+        v = f.createVariable('time', 'f8', ('time',))
+        v[:] = hours
+        v.units = b'hours since 1900-01-01'
+        v.calendar = b'standard'
+        f.createVariable('lat', 'f4', ('lat',))[:] = lat
+        f.createVariable('lon', 'f4', ('lon',))[:] = lon
+        if levels is not None:
+            f.createVariable('level', 'f4', ('level',))[:] = np.asarray(
+                levels, dtype=np.float32)
+        for feat in features:
+            shape_full = ((t, s1, s2) if levels is None
+                          else (t, len(levels), s1, s2))
+            arr = RANDOM_GENERATOR.random(shape_full).astype(np.float32)
+            var = f.createVariable(feat, 'f4', dims)
+            var[:] = arr
+    return path
+
+
+def make_fake_h5_file(path, shape, features, start='2023-01-01',
+                      freq='h', scale_factor=100.0,
+                      lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3),
+                      value_range=(0, 20)):
+    """Write a rex-style flattened H5: structured 'meta', byte-string
+    'time_index', scaled uint16 (time, sites) datasets."""
+    import h5py
+
+    s1, s2, t = shape
+    lat = np.linspace(*lat_range, s1)
+    lon = np.linspace(*lon_range, s2)
+    lat2d, lon2d = np.meshgrid(lat, lon, indexing='ij')
+    meta = np.zeros(s1 * s2, dtype=[('latitude', 'f4'),
+                                    ('longitude', 'f4'),
+                                    ('elevation', 'f4')])
+    meta['latitude'] = lat2d.ravel()
+    meta['longitude'] = lon2d.ravel()
+    meta['elevation'] = RANDOM_GENERATOR.random(s1 * s2) * 1000
+    time_index = pd.date_range(start, periods=t, freq=freq)
+
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('meta', data=meta)
+        f.create_dataset('time_index', data=np.array(
+            [str(ts).encode() for ts in time_index]))
+        for feat in features:
+            lo, hi = value_range
+            arr = lo + (hi - lo) * RANDOM_GENERATOR.random((t, s1 * s2))
+            ds = f.create_dataset(
+                feat, data=(arr * scale_factor).astype(np.uint16))
+            ds.attrs['scale_factor'] = scale_factor
+    return path
+
+
 def make_fake_dual(shape_lr, s_enhance, t_enhance, features,
                    with_obs=False):
     """(low_res, high_res[, obs]) PairedDataset where low_res is an

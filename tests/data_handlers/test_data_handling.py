@@ -1,0 +1,260 @@
+"""Data plane: loaders, rasterizers, derivers, handlers, caching.
+
+Mirrors reference tests/loaders, tests/rasterizers, tests/derivers,
+tests/data_handlers coverage.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.preprocessing.data_handlers import (
+    DailyDataHandler,
+    DataHandler,
+    DataHandlerNCforCC,
+    get_input_handler_class,
+)
+from sup3r_tpu.preprocessing.derivers import Deriver
+from sup3r_tpu.preprocessing.loaders import (
+    Loader,
+    LoaderH5,
+    LoaderNC,
+    decode_cf_time,
+)
+from sup3r_tpu.preprocessing.rasterizers import DualRasterizer, Rasterizer
+from sup3r_tpu.utilities.test_helpers import (
+    make_fake_dset,
+    make_fake_h5_file,
+    make_fake_nc_file,
+)
+
+
+def test_decode_cf_time():
+    ti = decode_cf_time([0, 24, 48], 'hours since 1900-01-01')
+    assert ti[0] == pd.Timestamp('1900-01-01')
+    assert ti[2] == pd.Timestamp('1900-01-03')
+    # noleap calendar: day 59 of year 1 = feb 28, day 60 = mar 1
+    ti = decode_cf_time([58, 59], 'days since 2001-01-01',
+                        calendar='noleap')
+    assert ti[0].month == 2 and ti[0].day == 28
+    assert ti[1].month == 3 and ti[1].day == 1
+
+
+def test_loader_nc(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (8, 10, 12),
+                           ['u10', 'v10', 'orog'])
+    loader = LoaderNC(fp)
+    dset = loader.data
+    assert 'u_10m' in dset and 'v_10m' in dset and 'topography' in dset
+    assert dset.grid_shape == (8, 10)
+    assert len(dset.time_index) == 12
+    # descending lats
+    assert dset.lat_lon[0, 0, 0] > dset.lat_lon[-1, 0, 0]
+    assert dset['u_10m'].shape == (8, 10, 12)
+
+
+def test_loader_nc_ascending_lats_flipped(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era2.nc'), (8, 10, 4),
+                           ['u10'], ascending_lats=True)
+    dset = LoaderNC(fp).data
+    assert dset.lat_lon[0, 0, 0] > dset.lat_lon[-1, 0, 0]
+
+
+def test_loader_nc_levels(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (6, 6, 4), ['ua'],
+                           levels=[1000, 850, 700])
+    dset = LoaderNC(fp).data
+    assert dset['ua'].shape == (6, 6, 4, 3)
+    assert dset.levels[0] == 1000  # descending pressure
+
+
+def test_loader_h5(tmp_path):
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (10, 12, 24),
+                           ['windspeed_100m', 'winddirection_100m'])
+    loader = LoaderH5(fp)
+    assert set(loader.features) == {'windspeed_100m',
+                                    'winddirection_100m'}
+    assert len(loader.time_index) == 24
+    block = loader.get('windspeed_100m', slice(0, 4), np.array([0, 5]))
+    assert block.shape == (4, 2)
+    assert block.max() <= 20.01  # scale factor decoded
+
+
+def test_rasterizer_h5(tmp_path):
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (10, 12, 6),
+                           ['windspeed_100m'])
+    # full domain
+    r = Rasterizer(fp)
+    assert r.data['windspeed_100m'].shape == (10, 12, 6)
+    # extent: target is bottom-left (min lat, min lon)
+    full = r.lat_lon
+    target = (full[-1, 0, 0], full[-1, 0, 1])
+    r2 = Rasterizer(fp, target=target, shape=(5, 6))
+    assert r2.grid_shape == (5, 6)
+    np.testing.assert_allclose(r2.lat_lon[-1, 0], target)
+    # topography from elevation
+    assert 'topography' in r2.data.features
+
+
+def test_rasterizer_nc(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (10, 12, 6),
+                           ['u10'])
+    r = Rasterizer(fp, shape=(5, 5), time_slice=slice(1, 5))
+    assert r.data['u_10m'].shape == (5, 5, 4)
+    assert r.lat_lon.shape == (5, 5, 2)
+
+
+def test_raster_file_caching(tmp_path):
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (10, 12, 4),
+                           ['windspeed_100m'])
+    rfile = str(tmp_path / 'raster.txt')
+    r1 = Rasterizer(fp, shape=(4, 4), raster_file=rfile)
+    r2 = Rasterizer(fp, raster_file=rfile)
+    np.testing.assert_array_equal(r1.raster_index, r2.raster_index)
+
+
+def test_deriver_windspeed_roundtrip(tmp_path):
+    """ws/wd -> u/v -> ws/wd roundtrip through the registry."""
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (8, 8, 6),
+                           ['windspeed_100m', 'winddirection_100m'])
+    dh = DataHandler(fp, features=['u_100m', 'v_100m'])
+    assert dh.data.features == ['u_100m', 'v_100m']
+    dh2 = DataHandler(fp, features=['windspeed_100m'])
+    r = Rasterizer(fp)
+    ws_orig = r.data['windspeed_100m']
+    np.testing.assert_allclose(dh2.data['windspeed_100m'], ws_orig,
+                               atol=1e-4)
+
+
+def test_deriver_height_interp_single_level(tmp_path):
+    """u_40m linear between u_10m and u_100m."""
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (6, 6, 4),
+                           ['u10', 'u100'])
+    dh = DataHandler(fp, features=['u_40m'])
+    r = LoaderNC(fp).data
+    expected = r['u_10m'] + (r['u_100m'] - r['u_10m']) * (40 - 10) / 90
+    np.testing.assert_allclose(dh.data['u_40m'], expected, atol=1e-5)
+
+
+def test_deriver_pressure_interp(tmp_path):
+    """temperature_850pa from multi-level ta + levels coordinate."""
+    fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (5, 5, 3), ['ta'],
+                           levels=[1000, 900, 800])
+    dh = DataHandler(fp, features=['ta_850pa'])
+    r = LoaderNC(fp).data
+    expected = (r['ta'][..., 1] + r['ta'][..., 2]) / 2
+    np.testing.assert_allclose(dh.data['ta_850pa'], expected, atol=1e-5)
+
+
+def test_deriver_height_interp_from_zg(tmp_path):
+    """u_40m from pressure-level ua with zg/topography height data."""
+    import h5py
+
+    fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (5, 5, 3),
+                           ['ua', 'zg'], levels=[1000, 900])
+    fp_orog = make_fake_nc_file(str(tmp_path / 'orog.nc'), (5, 5, 3),
+                                ['orog'])
+    # overwrite zg to known heights above (time-varying) topography
+    raw = Rasterizer([fp, fp_orog]).data
+    topo = raw['topography']
+    zg = np.zeros((5, 5, 3, 2), dtype=np.float32)
+    zg[..., 0] = topo + 10
+    zg[..., 1] = topo + 100
+    raw.data_vars['zg'] = zg
+    deriver = Deriver(raw, ['ua_40m'])
+    ua = raw['ua']
+    expected = ua[..., 0] + (ua[..., 1] - ua[..., 0]) * (40 - 10) / 90
+    np.testing.assert_allclose(deriver.data['ua_40m'], expected,
+                               atol=1e-4)
+
+
+def test_deriver_sza_and_encodings(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (4, 4, 24), ['u10'])
+    dh = DataHandler(fp, features=['sza', 'sod_encoding',
+                                   'latitude_feature'])
+    sza = dh.data['sza']
+    assert sza.shape == (4, 4, 24)
+    assert sza.min() >= 0 and sza.max() <= 180
+    # encodings bounded
+    assert np.abs(dh.data['sod_encoding']).max() <= 1.0
+
+
+def test_deriver_hr_spatial_coarsen_and_time_roll(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (8, 8, 6), ['u10'])
+    dh = DataHandler(fp, features=['u_10m'], hr_spatial_coarsen=2,
+                     time_roll=1)
+    assert dh.data.shape == (4, 4, 6, 1)
+
+
+def test_daily_handler(tmp_path):
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (6, 6, 72),
+                           ['windspeed_100m', 'winddirection_100m'])
+    dh = DailyDataHandler(fp, features=['u_100m', 'v_100m'])
+    daily, hourly = dh.daily, dh.hourly
+    assert hourly.shape[2] == 72
+    assert daily.shape[2] == 3
+    np.testing.assert_allclose(
+        daily['u_100m'][..., 0],
+        hourly['u_100m'][..., :24].mean(axis=-1), atol=1e-5)
+
+
+def test_nc_for_cc_clearsky(tmp_path):
+    gcm = make_fake_nc_file(str(tmp_path / 'rsds.nc'), (8, 8, 4),
+                            ['rsds'], freq='D')
+    nsrdb = make_fake_h5_file(
+        str(tmp_path / 'nsrdb.h5'), (10, 10, 48), ['clearsky_ghi'],
+        freq='30min', value_range=(0, 1000),
+        lat_range=(40.2, 38.9), lon_range=(-105.7, -104.2))
+    dh = DataHandlerNCforCC(gcm, features=['clearsky_ratio'],
+                            nsrdb_source_fp=nsrdb, nsrdb_agg=2)
+    csr = dh.data['clearsky_ratio']
+    assert csr.shape == (8, 8, 4)
+    assert np.nanmin(csr) >= 0 and np.nanmax(csr) <= 1
+
+
+def test_cache_roundtrip(tmp_path):
+    fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (6, 6, 4), ['u10'])
+    pattern = str(tmp_path / 'cache_{feature}.h5')
+    dh = DataHandler(fp, features=['u_10m'],
+                     cache_kwargs={'cache_pattern': pattern})
+    dh2 = DataHandler(fp, features=['u_10m'],
+                      cache_kwargs={'cache_pattern': pattern})
+    np.testing.assert_allclose(dh.data['u_10m'], dh2.data['u_10m'])
+    assert dh2.rasterizer is None  # loaded from cache
+
+
+def test_dual_rasterizer():
+    lr = make_fake_dset_pair = None
+    hr = make_fake_dset((12, 12, 8), ['u_100m'])
+    lr = make_fake_dset((7, 7, 4), ['u_100m'],
+                        lat_range=(40.1, 38.9),
+                        lon_range=(-105.6, -104.2), freq='2h')
+    dual = DualRasterizer({'low_res': lr, 'high_res': hr}, s_enhance=2,
+                          t_enhance=2)
+    assert dual.hr_data.shape[:3] == (12, 12, 8)
+    assert dual.lr_data.shape[:3] == (6, 6, 4)
+    assert not np.isnan(dual.lr_data.data).any()
+
+
+def test_get_input_handler_class():
+    assert get_input_handler_class('DataHandler') is DataHandler
+    assert get_input_handler_class(None) is DataHandler
+    with pytest.raises(KeyError):
+        get_input_handler_class('NotAHandler')
+
+
+def test_multi_file_nc_merge(tmp_path):
+    fp1 = make_fake_nc_file(str(tmp_path / 'u.nc'), (6, 6, 4), ['u10'])
+    fp2 = make_fake_nc_file(str(tmp_path / 'v.nc'), (6, 6, 4), ['v10'])
+    dset = LoaderNC([fp1, fp2]).data
+    assert 'u_10m' in dset and 'v_10m' in dset
+
+
+def test_multi_file_time_concat(tmp_path):
+    fp1 = make_fake_nc_file(str(tmp_path / 't1.nc'), (6, 6, 4), ['u10'],
+                            start='2023-01-01')
+    fp2 = make_fake_nc_file(str(tmp_path / 't2.nc'), (6, 6, 4), ['u10'],
+                            start='2023-01-01 04:00')
+    dset = LoaderNC([fp1, fp2]).data
+    assert dset['u_10m'].shape[2] == 8
+    assert dset.time_index.is_monotonic_increasing
