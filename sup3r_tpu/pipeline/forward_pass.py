@@ -1,0 +1,231 @@
+"""Chunk execution: pad -> generate -> crop -> write.
+
+Reference parity: sup3r/pipeline/forward_pass.py:32-673 (pad_source_data
+:122, run_generator :188, _reshape_data_chunk :280, _output_check :385,
+run :428). TPU note: chunks of equal padded shape hit one cached XLA
+compilation; the generator program itself is the jitted model apply.
+"""
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from sup3r_tpu.postprocessing.writers import (
+    OutputHandlerH5,
+    OutputHandlerNC,
+)
+from sup3r_tpu.preprocessing.loaders import get_source_type
+from sup3r_tpu.utilities import Timer
+
+logger = logging.getLogger(__name__)
+
+
+class ForwardPass:
+    """Run a node's share of forward-pass chunks."""
+
+    OUTPUT_HANDLER_CLASS = {
+        'nc': OutputHandlerNC,
+        'h5': OutputHandlerH5,
+    }
+
+    def __init__(self, strategy, node_index=0):
+        self.strategy = strategy
+        self.node_index = node_index
+        self.model = strategy.get_model()
+        self.timer = Timer()
+        out_type = (get_source_type(strategy.out_pattern)
+                    if strategy.out_pattern else None)
+        self.output_handler_class = (
+            self.OUTPUT_HANDLER_CLASS[out_type] if out_type else None)
+
+    @property
+    def meta(self):
+        """Run metadata to write with output files."""
+        return {
+            'node_index': self.node_index,
+            'model_meta': self.model.meta,
+            'strategy_meta': self.strategy.meta,
+        }
+
+    # ------------------------------------------------------------------
+    def get_input_chunk(self, chunk_index=0, mode='reflect'):
+        """Strategy chunk + boundary padding."""
+        chunk = self.strategy.init_chunk(chunk_index)
+        chunk.input_data, chunk.exo_data = self.pad_source_data(
+            chunk.input_data, chunk.pad_width, chunk.exo_data, mode=mode)
+        return chunk
+
+    def _get_step_enhance(self, step):
+        """Cumulative enhancement for an exo step (reference:
+        forward_pass.py:89)."""
+        combine_type = step['combine_type']
+        model_step = step['model']
+        assert combine_type in ('input', 'output', 'layer'), (
+            f'Bad combine_type in step {step}')
+        if combine_type == 'input':
+            if model_step == 0:
+                return 1, 1
+            return (int(np.prod(self.model.s_enhancements[:model_step])),
+                    int(np.prod(self.model.t_enhancements[:model_step])))
+        return (int(np.prod(self.model.s_enhancements[:model_step + 1])),
+                int(np.prod(self.model.t_enhancements[:model_step + 1])))
+
+    def pad_source_data(self, input_data, pad_width, exo_data,
+                        mode='reflect'):
+        """Reflect-pad input (and exo, scaled by enhancement)."""
+        out = np.pad(input_data, (*pad_width, (0, 0)), mode=mode)
+        if exo_data is not None:
+            for feature in exo_data:
+                for i, step in enumerate(exo_data[feature]['steps']):
+                    s_en, t_en = self._get_step_enhance(step)
+                    exo_pad = (*((s * pw[0], s * pw[1]) for s, pw in zip(
+                        [s_en, s_en, t_en], pad_width)), (0, 0))
+                    arr = step['data']
+                    if arr.ndim == 3:
+                        arr = np.repeat(
+                            arr[:, :, None],
+                            step['t_enhance'] * input_data.shape[2],
+                            axis=2)
+                    arr = np.pad(arr, exo_pad, mode=mode)
+                    exo_data[feature]['steps'][i]['data'] = arr
+        return out, exo_data
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def run_generator(cls, data_chunk, hr_crop_slices, model,
+                      s_enhance=None, t_enhance=None, exo_data=None):
+        """Reshape -> model.generate -> crop overlap."""
+        data_chunk, exo_data, i_lr_t, i_lr_s = cls._reshape_data_chunk(
+            model, data_chunk, exo_data)
+        hi_res = model.generate(data_chunk, exogenous_data=exo_data)
+        if hi_res.ndim == 4:
+            hi_res = np.transpose(hi_res, (1, 2, 0, 3))[None]
+        if s_enhance is not None and (
+                hi_res.shape[1] != s_enhance * data_chunk.shape[i_lr_s]):
+            raise RuntimeError(
+                f'Spatial enhancement {s_enhance}x does not match '
+                f'{data_chunk.shape} -> {hi_res.shape}')
+        if t_enhance is not None and (
+                hi_res.shape[3] != t_enhance * data_chunk.shape[i_lr_t]):
+            raise RuntimeError(
+                f'Temporal enhancement {t_enhance}x does not match '
+                f'{data_chunk.shape} -> {hi_res.shape}')
+        return hi_res[0][hr_crop_slices]
+
+    @staticmethod
+    def _reshape_data_chunk(model, data_chunk, exo_data):
+        """4D models consume (t, s1, s2, f); 5D models consume
+        (1, s1, s2, t, f)."""
+        if exo_data is not None:
+            for feature in exo_data:
+                for i, entry in enumerate(exo_data[feature]['steps']):
+                    models = getattr(model, 'models', [model])
+                    assert entry['model'] < len(models), (
+                        f'exo step model index {entry["model"]} out of '
+                        'range')
+                    current = models[entry['model']]
+                    arr = entry['data']
+                    if current.is_4d:
+                        arr = np.transpose(arr, (2, 0, 1, 3))
+                    else:
+                        arr = arr[None]
+                    exo_data[feature]['steps'][i]['data'] = np.asarray(
+                        arr)
+        if model.is_4d:
+            i_lr_t, i_lr_s = 0, 1
+            data_chunk = np.transpose(data_chunk, (2, 0, 1, 3))
+        else:
+            i_lr_t, i_lr_s = 3, 1
+            data_chunk = data_chunk[None]
+        return np.asarray(data_chunk), exo_data, i_lr_t, i_lr_s
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def _output_check(cls, out_data, allowed_const=False):
+        """Guard against NaN or suspicious constant output (reference:
+        forward_pass.py:385, the semantic sanitizer for the TF
+        reflect-pad >2GB bug class)."""
+        if np.isnan(out_data).any():
+            raise MemoryError(
+                'Forward pass output contains NaN values!')
+        if allowed_const is True:
+            return
+        allowed = allowed_const if isinstance(allowed_const,
+                                              (list, tuple)) else []
+        for i in range(out_data.shape[-1]):
+            chan = out_data[..., i]
+            if chan.std() == 0 and chan.flat[0] not in allowed:
+                raise MemoryError(
+                    f'Forward pass output channel {i} is constant '
+                    f'({chan.flat[0]})! If this is intended pass '
+                    'allowed_const including this value.')
+
+    def run_chunk(self, chunk, model_kwargs=None, model_class=None,
+                  allowed_const=False, output_handler=None,
+                  meta=None, output_workers=None):
+        """Generate + check + write one chunk. Returns (failed,
+        output_or_none)."""
+        msg = f'Running forward pass for chunk_index={chunk.index}.'
+        logger.info(msg)
+        if np.isnan(chunk.input_data).any():
+            raise RuntimeError(
+                f'Chunk {chunk.index} input data contains NaNs')
+        out_data = self.run_generator(
+            chunk.input_data, chunk.hr_crop_slice, self.model,
+            s_enhance=self.strategy.s_enhance,
+            t_enhance=self.strategy.t_enhance,
+            exo_data=chunk.exo_data)
+        out_data = np.asarray(out_data)
+        failed = False
+        try:
+            self._output_check(out_data, allowed_const=allowed_const)
+        except MemoryError as e:
+            failed = True
+            logger.error('Chunk %s failed output check: %s', chunk.index,
+                         e)
+            raise
+        if chunk.out_file is not None and not failed:
+            self.output_handler_class._write_output(
+                data=out_data, features=list(
+                    self.model.hr_out_features),
+                lat_lon=chunk.hr_lat_lon, times=chunk.hr_times,
+                out_file=chunk.out_file, meta_data=self.meta,
+                gids=chunk.gids)
+        return failed, out_data if chunk.out_file is None else None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def run(cls, strategy, node_index):
+        """Run all this node's chunks (serial or IO-threaded)."""
+        if strategy.node_finished(node_index):
+            logger.info('All chunks for node %s already done.',
+                        node_index)
+            return None
+        fwp = cls(strategy, node_index)
+        chunk_ids = [
+            i for i in strategy.node_chunks[node_index]
+            if not strategy.chunk_finished(i)]
+        outputs = {}
+        if strategy.pass_workers > 1:
+            with ThreadPoolExecutor(strategy.pass_workers) as pool:
+                futures = {
+                    pool.submit(cls._run_one, fwp, strategy, i): i
+                    for i in chunk_ids}
+                for fut, i in futures.items():
+                    outputs[i] = fut.result()
+        else:
+            for i in chunk_ids:
+                outputs[i] = cls._run_one(fwp, strategy, i)
+        logger.info('Node %s finished %d chunks. Timing: %s', node_index,
+                    len(chunk_ids), fwp.timer.log)
+        if strategy.out_pattern is None:
+            return outputs
+        return None
+
+    @staticmethod
+    def _run_one(fwp, strategy, chunk_index):
+        chunk = fwp.timer(fwp.get_input_chunk, log=True)(chunk_index)
+        _, out = fwp.timer(fwp.run_chunk, log=True)(
+            chunk, allowed_const=strategy.allowed_const)
+        return out

@@ -1,0 +1,273 @@
+"""Forward-pass planning: chunk grids, node assignment, input prep.
+
+Reference parity: sup3r/pipeline/strategy.py:58-700 (ForwardPassStrategy,
+ForwardPassChunk :38, node_chunks :364, incremental restart :667).
+"""
+
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from sup3r_tpu.pipeline.slicer import ForwardPassSlicer
+from sup3r_tpu.postprocessing.writers import OutputHandler
+from sup3r_tpu.preprocessing.data_handlers import get_input_handler_class
+from sup3r_tpu.preprocessing.exo import ExoData, ExoDataHandler
+from sup3r_tpu.utilities import Timer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ForwardPassChunk:
+    """One chunk's padded input + metadata for generation/writing."""
+
+    input_data: np.ndarray
+    exo_data: Optional[dict]
+    hr_crop_slice: tuple
+    lr_pad_slice: tuple
+    hr_lat_lon: np.ndarray
+    hr_times: pd.DatetimeIndex
+    gids: np.ndarray
+    out_file: Optional[str]
+    pad_width: tuple
+    index: int
+
+    def __post_init__(self):
+        self.shape = self.input_data.shape
+
+
+@dataclass
+class ForwardPassStrategy:
+    """Plan a chunked forward-pass run over a full domain.
+
+    Parameters mirror the reference strategy dataclass
+    (sup3r/pipeline/strategy.py:58).
+    """
+
+    file_paths: Union[str, list]
+    model_kwargs: dict
+    model_class: str = 'Sup3rGan'
+    fwp_chunk_shape: tuple = (None, None, None)
+    spatial_pad: int = 0
+    temporal_pad: int = 0
+    input_handler_name: Optional[str] = None
+    input_handler_kwargs: dict = field(default_factory=dict)
+    out_pattern: Optional[str] = None
+    exo_handler_kwargs: dict = field(default_factory=dict)
+    bias_correct_method: Optional[str] = None
+    bias_correct_kwargs: dict = field(default_factory=dict)
+    allowed_const: Union[bool, list] = False
+    incremental: bool = True
+    output_workers: int = 1
+    pass_workers: int = 1
+    max_nodes: int = 1
+    head_node: bool = False
+    redistribute_chunks: bool = False
+
+    def __post_init__(self):
+        self.timer = Timer()
+        model = self.get_model()
+        self.s_enhance = model.s_enhance
+        self.t_enhance = model.t_enhance
+        self.input_features = [
+            f for f in model.lr_features
+            if f not in (self.exo_handler_kwargs or {})]
+        self.exo_features = list(self.exo_handler_kwargs or {})
+        self.features = self.input_features
+
+        ihk = dict(self.input_handler_kwargs)
+        self.time_slice = ihk.pop('time_slice', slice(None))
+        HandlerClass = get_input_handler_class(self.input_handler_name)
+        self.input_handler = HandlerClass(
+            self.file_paths, features=self.features, **ihk)
+
+        grid_shape = self.input_handler.lat_lon.shape[:2]
+        n_times = len(self.input_handler.time_index)
+        chunk_shape = tuple(
+            c if c is not None else (grid_shape + (n_times,))[i]
+            for i, c in enumerate(self.fwp_chunk_shape))
+        self.fwp_chunk_shape = chunk_shape
+
+        min_width = getattr(model, 'min_input_width', None)
+        if callable(min_width):
+            min_width = None
+        if min_width is None and hasattr(model, '_gen'):
+            min_width = model._gen.min_input_width
+        if min_width is not None and len(min_width) == 2:
+            min_width = (*min_width, 1)
+
+        self.fwp_slicer = ForwardPassSlicer(
+            coarse_shape=grid_shape, time_steps=n_times,
+            s_enhance=self.s_enhance, t_enhance=self.t_enhance,
+            time_slice=self.time_slice, temporal_pad=self.temporal_pad,
+            spatial_pad=self.spatial_pad, chunk_shape=chunk_shape,
+            min_width=min_width)
+
+        self.exo_data = self.load_exo_data(model)
+        self.gids = np.arange(
+            grid_shape[0] * self.s_enhance
+            * grid_shape[1] * self.s_enhance).reshape(
+            (grid_shape[0] * self.s_enhance,
+             grid_shape[1] * self.s_enhance))
+        self._hr_lat_lon = None
+        self._out_files = None
+
+    # ------------------------------------------------------------------
+    def get_model(self):
+        """Instantiate/load the model from model_class + model_kwargs."""
+        import sup3r_tpu.models as models_mod
+
+        ModelClass = getattr(models_mod, self.model_class, None)
+        if ModelClass is None:
+            raise KeyError(
+                f'Could not find model class "{self.model_class}" in '
+                'sup3r_tpu.models')
+        kwargs = self.model_kwargs
+        if isinstance(kwargs, str):
+            kwargs = {'model_dir': kwargs}
+        return ModelClass.load(**kwargs)
+
+    def load_exo_data(self, model):
+        """Build ExoData for all exo features (reference:
+        strategy.py:583-628)."""
+        if not self.exo_handler_kwargs:
+            return None
+        data = {}
+        for feature in self.exo_features:
+            kwargs = dict(self.exo_handler_kwargs[feature])
+            kwargs.setdefault('file_paths', self.file_paths)
+            kwargs.setdefault('input_handler_kwargs',
+                              self.input_handler_kwargs)
+            kwargs['feature'] = feature
+            kwargs['model'] = model
+            handler = ExoDataHandler(**kwargs)
+            data.update(handler.data)
+        return ExoData(data)
+
+    # ------------------------------------------------------------------
+    @property
+    def hr_lat_lon(self):
+        """Full-domain high-res coordinates."""
+        if self._hr_lat_lon is None:
+            lr = self.input_handler.lat_lon
+            shape = tuple(d * self.s_enhance for d in lr.shape[:2])
+            self._hr_lat_lon = OutputHandler.get_lat_lon(
+                np.array(lr, dtype=np.float64), shape)
+        return self._hr_lat_lon
+
+    @property
+    def out_files(self):
+        """Chunk output file paths named by _tttttt_ssssss ids."""
+        if self._out_files is None:
+            ids = [f'{t:06d}_{s:06d}'
+                   for t in range(self.fwp_slicer.n_time_chunks)
+                   for s in range(self.fwp_slicer.n_spatial_chunks)]
+            if self.out_pattern is None:
+                self._out_files = [None] * len(ids)
+            else:
+                assert '{file_id}' in self.out_pattern, (
+                    'out_pattern must include {file_id}')
+                os.makedirs(os.path.dirname(
+                    os.path.abspath(self.out_pattern)), exist_ok=True)
+                self._out_files = [
+                    self.out_pattern.format(file_id=fid) for fid in ids]
+        return self._out_files
+
+    @property
+    def node_chunks(self):
+        """Chunk-id lists per node (reference: strategy.py:364)."""
+        chunks = self.unmasked_chunks
+        if self.redistribute_chunks:
+            chunks = [c for c in chunks if not self.chunk_finished(c)]
+        n_nodes = int(min(self.max_nodes or np.inf, max(len(chunks), 1)))
+        return np.array_split(chunks, n_nodes)
+
+    @property
+    def unmasked_chunks(self):
+        """All chunk ids (spatial masking hook for subclasses)."""
+        return list(range(self.fwp_slicer.n_chunks))
+
+    def chunk_finished(self, chunk_index, log=True):
+        """True if the chunk output file already exists (incremental
+        restart; reference: strategy.py:667)."""
+        out_file = self.out_files[chunk_index]
+        check = (out_file is not None and os.path.exists(out_file)
+                 and self.incremental)
+        if check and log:
+            logger.info('Chunk %s already done (%s exists)', chunk_index,
+                        out_file)
+        return check
+
+    def node_finished(self, node_idx):
+        """True if all the node's chunks are finished."""
+        return all(self.chunk_finished(i, log=False)
+                   for i in self.node_chunks[node_idx])
+
+    @property
+    def meta(self):
+        """Run metadata for output files."""
+        return {
+            'fwp_chunk_shape': self.fwp_chunk_shape,
+            'spatial_pad': self.spatial_pad,
+            'temporal_pad': self.temporal_pad,
+            'model_kwargs': self.model_kwargs
+            if not isinstance(self.model_kwargs, dict)
+            else {k: str(v)[:100] for k, v in self.model_kwargs.items()},
+            'model_class': self.model_class,
+        }
+
+    # ------------------------------------------------------------------
+    def prep_chunk_data(self, chunk_index=0):
+        """Load + (bias correct) the padded low-res input for a chunk."""
+        s_idx, t_idx = self.fwp_slicer.get_chunk_indices(chunk_index)
+        lr_pad_slice = self.fwp_slicer.s_lr_pad_slices[s_idx]
+        ti_pad_slice = self.fwp_slicer.t_lr_pad_slices[t_idx]
+        exo_data = (self.exo_data.get_chunk(
+            [lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice])
+            if self.exo_data is not None else None)
+        data = self.input_handler.data
+        input_data = data.as_array(self.features)[
+            lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice]
+        input_data = np.array(input_data)
+
+        if self.bias_correct_kwargs:
+            from sup3r_tpu.bias.utilities import bias_correct_features
+
+            lat_lon = self.input_handler.lat_lon[lr_pad_slice[0],
+                                                 lr_pad_slice[1]]
+            time_index = self.input_handler.time_index[ti_pad_slice]
+            input_data = bias_correct_features(
+                features=list(self.bias_correct_kwargs),
+                data=input_data, feature_names=self.features,
+                lat_lon=lat_lon, time_index=time_index,
+                bc_method=self.bias_correct_method,
+                bc_kwargs=self.bias_correct_kwargs)
+        return input_data, exo_data
+
+    def init_chunk(self, chunk_index=0):
+        """Build the ForwardPassChunk for a chunk id."""
+        s_idx, t_idx = self.fwp_slicer.get_chunk_indices(chunk_index)
+        assert chunk_index <= self.fwp_slicer.n_chunks, (
+            f'chunk_index {chunk_index} > n_chunks '
+            f'{self.fwp_slicer.n_chunks}')
+        hr_slice = self.fwp_slicer.s_hr_slices[s_idx]
+        ti_slice = self.fwp_slicer.t_lr_slices[t_idx]
+        lr_times = self.input_handler.time_index[ti_slice]
+        input_data, exo_data = self.timer(
+            self.prep_chunk_data, log=True)(chunk_index)
+        return ForwardPassChunk(
+            input_data=input_data,
+            exo_data=exo_data,
+            lr_pad_slice=self.fwp_slicer.s_lr_pad_slices[s_idx],
+            hr_crop_slice=self.fwp_slicer.hr_crop_slices[t_idx][s_idx],
+            hr_lat_lon=self.hr_lat_lon[hr_slice[0], hr_slice[1]],
+            hr_times=OutputHandler.get_times(
+                lr_times, self.t_enhance * len(lr_times)),
+            gids=self.gids[hr_slice[0], hr_slice[1]],
+            out_file=self.out_files[chunk_index],
+            pad_width=self.fwp_slicer.get_pad_width(chunk_index),
+            index=chunk_index)

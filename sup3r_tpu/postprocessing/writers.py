@@ -1,0 +1,261 @@
+"""Output handlers: high-res grid/time synthesis, u/v inversion,
+physical limits, atomic chunk-file writes.
+
+Reference parity: sup3r/writers/base.py (pad_lat_lon :348, get_lat_lon
+:434, get_times :510, invert_uv handling :232-346), h5.py, nc.py.
+"""
+
+import logging
+import os
+import re
+from warnings import warn
+
+import h5py
+import numpy as np
+import pandas as pd
+from scipy.interpolate import griddata
+
+import sup3r_tpu
+from sup3r_tpu.ops import invert_uv
+from sup3r_tpu.utilities import (
+    Timer,
+    enforce_limits,
+    get_dset_attrs,
+    safe_serialize,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class OutputHandler:
+    """Base output handler: grid/time synthesis + feature transforms."""
+
+    @staticmethod
+    def pad_lat_lon(lat_lon):
+        """Pad a lat/lon grid by one extrapolated ring (reference:
+        writers/base.py:348)."""
+        padded = np.zeros((lat_lon.shape[0] + 2, lat_lon.shape[1] + 2, 2))
+        padded[1:-1, 1:-1] = lat_lon
+
+        left = padded[:, 2, 1] - padded[:, 1, 1]
+        right = padded[:, -2, 1] - padded[:, -3, 1]
+        top = padded[1, :, 0] - padded[2, :, 0]
+        bottom = padded[-3, :, 0] - padded[-2, :, 0]
+
+        padded[:, 0, 1] = padded[:, 1, 1] - left
+        padded[:, 0, 0] = padded[:, 1, 0]
+        padded[:, -1, 1] = padded[:, -2, 1] + right
+        padded[:, -1, 0] = padded[:, -2, 0]
+        padded[0, :, 0] = padded[1, :, 0] + top
+        padded[0, :, 1] = padded[1, :, 1]
+        padded[-1, :, 0] = padded[-2, :, 0] - bottom
+        padded[-1, :, 1] = padded[-2, :, 1]
+
+        padded[0, 0] = (padded[0, 1, 0], padded[1, 0, 1])
+        padded[0, -1] = (padded[0, -2, 0], padded[1, -1, 1])
+        padded[-1, 0] = (padded[-1, 1, 0], padded[-2, 0, 1])
+        padded[-1, -1] = (padded[-1, -2, 0], padded[-2, -1, 1])
+        return padded
+
+    @staticmethod
+    def is_increasing_lons(lat_lon):
+        """False if any row's longitudes wrap through 180 -> -180."""
+        return not bool(
+            (lat_lon[:, -1, 1] < lat_lon[:, 0, 1]).any())
+
+    @classmethod
+    def get_lat_lon(cls, low_res_lat_lon, shape):
+        """Bilinear remesh of the (padded) low-res grid onto the high-res
+        grid, handling the 180-degree wrap (reference:
+        writers/base.py:434)."""
+        low_res_lat_lon = np.array(low_res_lat_lon, dtype=np.float64)
+        assert low_res_lat_lon.shape[0] > 1 and (
+            low_res_lat_lon.shape[1] > 1), (
+            'low res lat/lon needs >= 2 rows and columns')
+        low_res_lat_lon[..., 1] = (low_res_lat_lon[..., 1] + 180) % 360 \
+            - 180
+        if not cls.is_increasing_lons(low_res_lat_lon):
+            low_res_lat_lon[..., 1] = (low_res_lat_lon[..., 1] + 360) \
+                % 360
+        padded = cls.pad_lat_lon(low_res_lat_lon)
+        lats = padded[..., 0].ravel()
+        lons = padded[..., 1].ravel()
+
+        lr_y, lr_x = low_res_lat_lon.shape[:2]
+        hr_y, hr_x = shape
+        y = np.arange(0, 10, 10 / lr_y) + 5 / lr_y
+        x = np.arange(0, 10, 10 / lr_x) + 5 / lr_x
+        y = np.concatenate([[y[0] - 10 / lr_y], y, [y[-1] + 10 / lr_y]])
+        x = np.concatenate([[x[0] - 10 / lr_x], x, [x[-1] + 10 / lr_x]])
+        new_y = np.arange(0, 10, 10 / hr_y) + 5 / hr_y
+        new_x = np.arange(0, 10, 10 / hr_x) + 5 / hr_x
+
+        X, Y = np.meshgrid(x, y, copy=False)
+        old = np.column_stack([Y.ravel(), X.ravel()]).astype(np.float32)
+        X, Y = np.meshgrid(new_x, new_y, copy=False)
+        new = np.column_stack([Y.ravel(), X.ravel()]).astype(np.float32)
+        new_lons = griddata(old, lons, new)
+        new_lats = griddata(old, lats, new)
+        new_lons = (new_lons + 180) % 360 - 180
+        return np.dstack([new_lats.reshape(shape),
+                          new_lons.reshape(shape)])
+
+    @staticmethod
+    def get_times(low_res_times, shape):
+        """Synthesize the high-res time index, dropping leap days when
+        the low-res index has none (reference: writers/base.py:510)."""
+        if len(low_res_times) > 1:
+            offset = low_res_times[1] - low_res_times[0]
+        else:
+            offset = pd.Timedelta(days=1)
+        t_enhance = int(shape / len(low_res_times))
+        freq = offset / t_enhance
+        times = pd.date_range(low_res_times[0],
+                              low_res_times[-1] + offset,
+                              freq=freq)[:-1]
+        has_leap = bool(((low_res_times.month == 2)
+                         & (low_res_times.day == 29)).any())
+        if not has_leap:
+            mask = (times.month == 2) & (times.day == 29)
+            times = times[~mask]
+        assert len(times) == shape, (
+            f'Synthesized {len(times)} high-res times, expected {shape}')
+        return times
+
+    @classmethod
+    def get_renamed_features(cls, features):
+        """u_Xm/v_Xm pairs become windspeed_Xm/winddirection_Xm in output
+        files (reference: writers/base.py:195)."""
+        heights = [re.match(r'u_(\d+)m$', f).group(1)
+                   for f in features if re.match(r'u_(\d+)m$', f)]
+        out = list(features)
+        for h in heights:
+            if f'v_{h}m' in features:
+                out[out.index(f'u_{h}m')] = f'windspeed_{h}m'
+                out[out.index(f'v_{h}m')] = f'winddirection_{h}m'
+        return out
+
+    @classmethod
+    def invert_uv_features(cls, data, features, lat_lon,
+                           max_workers=None):
+        """In-place u/v -> ws/wd inversion for all height pairs.
+
+        data: (s1, s2, t, f)."""
+        heights = [re.match(r'u_(\d+)m$', f).group(1)
+                   for f in features if re.match(r'u_(\d+)m$', f)]
+        for h in heights:
+            if f'v_{h}m' not in features:
+                continue
+            ui = features.index(f'u_{h}m')
+            vi = features.index(f'v_{h}m')
+            ws, wd = invert_uv(data[..., ui], data[..., vi], lat_lon)
+            data[..., ui] = ws
+            data[..., vi] = wd
+        return cls.get_renamed_features(features)
+
+    @classmethod
+    def _transform_output(cls, data, features, lat_lon,
+                          max_workers=None):
+        """Full output transform: invert winds + enforce limits."""
+        features = cls.invert_uv_features(data, features, lat_lon,
+                                          max_workers)
+        data = enforce_limits(features, data)
+        return data, features
+
+    @classmethod
+    def write_output(cls, data, features, low_res_lat_lon,
+                     low_res_times, out_file, meta_data=None,
+                     max_workers=None, gids=None):
+        """Synthesize HR coords + transform + write (reference:
+        writers/base.py:303-346)."""
+        lat_lon = cls.get_lat_lon(low_res_lat_lon, data.shape[:2])
+        times = cls.get_times(low_res_times, data.shape[2])
+        cls._write_output(data, features, lat_lon, times, out_file,
+                          meta_data=meta_data, max_workers=max_workers,
+                          gids=gids)
+
+    @classmethod
+    def _write_output(cls, data, features, lat_lon, times, out_file,
+                      meta_data=None, max_workers=None, gids=None):
+        raise NotImplementedError
+
+
+class OutputHandlerH5(OutputHandler):
+    """Write chunk output to a rex-style flattened H5 file."""
+
+    @classmethod
+    def _write_output(cls, data, features, lat_lon, times, out_file,
+                      meta_data=None, max_workers=None, gids=None):
+        data, features = cls._transform_output(
+            np.asarray(data, dtype=np.float32), list(features), lat_lon,
+            max_workers)
+        s1, s2, t = data.shape[:3]
+        if gids is None:
+            gids = np.arange(s1 * s2).reshape(s1, s2)
+        tmp = out_file + '.tmp'
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)),
+                    exist_ok=True)
+        with h5py.File(tmp, 'w') as f:
+            meta = np.zeros(s1 * s2, dtype=[('latitude', 'f4'),
+                                            ('longitude', 'f4'),
+                                            ('gid', 'i4')])
+            meta['latitude'] = lat_lon[..., 0].ravel()
+            meta['longitude'] = lat_lon[..., 1].ravel()
+            meta['gid'] = np.asarray(gids).ravel()
+            f.create_dataset('meta', data=meta)
+            f.create_dataset('time_index', data=np.array(
+                [str(ts).encode() for ts in times]))
+            for i, feat in enumerate(features):
+                attrs, dtype = get_dset_attrs(feat)
+                flat = data[..., i].reshape(s1 * s2, t).T
+                scale = attrs.get('scale_factor', 1.0)
+                ds = f.create_dataset(
+                    feat, data=np.round(flat * scale).astype(dtype)
+                    if 'int' in str(dtype) else flat.astype(dtype))
+                for k, v in attrs.items():
+                    ds.attrs[k] = v
+            f.attrs['version_record'] = safe_serialize(
+                {'sup3r_tpu': sup3r_tpu.__version__})
+            if meta_data is not None:
+                f.attrs['gan_meta'] = safe_serialize(meta_data)
+        os.replace(tmp, out_file)
+        logger.info('Wrote output file %s', out_file)
+
+
+class OutputHandlerNC(OutputHandler):
+    """Write chunk output to a NetCDF3 file (scipy backend; gridded
+    (time, lat, lon) variables)."""
+
+    @classmethod
+    def _write_output(cls, data, features, lat_lon, times, out_file,
+                      meta_data=None, max_workers=None, gids=None):
+        from scipy.io import netcdf_file
+
+        data = np.asarray(data, dtype=np.float32)
+        s1, s2, t = data.shape[:3]
+        tmp = out_file + '.tmp'
+        os.makedirs(os.path.dirname(os.path.abspath(out_file)),
+                    exist_ok=True)
+        with netcdf_file(tmp, 'w') as f:
+            f.createDimension('time', t)
+            f.createDimension('south_north', s1)
+            f.createDimension('west_east', s2)
+            v = f.createVariable('time', 'f8', ('time',))
+            epoch = pd.Timestamp('1970-01-01')
+            v[:] = ((pd.DatetimeIndex(times) - epoch)
+                    .total_seconds() / 3600.0)
+            v.units = b'hours since 1970-01-01'
+            lat_v = f.createVariable('latitude', 'f4',
+                                     ('south_north', 'west_east'))
+            lat_v[:] = lat_lon[..., 0]
+            lon_v = f.createVariable('longitude', 'f4',
+                                     ('south_north', 'west_east'))
+            lon_v[:] = lat_lon[..., 1]
+            for i, feat in enumerate(features):
+                var = f.createVariable(
+                    feat, 'f4', ('time', 'south_north', 'west_east'))
+                var[:] = np.transpose(data[..., i], (2, 0, 1))
+            if meta_data is not None:
+                f.gan_meta = safe_serialize(meta_data).encode()
+        os.replace(tmp, out_file)
+        logger.info('Wrote output file %s', out_file)

@@ -280,8 +280,14 @@ class Deriver:
                     self.derive(f), dtype=np.float32)
                 self.raw.var_dims[f] = Dimension.dims_3d()
 
-        out = np.stack([self._time_full(self.raw[f]) for f in features],
-                       axis=-1)
+        if features:
+            out = np.stack(
+                [self._time_full(self.raw[f]) for f in features],
+                axis=-1)
+        else:
+            t = 0 if self.time_index is None else len(self.time_index)
+            out = np.zeros((*self.lat_lon.shape[:2], t, 0),
+                           dtype=np.float32)
         self.data = GridDataset(out, features, lat_lon=self.lat_lon,
                                 time_index=self.time_index)
 

@@ -1,0 +1,141 @@
+"""Output writing + collection (mirrors reference tests/output/)."""
+
+import os
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.ops import invert_uv
+from sup3r_tpu.postprocessing.collectors import CollectorH5, CollectorNC
+from sup3r_tpu.postprocessing.writers import (
+    OutputHandler,
+    OutputHandlerH5,
+    OutputHandlerNC,
+)
+from sup3r_tpu.preprocessing.loaders import LoaderNC
+from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+
+def _grid(s1, s2, lat0=40.0, lat1=39.0, lon0=-105.0, lon1=-104.0):
+    lat = np.linspace(lat0, lat1, s1)
+    lon = np.linspace(lon0, lon1, s2)
+    return np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+
+
+def test_get_lat_lon_enhancement():
+    lr = _grid(4, 4)
+    hr = OutputHandler.get_lat_lon(lr.copy(), (8, 8))
+    assert hr.shape == (8, 8, 2)
+    # monotonic, within extrapolated bounds
+    assert np.all(np.diff(hr[:, 0, 0]) < 0)
+    assert np.all(np.diff(hr[0, :, 1]) > 0)
+    # coarsening hr coords back recovers lr coords (cell centers)
+    from sup3r_tpu.ops import spatial_coarsening
+
+    back = spatial_coarsening(hr, 2, obs_axis=False)
+    np.testing.assert_allclose(back, lr, atol=1e-4)
+
+
+def test_get_lat_lon_180_wrap():
+    # lons increasing through the 180 -> -180 boundary
+    lat = np.linspace(40, 39, 4)
+    lon = ((178.0 + np.arange(4) * 1.5 + 180) % 360) - 180
+    lr = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    hr = OutputHandler.get_lat_lon(lr.copy(), (8, 8))
+    assert hr[..., 1].min() >= -180 and hr[..., 1].max() <= 180
+    # no discontinuity jump bigger than the grid span
+    lons = (hr[0, :, 1] + 360) % 360
+    assert np.all(np.diff(lons) > 0)
+
+
+def test_get_times():
+    lr_times = pd.date_range('2023-01-01', periods=5, freq='h')
+    hr = OutputHandler.get_times(lr_times, 20)
+    assert len(hr) == 20
+    assert hr[0] == lr_times[0]
+    assert hr[1] - hr[0] == pd.Timedelta(minutes=15)
+
+
+def test_get_times_leap_year():
+    lr_times = pd.date_range('2020-02-28', periods=2, freq='D')
+    # no leap day in input -> none synthesized... input here contains
+    # feb 28 + 29; keep leap day
+    hr = OutputHandler.get_times(lr_times, 48)
+    assert len(hr) == 48
+
+
+def test_h5_write_inverts_uv(tmp_path):
+    data = RANDOM_GENERATOR.random((6, 6, 4, 2)).astype(np.float32) * 10
+    lat_lon = _grid(6, 6)
+    times = pd.date_range('2023-01-01', periods=4, freq='h')
+    out_file = str(tmp_path / 'out_000000_000000.h5')
+    expected_ws, expected_wd = invert_uv(data[..., 0], data[..., 1],
+                                         lat_lon)
+    OutputHandlerH5._write_output(
+        data.copy(), ['u_100m', 'v_100m'], lat_lon, times, out_file)
+    with h5py.File(out_file, 'r') as f:
+        ws = f['windspeed_100m'][:] / f['windspeed_100m'].attrs[
+            'scale_factor']
+        wd = f['winddirection_100m'][:] / f['winddirection_100m'].attrs[
+            'scale_factor']
+    np.testing.assert_allclose(
+        ws, expected_ws.reshape(36, 4).T, atol=0.01)
+    np.testing.assert_allclose(
+        np.sin(np.radians(wd)),
+        np.sin(np.radians(expected_wd.reshape(36, 4).T)), atol=0.01)
+
+
+def test_collect_h5(tmp_path):
+    """Write 4 spatial chunk files + 2 time chunks, collect, compare to
+    ground truth (reference collect_check semantics, atol=0.01)."""
+    s1, s2, t = 8, 8, 8
+    data = (RANDOM_GENERATOR.random((s1, s2, t, 1)) * 10).astype(
+        np.float32)
+    lat_lon = _grid(s1, s2)
+    times = pd.date_range('2023-01-01', periods=t, freq='h')
+    gids = np.arange(s1 * s2).reshape(s1, s2)
+
+    chunks = []
+    for t_idx, t_slice in enumerate([slice(0, 4), slice(4, 8)]):
+        for s_idx, (ss1, ss2) in enumerate(
+                [(slice(0, 4), slice(0, 4)), (slice(0, 4), slice(4, 8)),
+                 (slice(4, 8), slice(0, 4)),
+                 (slice(4, 8), slice(4, 8))]):
+            fp = str(tmp_path / f'chunk_{t_idx:06d}_{s_idx:06d}.h5')
+            OutputHandlerH5._write_output(
+                data[ss1, ss2, t_slice].copy(), ['windspeed_100m'],
+                lat_lon[ss1, ss2], times[t_slice], fp,
+                gids=gids[ss1, ss2])
+            chunks.append(fp)
+
+    out_file = str(tmp_path / 'collected.h5')
+    CollectorH5.collect(chunks, out_file)
+    with h5py.File(out_file, 'r') as f:
+        ws = f['windspeed_100m'][:] / f['windspeed_100m'].attrs[
+            'scale_factor']
+        meta = f['meta'][:]
+        assert ws.shape == (t, s1 * s2)
+        assert len(meta) == s1 * s2
+    truth = data[..., 0].reshape(s1 * s2, t).T
+    np.testing.assert_allclose(ws, truth, atol=0.01)
+
+
+def test_collect_nc(tmp_path):
+    s1, s2, t = 6, 6, 4
+    data = RANDOM_GENERATOR.random((s1, s2, t, 1)).astype(np.float32)
+    lat_lon = _grid(s1, s2)
+    times = pd.date_range('2023-01-01', periods=t, freq='h')
+    chunks = []
+    for s_idx, (ss1, ss2) in enumerate(
+            [(slice(0, 3), slice(None)), (slice(3, 6), slice(None))]):
+        fp = str(tmp_path / f'chunk_000000_{s_idx:06d}.nc')
+        OutputHandlerNC._write_output(
+            data[ss1, ss2].copy(), ['u_100m'], lat_lon[ss1, ss2],
+            times, fp)
+        chunks.append(fp)
+    out_file = str(tmp_path / 'collected.nc')
+    CollectorNC.collect(chunks, out_file)
+    dset = LoaderNC(out_file).data
+    np.testing.assert_allclose(dset['u_100m'], data[..., 0], atol=1e-4)
