@@ -298,6 +298,64 @@ class AbstractSingleModel(AbstractInterface):
             hi_res_gen = jnp.concatenate([hi_res_gen, *extra], axis=-1)
         return hi_res_gen
 
+    def _combine_fwp_input(self, low_res, exogenous_data=None):
+        """Concat input-resolution exo channels onto low_res when the
+        model expects more lr features than provided (reference:
+        sup3r/models/interface.py:259)."""
+        if exogenous_data is None:
+            return low_res
+        from sup3r_tpu.preprocessing.exo import ExoData
+
+        if not isinstance(exogenous_data, ExoData):
+            structured = all(
+                isinstance(v, dict) and 'steps' in v
+                for v in exogenous_data.values())
+            if not structured:
+                # simple {feature: array} dicts are layer-exo only
+                return low_res
+            exogenous_data = ExoData(exogenous_data)
+        fnum_diff = len(self.lr_features) - low_res.shape[-1]
+        if fnum_diff <= 0:
+            return low_res
+        exo_feats = self.lr_features[-fnum_diff:]
+        missing = [f for f in exo_feats if f not in exogenous_data]
+        assert not missing, (
+            f'exogenous_data is missing input features {missing}')
+        for feature in exo_feats:
+            exo_input = exogenous_data.get_combine_type_data(
+                feature, 'input')
+            low_res = np.concatenate(
+                [low_res, np.asarray(exo_input)], axis=-1)
+        return low_res
+
+    def _combine_fwp_output(self, hi_res, exogenous_data=None):
+        """Concat output-resolution exo channels onto hi_res (reference:
+        sup3r/models/interface.py:310)."""
+        if exogenous_data is None:
+            return hi_res
+        from sup3r_tpu.preprocessing.exo import ExoData
+
+        if not isinstance(exogenous_data, ExoData):
+            structured = all(
+                isinstance(v, dict) and 'steps' in v
+                for v in exogenous_data.values())
+            if not structured:
+                return hi_res
+            exogenous_data = ExoData(exogenous_data)
+        fnum_diff = len(self.hr_out_features) - hi_res.shape[-1]
+        if fnum_diff <= 0:
+            return hi_res
+        exo_feats = self.hr_out_features[-fnum_diff:]
+        missing = [f for f in exo_feats if f not in exogenous_data]
+        assert not missing, (
+            f'exogenous_data is missing output features {missing}')
+        for feature in exo_feats:
+            exo_output = exogenous_data.get_combine_type_data(
+                feature, 'output')
+            hi_res = np.concatenate(
+                [hi_res, np.asarray(exo_output)], axis=-1)
+        return hi_res
+
     # ------------------------------------------------------------------
     # parameter (de)serialization
     @staticmethod

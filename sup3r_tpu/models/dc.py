@@ -1,0 +1,59 @@
+"""Sup3rGanDC: data-centric GAN that adapts sampling weights to per-bin
+validation losses each epoch.
+
+Reference parity: sup3r/models/dc.py:18-119.
+"""
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from sup3r_tpu.models.gan import Sup3rGan
+
+logger = logging.getLogger(__name__)
+
+
+class Sup3rGanDC(Sup3rGan):
+    """GAN with loss-adaptive spatiotemporal bin sampling."""
+
+    def calc_val_loss_gen(self, batch_handler, weight_gen_advers):
+        """Per-bin (total, content) validation losses with shape
+        (n_space_bins, n_time_bins)."""
+        n_s = batch_handler.n_space_bins
+        n_t = batch_handler.n_time_bins
+        total = np.zeros((n_s, n_t), dtype=np.float32)
+        content = np.zeros((n_s, n_t), dtype=np.float32)
+        for i, batch in enumerate(batch_handler.val_data):
+            lr = jnp.asarray(batch.low_res, dtype=jnp.float32)
+            hr = jnp.asarray(batch.high_res, dtype=jnp.float32)
+            exo, _ = self._split_exo(hr)
+            out = self._get_gen_apply()(self.gen_params, lr, exo)
+            loss, details = self.calc_loss(
+                hr, out, weight_gen_advers=weight_gen_advers,
+                train_gen=True, compute_disc=True)
+            row = i // n_t
+            col = i % n_t
+            total[row % n_s, col] = float(loss)
+            content[row % n_s, col] = float(details['loss_gen_content'])
+        return total, content
+
+    def calc_val_loss(self, batch_handler, weight_gen_advers):
+        """Update the batch handler's bin weights from per-bin losses
+        (reference: dc.py:66-110)."""
+        if not hasattr(batch_handler, 'update_weights') or len(
+                batch_handler.val_data) == 0:
+            return super().calc_val_loss(batch_handler,
+                                         weight_gen_advers)
+        total, content = self.calc_val_loss_gen(batch_handler,
+                                                weight_gen_advers)
+        t_weights = total.mean(axis=0)
+        t_weights = t_weights / t_weights.sum()
+        s_weights = total.mean(axis=1)
+        s_weights = s_weights / s_weights.sum()
+        batch_handler.update_weights(spatial_weights=s_weights,
+                                     temporal_weights=t_weights)
+        return {
+            'val_loss_gen': float(total.mean()),
+            'val_loss_gen_content': float(content.mean()),
+        }

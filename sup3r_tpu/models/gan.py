@@ -224,27 +224,26 @@ class Sup3rGan(AbstractSingleModel):
 
     # ------------------------------------------------------------------
     # the single jitted train step
-    def _build_train_step(self):
-        """Build the jitted (gen+disc) train step.
+    def _split_exo_traced(self, hr):
+        """Trace-time exo channel split for training batches."""
+        n_exo = len(self.hr_exo_features)
+        if n_exo == 0:
+            return {}
+        n_out = hr.shape[-1] - n_exo
+        return {f: hr[..., n_out + i:n_out + i + 1]
+                for i, f in enumerate(self.hr_exo_features)}
 
-        One XLA program: generator forward/backward, discriminator
-        forward/backward, both optimizer updates, with boolean gating of
-        each update via ``lax.cond`` so per-batch gating never triggers
-        recompiles."""
+    def _make_gen_loss_fn(self):
+        """Functional generator loss: (gen_params, disc_params, lr, hr,
+        w_adv, key) -> (loss, aux). Subclasses override to change the
+        content/adversarial structure (e.g. SolarCC daylight windows)."""
         gen, disc = self._gen, self._disc
         loss_fun = self.loss_fun
-        gen_tx, disc_tx = self._gen_tx, self._disc_tx
         n_exo = len(self.hr_exo_features)
         exo_names = list(self.hr_exo_features)
+        split_exo = self._split_exo_traced
 
-        def split_exo(hr):
-            if n_exo == 0:
-                return {}
-            n_out = hr.shape[-1] - n_exo
-            return {f: hr[..., n_out + i:n_out + i + 1]
-                    for i, f in enumerate(exo_names)}
-
-        def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv):
+        def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             exo = split_exo(hr)
             out = gen.apply(gen_params, lr, exo=exo)
             full = (jnp.concatenate(
@@ -256,22 +255,44 @@ class Sup3rGan(AbstractSingleModel):
             content = loss_fun(out, hr[..., slc])
             advers = relativistic_disc_loss(d_gen, d_true)
             loss = content + w_adv * advers
-            aux = {'content': content, 'advers': advers, 'hi_res_gen': full}
+            aux = {'content': content, 'advers': advers,
+                   'hi_res_gen': full}
             return loss, aux
 
-        def disc_loss_fn(disc_params, hr, hi_res_gen):
+        return gen_loss_fn
+
+    def _make_disc_loss_fn(self):
+        """Functional disc loss: (disc_params, hr, hi_res_gen, key) ->
+        loss."""
+        disc = self._disc
+
+        def disc_loss_fn(disc_params, hr, hi_res_gen, key):
             d_true = disc.apply(disc_params, hr)
             d_gen = disc.apply(disc_params, hi_res_gen)
             return relativistic_disc_loss(d_true, d_gen)
 
+        return disc_loss_fn
+
+    def _build_train_step(self):
+        """Build the jitted (gen+disc) train step.
+
+        One XLA program: generator forward/backward, discriminator
+        forward/backward, both optimizer updates, with boolean gating of
+        each update via ``lax.cond`` so per-batch gating never triggers
+        recompiles."""
+        gen_tx, disc_tx = self._gen_tx, self._disc_tx
+        gen_loss_fn = self._make_gen_loss_fn()
+        disc_loss_fn = self._make_disc_loss_fn()
+
         def step(gen_params, disc_params, gen_opt, disc_opt, lr, hr,
-                 w_adv, do_gen, do_disc):
+                 w_adv, do_gen, do_disc, key):
+            k_gen, k_disc = jax.random.split(key)
             (gen_loss, aux), gen_grads = jax.value_and_grad(
                 gen_loss_fn, has_aux=True)(
-                    gen_params, disc_params, lr, hr, w_adv)
+                    gen_params, disc_params, lr, hr, w_adv, k_gen)
             hi_res_gen = jax.lax.stop_gradient(aux['hi_res_gen'])
             disc_loss, disc_grads = jax.value_and_grad(disc_loss_fn)(
-                disc_params, hr, hi_res_gen)
+                disc_params, hr, hi_res_gen, k_disc)
 
             def upd_gen(_):
                 updates, new_opt = gen_tx.update(gen_grads, gen_opt,
@@ -294,6 +315,10 @@ class Sup3rGan(AbstractSingleModel):
                 'loss_gen_advers': aux['advers'],
                 'loss_disc': disc_loss,
             }
+            details.update({
+                k: v for k, v in aux.items()
+                if k not in ('content', 'advers', 'hi_res_gen')
+                and getattr(v, 'ndim', 1) == 0})
             return (gen_params_new, disc_params_new, gen_opt_new,
                     disc_opt_new, details)
 
@@ -315,12 +340,14 @@ class Sup3rGan(AbstractSingleModel):
         ``train_gen``/``train_disc`` gate which updates apply."""
         lr = jnp.asarray(low_res, dtype=jnp.float32)
         hr = jnp.asarray(hi_res_true, dtype=jnp.float32)
+        self._step_counter = getattr(self, '_step_counter', 0) + 1
+        key = jax.random.PRNGKey(self._step_counter)
         (self.gen_params, self.disc_params, self._gen_opt_state,
          self._disc_opt_state, details) = self.train_step_fn(
             self.gen_params, self.disc_params, self._gen_opt_state,
             self._disc_opt_state, lr, hr,
             jnp.float32(weight_gen_advers), jnp.bool_(train_gen),
-            jnp.bool_(train_disc))
+            jnp.bool_(train_disc), key)
         return {k: float(v) for k, v in details.items()}
 
     # ------------------------------------------------------------------
@@ -338,7 +365,8 @@ class Sup3rGan(AbstractSingleModel):
     def _parse_exo_for_generate(self, exogenous_data, low_res_shape):
         """Accept either a simple {feature: array} dict or the structured
         ExoData format ({feature: {'steps': [{'combine_type', 'data'}]}})
-        and return the {feature: array} dict of mid-network rasters."""
+        and return the {feature: array} dict of mid-network ('layer')
+        rasters."""
         if not exogenous_data:
             return {}
         out = {}
@@ -354,11 +382,13 @@ class Sup3rGan(AbstractSingleModel):
 
     def generate(self, low_res, norm_in=True, un_norm_out=True,
                  exogenous_data=None):
-        """Public inference: normalize -> generator -> denormalize.
+        """Public inference: (input-exo concat) -> normalize ->
+        generator (+layer exo) -> denormalize -> (output-exo concat).
 
         low_res: 4D/5D physical-units array (n_obs first). Reference
         parity: sup3r/models/abstract.py:1037-1105."""
         low_res = np.asarray(low_res, dtype=np.float32)
+        low_res = self._combine_fwp_input(low_res, exogenous_data)
         exo = self._parse_exo_for_generate(exogenous_data, low_res.shape)
         if norm_in and self._means is not None:
             low_res = self.norm_input(low_res)
@@ -381,6 +411,7 @@ class Sup3rGan(AbstractSingleModel):
         out = np.asarray(out)
         if un_norm_out and self._means is not None:
             out = self.un_norm_output(out)
+        out = self._combine_fwp_output(out, exogenous_data)
         return out
 
     def _dummy_hr_shape(self, lr_shape):

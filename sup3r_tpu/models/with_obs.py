@@ -1,0 +1,157 @@
+"""Sup3rGanWithObs: GAN with synthetic sparse-observation fusion.
+
+During training, random subsets of the true high-res field are exposed
+to the generator as "observations" (through Sup3rConcatObs /
+Sup3rObsModel layers) and an extra content-loss term rewards fidelity
+at observed locations.
+
+Reference parity: sup3r/models/with_obs.py:29-291. Masks are sampled
+in-graph with jax.random (spatial fraction drawn from the configured
+onshore bounds) so the whole step stays one compiled program.
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from sup3r_tpu.models.gan import Sup3rGan, relativistic_disc_loss
+
+logger = logging.getLogger(__name__)
+
+
+def _masked_mae(a, b, weights):
+    """MAE over elements where weights == 1 (shape-static masking)."""
+    w = weights.astype(a.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(jnp.abs(a - b) * w) / denom
+
+
+class Sup3rGanWithObs(Sup3rGan):
+    """GAN with observation fusion layers + obs content loss."""
+
+    def __init__(self, *args, onshore_obs_frac=None,
+                 offshore_obs_frac=None, loss_obs=None,
+                 loss_obs_weight=0.1, **kwargs):
+        """onshore_obs_frac / offshore_obs_frac: dicts with
+        'spatial_frac' (float or [lo, hi] bounds) and optional
+        'time_frac'. loss_obs is restricted to elementwise mae here."""
+        super().__init__(*args, **kwargs)
+        self.onshore_obs_frac = onshore_obs_frac or {}
+        self.offshore_obs_frac = offshore_obs_frac or {}
+        self.loss_obs_weight = loss_obs_weight
+        self.loss_obs_name = loss_obs or 'MeanAbsoluteError'
+
+    @property
+    def obs_training_inds(self):
+        """HR channel indices matched to each obs feature."""
+        hr_feats = [f.replace('_obs', '') for f in self.hr_features]
+        return [hr_feats.index(f.replace('_obs', ''))
+                for f in self.obs_features]
+
+    def _spatial_frac_bounds(self):
+        frac = self.onshore_obs_frac.get('spatial_frac', 0.1)
+        if isinstance(frac, (int, float)):
+            return float(frac), float(frac)
+        return float(frac[0]), float(frac[1])
+
+    def _sample_obs_mask(self, key, hr_shape):
+        """True where NOT observed. Spatial mask is constant over time
+        (matching the reference's per-gid observation pattern)."""
+        lo, hi = self._spatial_frac_bounds()
+        time_frac = float(self.onshore_obs_frac.get('time_frac', 1.0))
+        k1, k2, k3 = jax.random.split(key, 3)
+        frac = jax.random.uniform(k1, (), minval=lo, maxval=hi)
+        s_mask = jax.random.uniform(k2, hr_shape[1:3]) <= frac
+        if len(hr_shape) == 5:
+            t_mask = jax.random.uniform(k3, (hr_shape[3],)) <= time_frac
+            mask = s_mask[:, :, None] & t_mask[None, None, :]
+            mask = jnp.broadcast_to(mask[None, ..., None], hr_shape)
+        else:
+            mask = jnp.broadcast_to(
+                s_mask[None, ..., None], hr_shape)
+        return ~mask
+
+    def _make_gen_loss_fn(self):
+        gen, disc = self._gen, self._disc
+        loss_fun = self.loss_fun
+        n_exo = len(self.hr_exo_features)
+        exo_names = list(self.hr_exo_features)
+        obs_names = list(self._gen.obs_features)
+        obs_inds = self.obs_training_inds
+        n_out = len(self.hr_out_features) if self.hr_out_features else \
+            None
+        split_exo = self._split_exo_traced
+        obs_weight = self.loss_obs_weight
+
+        def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
+            exo = split_exo(hr)
+            n_out_ch = hr.shape[-1] - n_exo
+            obs_mask_shape = (*hr.shape[:-1], n_out_ch)
+            not_obs = self._sample_obs_mask(key, obs_mask_shape)
+            # build NaN-masked obs inputs from the true HR data
+            for name, idx in zip(obs_names, obs_inds):
+                chan = hr[..., idx:idx + 1]
+                exo[name] = jnp.where(not_obs[..., idx:idx + 1],
+                                      jnp.nan, chan)
+            out = gen.apply(gen_params, lr, exo=exo)
+            full = (jnp.concatenate(
+                [out] + [hr[..., hr.shape[-1] - n_exo + i:
+                            hr.shape[-1] - n_exo + i + 1]
+                         for i in range(n_exo)], axis=-1)
+                if n_exo else out)
+            d_true = disc.apply(disc_params, hr)
+            d_gen = disc.apply(disc_params, full)
+            slc = slice(0, -n_exo) if n_exo else slice(None)
+            content = loss_fun(out, hr[..., slc])
+            advers = relativistic_disc_loss(d_gen, d_true)
+            obs_w = (~not_obs).astype(out.dtype)
+            loss_obs = _masked_mae(out, hr[..., slc], obs_w)
+            loss_non_obs = _masked_mae(out, hr[..., slc],
+                                       not_obs.astype(out.dtype))
+            loss = content + w_adv * advers + obs_weight * loss_obs
+            aux = {'content': content + obs_weight * loss_obs,
+                   'advers': advers, 'hi_res_gen': full,
+                   'loss_obs': loss_obs, 'loss_non_obs': loss_non_obs,
+                   'obs_frac': jnp.mean(obs_w)}
+            return loss, aux
+
+        return gen_loss_fn
+
+    @property
+    def model_params(self):
+        params = super().model_params
+        params.update({
+            'onshore_obs_frac': self.onshore_obs_frac,
+            'offshore_obs_frac': self.offshore_obs_frac,
+            'loss_obs_weight': self.loss_obs_weight,
+            'loss_obs': self.loss_obs_name,
+        })
+        return params
+
+    @classmethod
+    def load(cls, model_dir, verbose=True):
+        params = cls.load_saved_params(model_dir, verbose=verbose)
+        model = cls(
+            params['gen_config'], params['disc_config'],
+            optimizer=params.get('optimizer'),
+            optimizer_disc=params.get('optimizer_disc'),
+            loss=params.get('loss', 'MeanSquaredError'),
+            meta=params.get('meta', {}),
+            means=params.get('means'), stdevs=params.get('stdevs'),
+            onshore_obs_frac=params.get('onshore_obs_frac'),
+            offshore_obs_frac=params.get('offshore_obs_frac'),
+            loss_obs_weight=params.get('loss_obs_weight', 0.1))
+        gen_in = params.get('gen_in_shape')
+        if gen_in is not None:
+            import os
+
+            model.init_weights(tuple(gen_in),
+                               tuple(params['disc_in_shape']))
+            model.gen_params = cls.load_network_params(
+                model.gen_params,
+                os.path.join(model_dir, 'model_gen.msgpack'))
+            model.disc_params = cls.load_network_params(
+                model.disc_params,
+                os.path.join(model_dir, 'model_disc.msgpack'))
+        return model

@@ -11,6 +11,12 @@ import logging
 from sup3r_tpu.preprocessing.batch_queues import (
     BatchQueueDC,
     DualBatchQueue,
+    QueueMom1,
+    QueueMom1SF,
+    QueueMom2,
+    QueueMom2Sep,
+    QueueMom2SepSF,
+    QueueMom2SF,
     SingleBatchQueue,
     ValBatchQueueDC,
 )
@@ -150,6 +156,49 @@ class DualBatchHandler(BaseBatchHandler):
                             s_enhance=self.s_enhance,
                             t_enhance=self.t_enhance,
                             **self._sampler_args)
+
+
+class BatchHandlerMom1(BaseBatchHandler):
+    """Conditional first-moment batches (reference factory product)."""
+
+    MAIN_QUEUE = QueueMom1
+    VAL_QUEUE = QueueMom1
+
+
+class BatchHandlerMom1SF(BaseBatchHandler):
+    """First moment of subfilter velocity."""
+
+    MAIN_QUEUE = QueueMom1SF
+    VAL_QUEUE = QueueMom1SF
+
+
+class BatchHandlerMom2(BaseBatchHandler):
+    """Second moment (requires lower_models={1: mom1_model} in
+    queue_kwargs)."""
+
+    MAIN_QUEUE = QueueMom2
+    VAL_QUEUE = QueueMom2
+
+
+class BatchHandlerMom2Sep(BaseBatchHandler):
+    """Second moment, separate."""
+
+    MAIN_QUEUE = QueueMom2Sep
+    VAL_QUEUE = QueueMom2Sep
+
+
+class BatchHandlerMom2SF(BaseBatchHandler):
+    """Second moment of subfilter."""
+
+    MAIN_QUEUE = QueueMom2SF
+    VAL_QUEUE = QueueMom2SF
+
+
+class BatchHandlerMom2SepSF(BaseBatchHandler):
+    """Second moment of subfilter, separate."""
+
+    MAIN_QUEUE = QueueMom2SepSF
+    VAL_QUEUE = QueueMom2SepSF
 
 
 class BatchHandlerDC(BaseBatchHandler):

@@ -253,6 +253,118 @@ class DualBatchQueue(AbstractBatchQueue):
         return Batch(low_res=lr, high_res=hr)
 
 
+ConditionalBatch = namedtuple(
+    'ConditionalBatch', ['low_res', 'high_res', 'output', 'mask'])
+
+
+class ConditionalBatchQueue(SingleBatchQueue):
+    """Queue for conditional-moment training: adds a padding-aware mask
+    and a moment-specific output target (reference:
+    batch_queues/conditional.py:22-170)."""
+
+    def __init__(self, samplers, time_enhance_mode='constant',
+                 lower_models=None, s_padding=0, t_padding=0,
+                 end_t_padding=False, **kwargs):
+        self.time_enhance_mode = time_enhance_mode
+        self.lower_models = lower_models or {}
+        self.s_padding = s_padding
+        self.t_padding = t_padding
+        self.end_t_padding = end_t_padding
+        super().__init__(samplers, **kwargs)
+
+    def make_mask(self, high_res):
+        """1 inside the (s_padding, t_padding)-trimmed interior, else 0."""
+        mask = np.zeros(high_res.shape, dtype=high_res.dtype)
+        s_min = self.s_padding
+        t_min = self.t_padding
+        s_max = None if self.s_padding == 0 else -self.s_padding
+        t_max = None if self.t_padding == 0 else -self.t_padding
+        if self.end_t_padding and self.t_enhance > 1:
+            t_max = (1 - self.t_enhance if t_max is None
+                     else 1 - self.t_enhance - self.t_padding)
+        if high_res.ndim == 4:
+            mask[:, s_min:s_max, s_min:s_max, :] = 1.0
+        else:
+            mask[:, s_min:s_max, s_min:s_max, t_min:t_max, :] = 1.0
+        return mask
+
+    def _enhanced_lr(self, lr):
+        """Simple-enhance LR back to HR shape for subfilter targets."""
+        from sup3r_tpu.ops import (
+            spatial_simple_enhancing,
+            temporal_simple_enhancing,
+        )
+
+        out = spatial_simple_enhancing(lr, s_enhance=self.s_enhance)
+        out = temporal_simple_enhancing(out, t_enhance=self.t_enhance,
+                                        mode=self.time_enhance_mode)
+        return out[..., self.hr_features_ind]
+
+    def _lower_model_output(self, lr, hr):
+        """First-moment model prediction on this batch (normalized)."""
+        model = self.lower_models[1]
+        exo = model.get_hr_exo_input(hr)
+        out = np.asarray(model._get_gen_apply()(
+            model.gen_params, np.asarray(lr, np.float32),
+            {k: np.asarray(v, np.float32) for k, v in exo.items()}))
+        return np.asarray(model._combine_loss_input(hr, out))
+
+    def make_output(self, samples):
+        """Moment target; overridden per moment type."""
+        _, hr = samples
+        return hr
+
+    def post_proc(self, samples):
+        lr, hr = self.transform(samples, **self.transform_kwargs)
+        mask = self.make_mask(hr)
+        output = self.make_output((lr, hr))
+        return ConditionalBatch(low_res=lr, high_res=hr, output=output,
+                                mask=mask)
+
+
+class QueueMom1(ConditionalBatchQueue):
+    """First moment: target = HR."""
+
+
+class QueueMom1SF(ConditionalBatchQueue):
+    """First moment of subfilter: target = HR - enhanced(LR)."""
+
+    def make_output(self, samples):
+        lr, hr = samples
+        return hr - self._enhanced_lr(lr)
+
+
+class QueueMom2(ConditionalBatchQueue):
+    """Second moment: target = (HR - <HR|LR>)^2."""
+
+    def make_output(self, samples):
+        lr, hr = samples
+        return (hr - self._lower_model_output(lr, hr)) ** 2
+
+
+class QueueMom2Sep(QueueMom1):
+    """Second moment, separate: target = HR^2."""
+
+    def make_output(self, samples):
+        return super().make_output(samples) ** 2
+
+
+class QueueMom2SF(ConditionalBatchQueue):
+    """Second moment of subfilter: (HR - LR_enh - <SF|LR>)^2."""
+
+    def make_output(self, samples):
+        lr, hr = samples
+        out = self._lower_model_output(lr, hr)
+        return (hr - self._enhanced_lr(lr) - out) ** 2
+
+
+class QueueMom2SepSF(QueueMom1SF):
+    """Second moment of subfilter, separate: (HR - LR_enh)^2."""
+
+    def make_output(self, samples):
+        return super().make_output(samples) ** 2
+
+
 class BatchQueueDC(SingleBatchQueue):
     """Data-centric queue: samplers draw from loss-adaptive bins
     (reference: batch_queues/dc.py:13)."""
