@@ -1,0 +1,160 @@
+"""Quantile Delta Mapping factor calculation: windowed empirical CDFs
+for observed-historical / modeled-historical / modeled-future data.
+
+Reference parity: sup3r/bias/qdm.py:50-583.
+"""
+
+import logging
+
+import numpy as np
+
+from sup3r_tpu.bias.base import DataRetrievalBase
+from sup3r_tpu.bias.bias_calc import FillAndSmoothMixin
+from sup3r_tpu.bias.qdm_math import sampled_quantiles
+from sup3r_tpu.preprocessing.data_handlers import get_input_handler_class
+
+logger = logging.getLogger(__name__)
+
+
+def window_center(ntimes):
+    """ntimes equally spaced days-of-year, shifted half an interval
+    (reference: qdm.py:273)."""
+    assert ntimes > 0
+    dt = 365 / ntimes
+    return np.arange(dt / 2, 366, dt)
+
+
+class QuantileDeltaMappingCorrection(FillAndSmoothMixin,
+                                     DataRetrievalBase):
+    """Estimate empirical CDF parameter rasters for QDM."""
+
+    def __init__(self, base_fps, bias_fps, bias_fut_fps, base_dset,
+                 bias_feature, distance_upper_bound=None, target=None,
+                 shape=None, base_handler='LoaderH5',
+                 bias_handler='DataHandler', base_handler_kwargs=None,
+                 bias_handler_kwargs=None,
+                 bias_fut_handler_kwargs=None, decimals=None,
+                 match_zero_rate=False, n_quantiles=101,
+                 dist='empirical', relative=True, sampling='linear',
+                 log_base=10, n_time_steps=24, window_size=None):
+        super().__init__(
+            base_fps, bias_fps, base_dset, bias_feature, target=target,
+            shape=shape, base_handler=base_handler,
+            bias_handler=bias_handler,
+            base_handler_kwargs=base_handler_kwargs,
+            bias_handler_kwargs=bias_handler_kwargs, decimals=decimals,
+            match_zero_rate=match_zero_rate,
+            distance_upper_bound=distance_upper_bound)
+        HandlerClass = (get_input_handler_class(bias_handler)
+                        if isinstance(bias_handler, str)
+                        else bias_handler)
+        self.bias_fut_dh = HandlerClass(
+            bias_fut_fps, features=[bias_feature], target=target,
+            shape=shape, **(bias_fut_handler_kwargs
+                            or bias_handler_kwargs or {}))
+        self.n_quantiles = n_quantiles
+        self.dist = dist
+        self.relative = relative
+        self.sampling = sampling
+        self.log_base = log_base
+        self.n_time_steps = n_time_steps
+        self.window_size = window_size or 365 / n_time_steps
+        self.time_window_center = window_center(n_time_steps)
+
+    def get_bias_fut_data(self, bias_gid):
+        """(t,) future biased series for one grid cell."""
+        row, col = np.unravel_index(bias_gid,
+                                    self.bias_gid_raster.shape)
+        out = self.bias_fut_dh.data[self.bias_feature][row, col]
+        if self.decimals is not None:
+            out = np.round(out, self.decimals)
+        return np.asarray(out)
+
+    def get_qdm_params(self, bias_data, bias_fut_data, base_data):
+        """Empirical CDF x-values at the sampled quantiles."""
+        quantiles = sampled_quantiles(self.n_quantiles, self.sampling,
+                                      self.log_base) * 100
+        return {
+            f'base_{self.base_dset}_params': np.nanpercentile(
+                base_data, quantiles),
+            f'bias_{self.bias_feature}_params': np.nanpercentile(
+                bias_data, quantiles),
+            f'bias_fut_{self.bias_feature}_params': np.nanpercentile(
+                bias_fut_data, quantiles),
+        }
+
+    def _init_out(self):
+        keys = [f'base_{self.base_dset}_params',
+                f'bias_{self.bias_feature}_params',
+                f'bias_fut_{self.bias_feature}_params']
+        shape = (*self.bias_gid_raster.shape, self.n_time_steps,
+                 self.n_quantiles)
+        return {k: np.full(shape, np.nan, np.float32) for k in keys}
+
+    def _windowed_params(self, bias_data, bias_fut_data, base_data,
+                         bias_ti, bias_fut_ti, base_ti):
+        """Per-window parameter rows for one gid: (NT, n_quantiles)."""
+        from sup3r_tpu.bias.transforms import window_mask
+
+        out = {}
+        for nt, d0 in enumerate(self.time_window_center):
+            base_idx = window_mask(base_ti.dayofyear, d0,
+                                   self.window_size)
+            bias_idx = window_mask(bias_ti.dayofyear, d0,
+                                   self.window_size)
+            fut_idx = window_mask(bias_fut_ti.dayofyear, d0,
+                                  self.window_size)
+            if base_idx.any() and bias_idx.any() and fut_idx.any():
+                params = self.get_qdm_params(
+                    bias_data[bias_idx], bias_fut_data[fut_idx],
+                    base_data[base_idx])
+                for k, v in params.items():
+                    out.setdefault(k, np.full(
+                        (self.n_time_steps, self.n_quantiles), np.nan,
+                        np.float32))[nt] = v
+        return out
+
+    def run(self, fp_out=None, max_workers=1, daily_reduction='avg',
+            fill_extend=True, smooth_extend=0, smooth_interior=0):
+        """Compute QDM parameter rasters for every gid; write to H5."""
+        out = self._init_out()
+        for bias_gid in range(self.bias_gid_raster.size):
+            base_data, base_ti = self.get_base_data(
+                bias_gid, daily_reduction=daily_reduction)
+            if base_data is None:
+                continue
+            bias_data = self.get_bias_data(bias_gid)
+            fut_data = self.get_bias_fut_data(bias_gid)
+            single = self._windowed_params(
+                bias_data, fut_data, base_data, self.bias_time_index,
+                self.bias_fut_dh.time_index, base_ti)
+            row, col = np.unravel_index(bias_gid,
+                                        self.bias_gid_raster.shape)
+            for k, v in single.items():
+                out[k][row, col] = v
+        # fill/smooth over the leading spatial dims of 4D param arrays
+        flat = {k: v.reshape(*v.shape[:2], -1) for k, v in out.items()}
+        flat = self.fill_and_smooth(flat, fill_extend, smooth_extend,
+                                    smooth_interior)
+        out = {k: v.reshape(*v.shape[:2], self.n_time_steps,
+                            self.n_quantiles)
+               for k, v in flat.items()}
+        if fp_out is not None:
+            self.write_outputs(fp_out, out)
+        return out
+
+    def write_outputs(self, fp_out, out, extra_attrs=None):
+        """Write parameter rasters + QDM config attrs."""
+        from sup3r_tpu.bias.bias_calc import LinearCorrection
+
+        attrs = {
+            'time_window_center': self.time_window_center.tolist(),
+            'sampling': self.sampling,
+            'log_base': self.log_base,
+            'n_quantiles': self.n_quantiles,
+            'dist': self.dist,
+            'relative': self.relative,
+        }
+        attrs.update(extra_attrs or {})
+        LinearCorrection.write_outputs(self, fp_out, out,
+                                       extra_attrs=attrs)

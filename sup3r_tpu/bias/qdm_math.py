@@ -1,0 +1,128 @@
+"""Quantile Delta Mapping math (Cannon et al. 2015), vectorized over
+space columns.
+
+Replaces rex.utilities.bc_utils.QuantileDeltaMapping (the reference
+delegates to it at sup3r/bias/bias_transforms.py:622). Empirical CDFs
+are N quantile x-values per spatial column with quantile y-values given
+by a sampling scheme.
+"""
+
+import numpy as np
+
+
+def sample_q_linear(n):
+    """Evenly spaced quantiles including 0 and 1."""
+    return np.linspace(0, 1, n)
+
+
+def sample_q_log(n, log_base=10):
+    """Quantiles concentrated near 0."""
+    return (log_base ** np.linspace(0, 1, n) - 1) / (log_base - 1)
+
+
+def sample_q_invlog(n, log_base=10):
+    """Quantiles concentrated near 1."""
+    return 1 - sample_q_log(n, log_base)[::-1]
+
+
+def sampled_quantiles(n, sampling='linear', log_base=10):
+    """Quantile y-values for the given sampling scheme."""
+    sampling = str(sampling).casefold()
+    if sampling == 'linear':
+        return sample_q_linear(n)
+    if sampling == 'log':
+        return sample_q_log(n, log_base)
+    if sampling == 'invlog':
+        return sample_q_invlog(n, log_base)
+    raise KeyError(f'Unknown sampling "{sampling}"')
+
+
+def _interp_to_quantiles(x, xp_cols, quantiles):
+    """CDF evaluation: for values ``x`` (T, S) against per-column
+    x-values ``xp_cols`` (S, N) with shared ``quantiles`` (N,), return
+    tau (T, S) by piecewise-linear interpolation (clipped to [0, 1])."""
+    t, s = x.shape
+    n = xp_cols.shape[-1]
+    # count of xp <= x gives right-side index
+    idx = np.sum(xp_cols[None, :, :] <= x[:, :, None], axis=-1)
+    idx = np.clip(idx, 1, n - 1)
+    x0 = np.take_along_axis(xp_cols, (idx - 1).T, axis=-1).T
+    x1 = np.take_along_axis(xp_cols, idx.T, axis=-1).T
+    q0 = quantiles[idx - 1]
+    q1 = quantiles[idx]
+    denom = np.where(x1 == x0, 1.0, x1 - x0)
+    frac = np.clip((x - x0) / denom, 0, 1)
+    return np.clip(q0 + frac * (q1 - q0), 0, 1)
+
+
+def _interp_from_quantiles(tau, xp_cols, quantiles):
+    """Inverse CDF: tau (T, S) -> values from per-column x-values."""
+    n = xp_cols.shape[-1]
+    idx = np.sum(quantiles[None, None, :] <= tau[:, :, None], axis=-1)
+    idx = np.clip(idx, 1, n - 1)
+    q0 = quantiles[idx - 1]
+    q1 = quantiles[idx]
+    x0 = np.take_along_axis(xp_cols, (idx - 1).T, axis=-1).T
+    x1 = np.take_along_axis(xp_cols, idx.T, axis=-1).T
+    denom = np.where(q1 == q0, 1.0, q1 - q0)
+    frac = np.clip((tau - q0) / denom, 0, 1)
+    return x0 + frac * (x1 - x0)
+
+
+class QuantileDeltaMapping:
+    """Empirical QDM transform over (time, space) arrays."""
+
+    def __init__(self, params_oh, params_mh, params_mf=None,
+                 dist='empirical', relative=True, sampling='linear',
+                 log_base=10, delta_denom_min=None,
+                 delta_denom_zero=None, delta_range=None):
+        """params_*: (space, N) empirical CDF x-values for observed-
+        historical, modeled-historical, modeled-future. ``params_mf``
+        None means ordinary quantile mapping (no trend)."""
+        assert str(dist).casefold() == 'empirical', (
+            'Only empirical distributions are implemented')
+        self.params_oh = np.asarray(params_oh, dtype=np.float64)
+        self.params_mh = np.asarray(params_mh, dtype=np.float64)
+        self.params_mf = (None if params_mf is None
+                          else np.asarray(params_mf, dtype=np.float64))
+        self.relative = relative
+        self.quantiles = sampled_quantiles(
+            self.params_oh.shape[-1], sampling, log_base)
+        self.delta_denom_min = delta_denom_min
+        self.delta_denom_zero = delta_denom_zero
+        self.delta_range = delta_range
+
+    def __call__(self, data):
+        """data: (time, space) biased values -> corrected values."""
+        data = np.asarray(data, dtype=np.float64)
+        if self.params_mf is None:
+            # ordinary QM: x_oh(CDF_mh(x))
+            tau = _interp_to_quantiles(data, self.params_mh,
+                                       self.quantiles)
+            return _interp_from_quantiles(
+                tau, self.params_oh, self.quantiles).astype(np.float32)
+
+        tau = _interp_to_quantiles(data, self.params_mf, self.quantiles)
+        x_oh = _interp_from_quantiles(tau, self.params_oh,
+                                      self.quantiles)
+        x_mh = _interp_from_quantiles(tau, self.params_mh,
+                                      self.quantiles)
+        if self.relative:
+            denom = x_mh
+            if self.delta_denom_zero is not None:
+                denom = np.where(denom == 0, self.delta_denom_zero,
+                                 denom)
+            if self.delta_denom_min is not None:
+                denom = np.maximum(denom, self.delta_denom_min)
+            with np.errstate(divide='ignore', invalid='ignore'):
+                delta = data / denom
+            delta = np.where(np.isfinite(delta), delta, 1.0)
+            if self.delta_range is not None:
+                delta = np.clip(delta, *self.delta_range)
+            out = x_oh * delta
+        else:
+            delta = data - x_mh
+            if self.delta_range is not None:
+                delta = np.clip(delta, *self.delta_range)
+            out = x_oh + delta
+        return out.astype(np.float32)

@@ -1,0 +1,324 @@
+"""Runtime bias-correction transforms applied per forward-pass chunk.
+
+Reference parity: sup3r/bias/bias_transforms.py (_get_factors :27,
+global/local/monthly linear :224-488, local_qdm_bc :622,
+local_presrat_bc :958).
+
+Bias factor files are H5 with 2D 'latitude'/'longitude' datasets plus
+factor rasters shaped (s1, s2, ...) and config attrs.
+"""
+
+import json
+import logging
+from warnings import warn
+
+import h5py
+import numpy as np
+import pandas as pd
+from scipy.ndimage import gaussian_filter
+
+from sup3r_tpu.bias.qdm_math import QuantileDeltaMapping
+from sup3r_tpu.preprocessing.rasterizers import get_closest_row_col
+
+logger = logging.getLogger(__name__)
+
+
+def get_date_range_kwargs(time_index):
+    """kwargs to reconstruct a DatetimeIndex with pd.date_range
+    (reference: sup3r/preprocessing/utilities.py:173)."""
+    freq = (time_index[1] - time_index[0] if len(time_index) > 1
+            else pd.Timedelta(days=1))
+    return {
+        'start': str(time_index[0]),
+        'end': str(time_index[-1]),
+        'freq': pd.tseries.frequencies.to_offset(freq).freqstr,
+    }
+
+
+def make_time_index_from_kws(date_range_kwargs):
+    """Rebuild the DatetimeIndex from get_date_range_kwargs output."""
+    return pd.date_range(**date_range_kwargs)
+
+
+def _read_factor_file(bias_fp, var_names, lat_lon, threshold=0.1):
+    """Read factor rasters matching the chunk's lat/lon window.
+
+    Finds the chunk's corner in the factor file's grid and slices the
+    matching window (reference: bias_transforms.py:27-118)."""
+    out = {}
+    with h5py.File(bias_fp, 'r') as f:
+        flat = 'latitude' in f and f['latitude'].ndim == 1
+        f_lat = f['latitude'][:]
+        f_lon = f['longitude'][:]
+        if flat:
+            raise NotImplementedError(
+                'Bias factor files must have 2D latitude/longitude')
+        full = np.dstack([f_lat, f_lon])
+        target = np.asarray(lat_lon[-1, 0, :])
+        shape = lat_lon.shape[:2]
+        row, col = get_closest_row_col(full, target, threshold)
+        lat_slice = slice(max(row - shape[0] + 1, 0), row + 1)
+        lon_slice = slice(col, col + shape[1])
+        for key, dset in var_names.items():
+            missing = dset not in f
+            if missing:
+                raise KeyError(
+                    f'Missing dataset "{dset}" in {bias_fp}; has '
+                    f'{sorted(f)}')
+            out[key] = f[dset][lat_slice, lon_slice]
+        cfg = {}
+        if 'cfg' in f.attrs:
+            cfg = json.loads(f.attrs['cfg'])
+        for k in f.attrs:
+            if k != 'cfg':
+                try:
+                    cfg[k] = json.loads(f.attrs[k])
+                except (TypeError, json.JSONDecodeError):
+                    cfg[k] = f.attrs[k]
+        out['cfg'] = cfg
+    return out
+
+
+def _get_spatial_bc_factors(lat_lon, feature_name, bias_fp,
+                            threshold=0.1):
+    return _read_factor_file(
+        bias_fp,
+        {'scalar': f'{feature_name}_scalar',
+         'adder': f'{feature_name}_adder'},
+        lat_lon, threshold)
+
+
+def _get_spatial_bc_quantiles(lat_lon, base_dset, feature_name, bias_fp,
+                              threshold=0.1):
+    return _read_factor_file(
+        bias_fp,
+        {'base': f'base_{base_dset}_params',
+         'bias': f'bias_{feature_name}_params',
+         'bias_fut': f'bias_fut_{feature_name}_params'},
+        lat_lon, threshold)
+
+
+def global_linear_bc(data, scalar, adder, out_range=None):
+    """out = data * scalar + adder, optionally clipped."""
+    out = data * scalar + adder
+    if out_range is not None:
+        out = np.clip(out, np.min(out_range), np.max(out_range))
+    return out
+
+
+def _smooth_factors(scalar, adder, smoothing):
+    if smoothing > 0:
+        for idt in range(scalar.shape[-1] if scalar.ndim == 3 else 1):
+            if scalar.ndim == 3:
+                scalar[..., idt] = gaussian_filter(
+                    scalar[..., idt], smoothing, mode='nearest')
+                adder[..., idt] = gaussian_filter(
+                    adder[..., idt], smoothing, mode='nearest')
+            else:
+                scalar[:] = gaussian_filter(scalar, smoothing,
+                                            mode='nearest')
+                adder[:] = gaussian_filter(adder, smoothing,
+                                           mode='nearest')
+    return scalar, adder
+
+
+def local_linear_bc(data, lat_lon, feature_name, bias_fp,
+                    lr_padded_slice=None, out_range=None, smoothing=0,
+                    threshold=0.1):
+    """Site-by-site scalar/adder correction (reference:
+    bias_transforms.py:251)."""
+    out = _get_spatial_bc_factors(lat_lon, feature_name, bias_fp,
+                                  threshold)
+    scalar, adder = np.array(out['scalar']), np.array(out['adder'])
+    if scalar.ndim == 3:
+        scalar = scalar.mean(axis=-1)
+        adder = adder.mean(axis=-1)
+    if lr_padded_slice is not None:
+        spatial = (lr_padded_slice[0], lr_padded_slice[1])
+        scalar, adder = scalar[spatial], adder[spatial]
+    if np.isnan(scalar).any() or np.isnan(adder).any():
+        warn(f'NaNs in bias factors for "{feature_name}"')
+    scalar, adder = _smooth_factors(scalar, adder, smoothing)
+    out = data * scalar[..., None] + adder[..., None]
+    if out_range is not None:
+        out = np.clip(out, np.min(out_range), np.max(out_range))
+    return out.astype(np.float32)
+
+
+def monthly_local_linear_bc(data, lat_lon, feature_name, bias_fp,
+                            date_range_kwargs, lr_padded_slice=None,
+                            temporal_avg=True, out_range=None,
+                            smoothing=0, scalar_range=None,
+                            adder_range=None, threshold=0.1):
+    """Monthly scalar/adder correction: factor rasters are (s1, s2, 12)
+    indexed by the chunk's months (reference: bias_transforms.py:351)."""
+    time_index = make_time_index_from_kws(date_range_kwargs)
+    out = _get_spatial_bc_factors(lat_lon, feature_name, bias_fp,
+                                  threshold)
+    scalar, adder = np.array(out['scalar']), np.array(out['adder'])
+    assert scalar.ndim == 3 and adder.ndim == 3, (
+        'Monthly bias correction needs 3D factors')
+    if lr_padded_slice is not None:
+        spatial = (lr_padded_slice[0], lr_padded_slice[1])
+        scalar, adder = scalar[spatial], adder[spatial]
+    imonths = time_index.month.values - 1
+    scalar = scalar[..., imonths]
+    adder = adder[..., imonths]
+    if temporal_avg:
+        scalar = scalar.mean(axis=-1)[..., None]
+        adder = adder.mean(axis=-1)[..., None]
+        if len(set(time_index.month)) > 1:
+            warn('Using monthly bias correction with temporal_avg over '
+                 'multiple months; consider temporal_avg=False')
+    scalar, adder = _smooth_factors(scalar, adder, smoothing)
+    if scalar_range is not None:
+        scalar = np.clip(scalar, *scalar_range)
+    if adder_range is not None:
+        adder = np.clip(adder, *adder_range)
+    out = data * scalar + adder
+    if out_range is not None:
+        out = np.clip(out, np.min(out_range), np.max(out_range))
+    return out.astype(np.float32)
+
+
+def window_mask(doy, d0, window_size):
+    """Bool index of days-of-year within a (wrapping) window around d0
+    (reference: sup3r/bias/qdm.py:583)."""
+    d_start = d0 - window_size / 2
+    d_end = d0 + window_size / 2
+    if d_start < 0:
+        return (doy > 365 + d_start) | (doy < d_end)
+    if d_end > 365:
+        return (doy > d_start) | (doy < d_end - 365)
+    return (doy > d_start) & (doy < d_end)
+
+
+def _apply_qdm_windowed(data, time_index, base_params, bias_params,
+                        bias_fut_params, time_window_center,
+                        relative=True, sampling='linear', log_base=10,
+                        no_trend=False, delta_denom_min=None,
+                        delta_denom_zero=None, delta_range=None):
+    """Apply QDM per day-of-year window. params are (s1, s2, T, N)."""
+    s1, s2, t = data.shape
+    output = np.full_like(data, np.nan, dtype=np.float32)
+    window_size = 365 / len(time_window_center)
+    doy = time_index.dayofyear.values
+    for nt, d0 in enumerate(time_window_center):
+        mask = window_mask(doy, d0, window_size)
+        if not mask.any():
+            continue
+        qdm = QuantileDeltaMapping(
+            params_oh=base_params[:, :, nt].reshape(
+                s1 * s2, -1),
+            params_mh=bias_params[:, :, nt].reshape(s1 * s2, -1),
+            params_mf=(None if no_trend
+                       else bias_fut_params[:, :, nt].reshape(
+                           s1 * s2, -1)),
+            relative=relative, sampling=sampling, log_base=log_base,
+            delta_denom_min=delta_denom_min,
+            delta_denom_zero=delta_denom_zero, delta_range=delta_range)
+        subset = data[:, :, mask].reshape(s1 * s2, -1).T  # (T_w, S)
+        corrected = qdm(subset)
+        output[:, :, mask] = corrected.T.reshape(s1, s2, -1)
+    return output
+
+
+def local_qdm_bc(data, lat_lon, base_dset, feature_name, bias_fp,
+                 date_range_kwargs, lr_padded_slice=None,
+                 threshold=0.1, relative=True, no_trend=False,
+                 delta_denom_min=None, delta_denom_zero=None,
+                 delta_range=None, out_range=None, max_workers=1):
+    """Quantile delta mapping using pre-calculated windowed empirical
+    CDFs (reference: bias_transforms.py:622)."""
+    assert data.ndim == 3, f'Expected 3D data, got {data.shape}'
+    time_index = make_time_index_from_kws(date_range_kwargs)
+    assert data.shape[-1] == time_index.size, (
+        f'Data time axis {data.shape[-1]} != time index '
+        f'{time_index.size}')
+    params = _get_spatial_bc_quantiles(lat_lon, base_dset, feature_name,
+                                       bias_fp, threshold)
+    base = np.asarray(params['base'])
+    bias = np.asarray(params['bias'])
+    bias_fut = np.asarray(params['bias_fut'])
+    cfg = params['cfg']
+    if lr_padded_slice is not None:
+        spatial = (lr_padded_slice[0], lr_padded_slice[1])
+        base, bias, bias_fut = (base[spatial], bias[spatial],
+                                bias_fut[spatial])
+    out = _apply_qdm_windowed(
+        np.asarray(data), time_index, base, bias, bias_fut,
+        cfg['time_window_center'], relative=relative,
+        sampling=cfg.get('sampling', 'linear'),
+        log_base=cfg.get('log_base', 10), no_trend=no_trend,
+        delta_denom_min=delta_denom_min,
+        delta_denom_zero=delta_denom_zero, delta_range=delta_range)
+    if out_range is not None:
+        out = np.clip(out, np.min(out_range), np.max(out_range))
+    return out
+
+
+def _get_spatial_bc_presrat(lat_lon, base_dset, feature_name, bias_fp,
+                            threshold=0.1):
+    return _read_factor_file(
+        bias_fp,
+        {'base': f'base_{base_dset}_params',
+         'bias': f'bias_{feature_name}_params',
+         'bias_fut': f'bias_fut_{feature_name}_params',
+         'bias_tau_fut': f'{feature_name}_tau_fut',
+         'k_factor': f'{feature_name}_k_factor'},
+        lat_lon, threshold)
+
+
+def local_presrat_bc(data, lat_lon, base_dset, feature_name, bias_fp,
+                     date_range_kwargs, lr_padded_slice=None,
+                     threshold=0.1, relative=True, no_trend=False,
+                     delta_denom_min=None, delta_denom_zero=None,
+                     delta_range=None, k_range=None, out_range=None,
+                     max_workers=1):
+    """PresRat: QDM + zero-rate preservation + K-factor mean-trend
+    preservation (reference: bias_transforms.py:958)."""
+    time_index = make_time_index_from_kws(date_range_kwargs)
+    assert data.ndim == 3
+    assert data.shape[-1] == time_index.size
+    params = _get_spatial_bc_presrat(lat_lon, base_dset, feature_name,
+                                     bias_fp, threshold)
+    cfg = params['cfg']
+    base = np.asarray(params['base'])
+    bias = np.asarray(params['bias'])
+    bias_fut = np.asarray(params['bias_fut'])
+    bias_tau_fut = np.asarray(params['bias_tau_fut'])
+    k_factor = np.asarray(params['k_factor'])
+    if k_range is not None:
+        k_factor = np.clip(k_factor, *k_range)
+    if lr_padded_slice is not None:
+        spatial = (lr_padded_slice[0], lr_padded_slice[1])
+        base, bias, bias_fut = (base[spatial], bias[spatial],
+                                bias_fut[spatial])
+        bias_tau_fut = bias_tau_fut[spatial]
+        k_factor = k_factor[spatial]
+
+    time_window_center = cfg['time_window_center']
+    data_unbiased = _apply_qdm_windowed(
+        np.asarray(data), time_index, base, bias, bias_fut,
+        time_window_center, relative=relative,
+        sampling=cfg.get('sampling', 'linear'),
+        log_base=cfg.get('log_base', 10), no_trend=no_trend,
+        delta_denom_min=delta_denom_min,
+        delta_denom_zero=delta_denom_zero, delta_range=delta_range)
+
+    # zero-rate preservation
+    data_unbiased = np.where(
+        data_unbiased < bias_tau_fut[..., :1], 0, data_unbiased)
+    # K factor per time window
+    window_size = 365 / len(time_window_center)
+    doy = time_index.dayofyear.values
+    for nt, d0 in enumerate(time_window_center):
+        mask = window_mask(doy, d0, window_size)
+        if mask.any():
+            data_unbiased[:, :, mask] *= k_factor[:, :, nt:nt + 1]
+    if out_range is not None:
+        data_unbiased = np.clip(data_unbiased, np.min(out_range),
+                                np.max(out_range))
+    if data_unbiased.std() == 0:
+        warn(f'Presrat output for {feature_name} is constant!')
+    return data_unbiased.astype(np.float32)
