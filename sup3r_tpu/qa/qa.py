@@ -1,0 +1,153 @@
+"""Sup3rQa: re-coarsen synthetic output and difference against the
+low-res source.
+
+Reference parity: sup3r/qa/qa.py:40-513 (coarsening :331-376, error
+calc :467-513, bias-corrected input option :243).
+"""
+
+import logging
+import os
+
+import h5py
+import numpy as np
+
+from sup3r_tpu.ops import spatial_coarsening, temporal_coarsening
+from sup3r_tpu.preprocessing.data_handlers import get_input_handler_class
+from sup3r_tpu.preprocessing.loaders import LoaderH5, get_source_type
+
+logger = logging.getLogger(__name__)
+
+
+class Sup3rQa:
+    """Quality assurance of a forward-pass output file vs its source."""
+
+    def __init__(self, source_file_paths, out_file_path, s_enhance,
+                 t_enhance, temporal_coarsening_method='average',
+                 features=None, input_handler_name=None,
+                 input_handler_kwargs=None, bias_correct_method=None,
+                 bias_correct_kwargs=None, qa_fp=None):
+        self.s_enhance = s_enhance
+        self.t_enhance = t_enhance
+        self.t_method = temporal_coarsening_method
+        self.qa_fp = qa_fp
+        self.output_type = get_source_type(out_file_path)
+        self.out_file_path = out_file_path
+
+        # synthetic output
+        if self.output_type == 'h5':
+            self.output_handler = LoaderH5(out_file_path)
+            out_features = self.output_handler.features
+        else:
+            from sup3r_tpu.preprocessing.loaders import LoaderNC
+
+            self.output_handler = LoaderNC(out_file_path)
+            out_features = self.output_handler.data.features
+        self.features = features or [
+            f for f in out_features
+            if f not in ('topography',)]
+
+        # source (low-res) data
+        HandlerClass = get_input_handler_class(input_handler_name)
+        source_features = [self._source_feature(f)
+                           for f in self.features]
+        flat_source = [f for grp in source_features
+                       for f in (grp if isinstance(grp, list)
+                                 else [grp])]
+        self.input_handler = HandlerClass(
+            source_file_paths, features=flat_source,
+            **(input_handler_kwargs or {}))
+
+        self.bias_correct_method = bias_correct_method
+        self.bias_correct_kwargs = bias_correct_kwargs or {}
+        if bias_correct_method is not None:
+            from sup3r_tpu.bias.utilities import bias_correct_features
+
+            self.input_handler.data.data = bias_correct_features(
+                list(self.bias_correct_kwargs),
+                self.input_handler.data.data,
+                self.input_handler.data.features,
+                self.input_handler.lat_lon,
+                self.input_handler.time_index,
+                bias_correct_method, self.bias_correct_kwargs)
+
+    def _source_feature(self, feature):
+        """Source feature name(s) for an output feature: windspeed_100m
+        output comes from u/v_100m source (reference: qa.py:282)."""
+        if feature.startswith('windspeed_'):
+            h = feature.split('_')[-1]
+            return [f'u_{h}', f'v_{h}']
+        if feature.startswith('winddirection_'):
+            h = feature.split('_')[-1]
+            return [f'u_{h}', f'v_{h}']
+        return feature
+
+    def get_dset_out(self, name):
+        """(s1, s2, t) synthetic data for one feature."""
+        if self.output_type == 'h5':
+            flat = self.output_handler.get(name)  # (t, sites)
+            s1, s2 = self.input_handler.lat_lon.shape[:2]
+            s1 *= self.s_enhance
+            s2 *= self.s_enhance
+            return flat.T.reshape(s1, s2, -1)
+        return np.asarray(self.output_handler.data[name])
+
+    def coarsen_data(self, data):
+        """HR (s1, s2, t) -> LR by block mean + temporal reduction."""
+        out = spatial_coarsening(data[..., None], self.s_enhance,
+                                 obs_axis=False)[..., 0]
+        if self.t_enhance > 1:
+            out = temporal_coarsening(
+                out[None, ..., None], self.t_enhance,
+                self.t_method)[0, ..., 0]
+        return out
+
+    def get_source_dset(self, feature):
+        """(s1, s2, t) source data for one output feature."""
+        source = self._source_feature(feature)
+        if isinstance(source, list):
+            from sup3r_tpu.ops import invert_uv
+
+            u = self.input_handler.data[source[0]]
+            v = self.input_handler.data[source[1]]
+            ws, wd = invert_uv(u, v, self.input_handler.lat_lon)
+            return ws if feature.startswith('windspeed') else wd
+        return self.input_handler.data[feature]
+
+    def run(self):
+        """Compute per-feature error arrays; optionally write qa_fp."""
+        errors = {}
+        for feature in self.features:
+            synth = self.get_dset_out(feature)
+            coarse = self.coarsen_data(synth)
+            source = np.asarray(self.get_source_dset(feature))
+            t = min(coarse.shape[2], source.shape[2])
+            err = coarse[:, :, :t] - source[:, :, :t]
+            errors[f'{feature}_error'] = err.astype(np.float32)
+            logger.info('QA "%s": mean abs error %.4f', feature,
+                        float(np.abs(err).mean()))
+        if self.qa_fp is not None:
+            self.export(self.qa_fp, errors)
+        return errors
+
+    def export(self, qa_fp, errors):
+        """Write error arrays to an h5 file."""
+        os.makedirs(os.path.dirname(os.path.abspath(qa_fp)),
+                    exist_ok=True)
+        with h5py.File(qa_fp, 'w') as f:
+            lat_lon = self.input_handler.lat_lon
+            f.create_dataset('latitude', data=lat_lon[..., 0])
+            f.create_dataset('longitude', data=lat_lon[..., 1])
+            for k, v in errors.items():
+                f.create_dataset(k, data=v)
+        logger.info('Wrote QA file %s', qa_fp)
+
+    def close(self):
+        """Close handles."""
+        if hasattr(self.output_handler, 'close'):
+            self.output_handler.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,285 @@
+"""Solar module: GAN clearsky_ratio chunks + NSRDB clearsky data ->
+GHI / DNI / DHI irradiance files.
+
+Reference parity: sup3r/solar/solar.py:29-650 (KDTree agg :156,
+tz roll :215, GHI :298, DNI via DISC :315, DHI closure :340,
+get_sup3r_fps padded file triplets :404, run_temporal_chunks :584).
+"""
+
+import logging
+import os
+from glob import glob
+
+import h5py
+import numpy as np
+import pandas as pd
+from scipy.spatial import cKDTree
+
+from sup3r_tpu.preprocessing.loaders import LoaderH5, expand_paths
+from sup3r_tpu.solar.disc import calc_dhi, dark_night, disc
+from sup3r_tpu.utilities import get_dset_attrs
+
+logger = logging.getLogger(__name__)
+
+
+class Solar:
+    """Compute irradiance for one spatiotemporal chunk of GAN csr
+    output."""
+
+    def __init__(self, sup3r_fps, nsrdb_fp, t_slice=slice(None), tz=-6,
+                 agg_factor=1, nn_threshold=0.5, cloud_threshold=0.99):
+        """
+        Parameters
+        ----------
+        sup3r_fps : str | list
+            One or more (temporally sequential, same spatial chunk) GAN
+            output h5 files with a clearsky_ratio dataset.
+        nsrdb_fp : str
+            NSRDB file with clearsky_ghi/clearsky_dni,
+            solar_zenith_angle and surface_pressure.
+        t_slice : slice
+            Temporal slice applied AFTER the tz roll (pads the UTC
+            conversion when 3 daily files are passed).
+        tz : int
+            Timezone offset of the (local-time) GAN output.
+        agg_factor : int
+            Number of NSRDB neighbors to average per GAN site.
+        nn_threshold : float
+            Max degree distance to an NSRDB neighbor; farther sites
+            output zero irradiance.
+        cloud_threshold : float
+            clearsky_ratio below this is considered cloudy (DISC DNI).
+        """
+        self.sup3r_fps = ([sup3r_fps] if isinstance(sup3r_fps, str)
+                          else list(sup3r_fps))
+        self.nsrdb_fp = nsrdb_fp
+        self.t_slice = t_slice
+        self.tz = tz
+        self.agg_factor = agg_factor
+        self.nn_threshold = nn_threshold
+        self.cloud_threshold = cloud_threshold
+
+        self.gan_data = LoaderH5(self.sup3r_fps)
+        self.nsrdb = LoaderH5(nsrdb_fp)
+        self._cache = {}
+        self._compute_nn()
+
+    def close(self):
+        """Close file handles."""
+        self.gan_data.close()
+        self.nsrdb.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def _compute_nn(self):
+        tree = cKDTree(self.nsrdb.lat_lon_flat)
+        dist, idnn = tree.query(self.gan_data.lat_lon_flat,
+                                k=self.agg_factor)
+        if idnn.ndim == 1:
+            dist, idnn = dist[:, None], idnn[:, None]
+        self.dist = dist
+        self.idnn = idnn
+
+    @property
+    def out_of_bounds(self):
+        """Sites too far from any NSRDB neighbor."""
+        return (self.dist > self.nn_threshold).any(axis=1)
+
+    @property
+    def gan_time_index(self):
+        """Full GAN output time index (pre slice)."""
+        return self.gan_data.time_index
+
+    @property
+    def time_index(self):
+        """Output (sliced) time index."""
+        return self.gan_time_index[self.t_slice]
+
+    @property
+    def nsrdb_tslice(self):
+        """NSRDB time rows matching the GAN output days at hourly step
+        (reference: solar.py:228)."""
+        if 'nsrdb_tslice' not in self._cache:
+            doy_n = self.nsrdb.time_index.dayofyear
+            doy_g = self.time_index.dayofyear
+            mask = np.isin(doy_n, doy_g)
+            if mask.sum() == 0:
+                raise RuntimeError(
+                    'No common days between NSRDB and GAN time index')
+            ilocs = np.where(mask)[0]
+            t0, t1 = ilocs[0], ilocs[-1] + 1
+            ti = self.nsrdb.time_index
+            delta = (ti[1] - ti[0]).total_seconds()
+            step = int(3600 / delta)
+            self._cache['nsrdb_tslice'] = slice(t0, t1, step)
+        return self._cache['nsrdb_tslice']
+
+    def get_nsrdb_data(self, dset):
+        """(time, gan_sites) NSRDB data agg'd over neighbors."""
+        out = None
+        for i in range(self.idnn.shape[1]):
+            temp = self.nsrdb.get(dset, self.nsrdb_tslice,
+                                  None)[:, self.idnn[:, i]]
+            out = temp if out is None else out + temp
+        return out / self.idnn.shape[1]
+
+    # ------------------------------------------------------------------
+    @property
+    def clearsky_ratio(self):
+        """(time, sites) csr rolled from local time to UTC and sliced."""
+        if 'csr' not in self._cache:
+            csr = self.gan_data.get('clearsky_ratio')
+            csr = np.roll(csr, -self.tz, axis=0)
+            if self.tz < 0:
+                csr[:-self.tz, :] = csr[-self.tz, :]
+            self._cache['csr'] = csr[self.t_slice, :]
+        return self._cache['csr']
+
+    @property
+    def solar_zenith_angle(self):
+        """(time, sites) zenith from NSRDB."""
+        if 'sza' not in self._cache:
+            self._cache['sza'] = self.get_nsrdb_data(
+                'solar_zenith_angle')
+        return self._cache['sza']
+
+    @property
+    def cloud_mask(self):
+        """True where the GAN says cloudy."""
+        return self.clearsky_ratio < self.cloud_threshold
+
+    @property
+    def ghi(self):
+        """GHI = csr * clearsky GHI (reference: solar.py:298)."""
+        if 'ghi' not in self._cache:
+            ghi = self.get_nsrdb_data('clearsky_ghi') \
+                * self.clearsky_ratio
+            ghi[:, self.out_of_bounds] = 0
+            self._cache['ghi'] = ghi
+        return self._cache['ghi']
+
+    @property
+    def dni(self):
+        """Clearsky DNI where clear; DISC-model DNI where cloudy."""
+        if 'dni' not in self._cache:
+            dni = self.get_nsrdb_data('clearsky_dni')
+            pressure = (self.get_nsrdb_data('surface_pressure')
+                        if 'surface_pressure' in self.nsrdb.features
+                        else 101325.0)
+            doy = self.time_index.dayofyear.values
+            cloudy = disc(self.ghi, self.solar_zenith_angle, doy,
+                          pressure=pressure)
+            cloudy = np.minimum(dni, cloudy)
+            mask = self.cloud_mask
+            dni = np.where(mask, cloudy, dni)
+            dni = dark_night(dni, self.solar_zenith_angle)
+            dni[:, self.out_of_bounds] = 0
+            self._cache['dni'] = dni
+        return self._cache['dni']
+
+    @property
+    def dhi(self):
+        """DHI from the GHI/DNI/zenith closure."""
+        if 'dhi' not in self._cache:
+            dhi, dni = calc_dhi(self.dni, self.ghi,
+                                self.solar_zenith_angle)
+            dhi = dark_night(dhi, self.solar_zenith_angle)
+            dhi[:, self.out_of_bounds] = 0
+            self._cache['dhi'] = dhi
+            self._cache['dni'] = dni
+        return self._cache['dhi']
+
+    # ------------------------------------------------------------------
+    def write(self, fp_out, features=('ghi', 'dni', 'dhi')):
+        """Write irradiance h5 with meta + time index."""
+        os.makedirs(os.path.dirname(os.path.abspath(fp_out)),
+                    exist_ok=True)
+        tmp = fp_out + '.tmp'
+        with h5py.File(tmp, 'w') as f:
+            meta = self.gan_data.meta.to_records(index=False)
+            f.create_dataset('meta', data=meta)
+            f.create_dataset('time_index', data=np.array(
+                [str(t).encode() for t in self.time_index]))
+            for feat in features:
+                attrs, dtype = get_dset_attrs(feat)
+                arr = getattr(self, feat)
+                scale = attrs.get('scale_factor', 1.0)
+                ds = f.create_dataset(
+                    feat, data=np.round(arr * scale).astype(dtype)
+                    if 'int' in str(dtype) else arr.astype(dtype))
+                for k, v in attrs.items():
+                    ds.attrs[k] = v
+        os.replace(tmp, fp_out)
+        logger.info('Wrote solar irradiance file %s', fp_out)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def get_sup3r_fps(fp_pattern, ignore=None):
+        """Group chunk files into overlapping temporal triplets per
+        spatial chunk (reference: solar.py:404-498)."""
+        all_fps = [fp for fp in expand_paths(fp_pattern)
+                   if fp.endswith('.h5')]
+        if ignore is not None:
+            all_fps = [fp for fp in all_fps
+                       if ignore not in os.path.basename(fp)]
+        all_fps = sorted(all_fps)
+        source_dir = os.path.dirname(all_fps[0])
+        base = '_'.join(os.path.basename(all_fps[0]).replace(
+            '.h5', '').split('_')[:-2])
+        t_ids = sorted({os.path.basename(fp).replace('.h5', '').split(
+            '_')[-2] for fp in all_fps})
+        s_ids = sorted({os.path.basename(fp).replace('.h5', '').split(
+            '_')[-1] for fp in all_fps})
+
+        fp_sets, t_slices, temporal_ids, spatial_ids, target_fps = (
+            [], [], [], [], [])
+        for idt, id_t in enumerate(t_ids):
+            start = 0
+            chunk_t_ids = [id_t]
+            if idt > 0:
+                start = 24
+                chunk_t_ids.insert(0, t_ids[idt - 1])
+            if idt < len(t_ids) - 1:
+                chunk_t_ids.append(t_ids[idt + 1])
+            for id_s in s_ids:
+                fp_set = [
+                    os.path.join(source_dir, f'{base}_{t}_{id_s}.h5')
+                    for t in chunk_t_ids]
+                fp_sets.append(fp_set)
+                t_slices.append(slice(start, start + 24))
+                temporal_ids.append(id_t)
+                spatial_ids.append(id_s)
+                target_fps.append(os.path.join(
+                    source_dir, f'{base}_{id_t}_{id_s}.h5'))
+        return fp_sets, t_slices, temporal_ids, spatial_ids, target_fps
+
+    @classmethod
+    def run_temporal_chunks(cls, fp_pattern, nsrdb_fp,
+                            fp_out_suffix='irradiance', tz=-6,
+                            agg_factor=1, nn_threshold=0.5,
+                            cloud_threshold=0.99, features=('ghi',
+                                                            'dni',
+                                                            'dhi'),
+                            temporal_ids=None):
+        """Run irradiance for all (or selected) temporal chunks."""
+        out = cls.get_sup3r_fps(fp_pattern, ignore=f'_{fp_out_suffix}')
+        fp_sets, t_slices, t_ids, _, target_fps = out
+        written = []
+        for fp_set, t_slice, t_id, target in zip(fp_sets, t_slices,
+                                                 t_ids, target_fps):
+            if temporal_ids is not None and t_id not in temporal_ids:
+                continue
+            fp_out = target.replace('.h5', f'_{fp_out_suffix}.h5')
+            if os.path.exists(fp_out):
+                continue
+            with cls(fp_set, nsrdb_fp, t_slice=t_slice, tz=tz,
+                     agg_factor=agg_factor, nn_threshold=nn_threshold,
+                     cloud_threshold=cloud_threshold) as solar:
+                solar.write(fp_out, features=features)
+            written.append(fp_out)
+        return written
