@@ -1,0 +1,267 @@
+"""sup3r-tpu command line interface.
+
+Reference parity: sup3r/cli.py:21-461 (click group with forward-pass,
+solar, bias-calc, data-collect, qa, pipeline, batch commands driven by
+JSON configs with an execution_control block).
+"""
+
+import itertools
+import json
+import logging
+import os
+
+import click
+
+import sup3r_tpu
+from sup3r_tpu.utilities.cli import BaseCLI, Status, load_config
+
+logger = logging.getLogger(__name__)
+
+
+def _node_cmd(module, config, node_index, run_dir):
+    """python -c command running one node of a module, reading its
+    config from a file (robust to shell quoting; analogous to the
+    reference's get_node_cmd strings, reference:
+    sup3r/pipeline/forward_pass.py:339-382)."""
+    cfg = dict(config)
+    cfg['node_index'] = node_index
+    cfg.pop('execution_control', None)
+    cfg.pop('run_dir', None)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg_fp = os.path.join(run_dir, f'.{module}_node{node_index}.json')
+    with open(cfg_fp, 'w') as f:
+        json.dump(cfg, f)
+    runners = {
+        'forward-pass': (
+            'from sup3r_tpu.pipeline import ForwardPass, '
+            'ForwardPassStrategy;'
+            'node = cfg.pop(\'node_index\');'
+            'strategy = ForwardPassStrategy(**cfg);'
+            'ForwardPass.run(strategy, node)'),
+        'solar': (
+            'from sup3r_tpu.solar import Solar;'
+            'cfg.pop(\'node_index\');'
+            'Solar.run_temporal_chunks(**cfg)'),
+        'data-collect': (
+            'from sup3r_tpu.postprocessing.collectors import '
+            'CollectorH5, CollectorNC;'
+            'cfg.pop(\'node_index\');'
+            'cls = CollectorH5 if str(cfg.get(\'out_file\')).endswith'
+            '(\'.h5\') else CollectorNC;'
+            'cls.collect(**cfg)'),
+        'qa': (
+            'from sup3r_tpu.qa import Sup3rQa;'
+            'cfg.pop(\'node_index\');'
+            'Sup3rQa(**cfg).run()'),
+    }
+    body = runners[module]
+    # SUP3R_TPU_PLATFORM lets tests/CI pin node subprocesses to CPU
+    # (this image pins JAX_PLATFORMS=axon via sitecustomize, so plain
+    # env overrides do not work — see .claude/skills/verify/SKILL.md)
+    prefix = (
+        "import os, json;"
+        "p = os.environ.get('SUP3R_TPU_PLATFORM');"
+        "import jax;"
+        "jax.config.update('jax_platforms', p) if p else None;")
+    return (
+        f'python -c "{prefix} cfg = json.load(open({cfg_fp!r})); '
+        f'{body}"')
+
+
+@click.group()
+@click.version_option(version=sup3r_tpu.__version__)
+@click.option('--config_file', '-c', default=None,
+              type=click.Path(exists=True),
+              help='JSON config file for the requested command.')
+@click.option('-v', '--verbose', is_flag=True)
+@click.pass_context
+def main(ctx, config_file, verbose):
+    """sup3r-tpu: TPU-native super resolution for renewable resource
+    data."""
+    ctx.ensure_object(dict)
+    ctx.obj['CONFIG_FILE'] = config_file
+    level = logging.DEBUG if verbose else logging.INFO
+    logging.basicConfig(level=level)
+
+
+def _get_config(ctx):
+    config_file = ctx.obj.get('CONFIG_FILE')
+    if config_file is None:
+        raise click.UsageError(
+            'A config file is required: sup3r-tpu -c config.json '
+            '<command>')
+    config = load_config(config_file)
+    config.setdefault('run_dir',
+                      os.path.dirname(os.path.abspath(config_file)))
+    return config
+
+
+@main.command()
+@click.pass_context
+def forward_pass(ctx):
+    """Run chunked forward passes from a config."""
+    from sup3r_tpu.pipeline import ForwardPassStrategy
+
+    config = _get_config(ctx)
+    run_cfg = {k: v for k, v in config.items()
+               if k not in ('execution_control', 'run_dir',
+                            'max_nodes_cli')}
+    strategy = ForwardPassStrategy(**run_cfg)
+    n_nodes = len(strategy.node_chunks)
+    cmds = [_node_cmd('forward-pass', run_cfg, i,
+                      config['run_dir']) for i in range(n_nodes)]
+    codes = BaseCLI.kickoff_jobs('forward-pass', cmds, config)
+    if any(codes):
+        raise click.ClickException('Some forward-pass jobs failed')
+
+
+@main.command()
+@click.pass_context
+def solar(ctx):
+    """Run the solar irradiance module from a config."""
+    config = _get_config(ctx)
+    run_cfg = {k: v for k, v in config.items()
+               if k not in ('execution_control', 'run_dir')}
+    cmds = [_node_cmd('solar', run_cfg, 0, config['run_dir'])]
+    codes = BaseCLI.kickoff_jobs('solar', cmds, config)
+    if any(codes):
+        raise click.ClickException('Solar job failed')
+
+
+@main.command()
+@click.pass_context
+def bias_calc(ctx):
+    """Run bias calculations: config has a list of 'jobs' each with
+    'bias_calc_class' + kwargs."""
+    import sup3r_tpu.bias as bias_mod
+
+    config = _get_config(ctx)
+    status = Status(config['run_dir'])
+    for i, job in enumerate(config['jobs']):
+        job = dict(job)
+        cls_name = job.pop('bias_calc_class')
+        fp_out = job.pop('fp_out', None)
+        run_kwargs = job.pop('run_kwargs', {})
+        cls = getattr(bias_mod, cls_name)
+        status.update('bias-calc', f'bias_calc_{i}',
+                      job_status='running')
+        try:
+            calc = cls(**job)
+            calc.run(fp_out=fp_out, **run_kwargs)
+            status.update('bias-calc', f'bias_calc_{i}',
+                          job_status='successful')
+        except Exception as e:
+            status.update('bias-calc', f'bias_calc_{i}',
+                          job_status='failed', error=str(e))
+            raise
+
+
+@main.command()
+@click.pass_context
+def data_collect(ctx):
+    """Collect chunked output files into one file."""
+    config = _get_config(ctx)
+    run_cfg = {k: v for k, v in config.items()
+               if k not in ('execution_control', 'run_dir')}
+    cmds = [_node_cmd('data-collect', run_cfg, 0,
+                      config['run_dir'])]
+    codes = BaseCLI.kickoff_jobs('data-collect', cmds, config)
+    if any(codes):
+        raise click.ClickException('Collection failed')
+
+
+@main.command()
+@click.pass_context
+def qa(ctx):
+    """Run output QA from a config."""
+    config = _get_config(ctx)
+    run_cfg = {k: v for k, v in config.items()
+               if k not in ('execution_control', 'run_dir')}
+    cmds = [_node_cmd('qa', run_cfg, 0, config['run_dir'])]
+    codes = BaseCLI.kickoff_jobs('qa', cmds, config)
+    if any(codes):
+        raise click.ClickException('QA failed')
+
+
+@main.command()
+@click.option('--monitor', is_flag=True,
+              help='Run all steps to completion in order.')
+@click.option('--cancel', is_flag=True, help='(no-op placeholder)')
+@click.pass_context
+def pipeline(ctx, monitor, cancel):
+    """Run a multi-step pipeline config: {'pipeline': [{'forward-pass':
+    'cfg.json'}, {'data-collect': 'cfg.json'}, ...]} — each step runs
+    when its predecessor has succeeded (incremental restart via the
+    status file)."""
+    config = _get_config(ctx)
+    run_dir = config['run_dir']
+    status = Status(run_dir)
+    steps = config['pipeline']
+    commands = {
+        'forward-pass': forward_pass,
+        'solar': solar,
+        'bias-calc': bias_calc,
+        'data-collect': data_collect,
+        'qa': qa,
+    }
+    for step in steps:
+        (module, step_config_file), = step.items()
+        if status.module_successful(module):
+            logger.info('Pipeline step "%s" already successful.',
+                        module)
+            continue
+        logger.info('Running pipeline step "%s"', module)
+        step_ctx = click.Context(commands[module],
+                                 obj={'CONFIG_FILE': os.path.join(
+                                     run_dir, step_config_file)
+                                     if not os.path.isabs(
+                                         step_config_file)
+                                     else step_config_file})
+        with step_ctx:
+            commands[module].invoke(step_ctx)
+        if not monitor:
+            break
+
+
+@main.command()
+@click.option('--dry-run', is_flag=True,
+              help='Only create the batch project directories.')
+@click.pass_context
+def batch(ctx, dry_run):
+    """Permutation batching: config has 'sets' of [{'args': {k:
+    [v1, v2]}, 'files': [...]}] expanded into per-permutation project
+    directories (reference: gaps BatchJob semantics)."""
+    config = _get_config(ctx)
+    run_dir = config['run_dir']
+    for batch_set in config['sets']:
+        args = batch_set['args']
+        files = batch_set['files']
+        keys = list(args)
+        for combo in itertools.product(*[args[k] for k in keys]):
+            tag = '_'.join(f'{k}_{v}' for k, v in zip(keys, combo))
+            job_dir = os.path.join(run_dir, f'batch_{tag}')
+            os.makedirs(job_dir, exist_ok=True)
+            for fp in files:
+                src = (fp if os.path.isabs(fp)
+                       else os.path.join(run_dir, fp))
+                with open(src) as f:
+                    cfg = json.load(f)
+                cfg.update(dict(zip(keys, combo)))
+                with open(os.path.join(job_dir,
+                                       os.path.basename(fp)),
+                          'w') as f:
+                    json.dump(cfg, f, indent=2)
+            logger.info('Created batch dir %s', job_dir)
+            if not dry_run:
+                pipeline_fp = os.path.join(job_dir,
+                                           'config_pipeline.json')
+                if os.path.exists(pipeline_fp):
+                    step_ctx = click.Context(
+                        pipeline, obj={'CONFIG_FILE': pipeline_fp})
+                    with step_ctx:
+                        pipeline.invoke(step_ctx, monitor=True,
+                                        cancel=False)
+
+
+if __name__ == '__main__':
+    main(obj={})

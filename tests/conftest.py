@@ -11,6 +11,8 @@ if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# node subprocesses spawned by the CLI honor this (see sup3r_tpu/cli.py)
+os.environ['SUP3R_TPU_PLATFORM'] = 'cpu'
 
 import jax  # noqa: E402
 

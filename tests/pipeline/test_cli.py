@@ -1,0 +1,116 @@
+"""CLI + pipeline orchestration tests (mirror reference
+tests/pipeline/test_pipeline.py + test_cli.py with local execution)."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from sup3r_tpu.cli import main
+from sup3r_tpu.utilities.cli import Status
+from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+from tests.forward_pass.test_forward_pass import (
+    _s_gen_config,
+    _save_model,
+)
+
+
+@pytest.fixture
+def fwp_setup(tmp_path):
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (10, 10, 4), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,
+                               is_5d=False)
+    out_pattern = str(tmp_path / 'out' / 'chunk_{file_id}.h5')
+    fwp_config = {
+        'file_paths': input_file,
+        'model_kwargs': {'model_dir': model_dir},
+        'model_class': 'Sup3rGan',
+        'fwp_chunk_shape': [5, 5, 4],
+        'spatial_pad': 1,
+        'temporal_pad': 0,
+        'out_pattern': out_pattern,
+        'execution_control': {'option': 'local'},
+    }
+    fwp_fp = str(tmp_path / 'config_fwp.json')
+    with open(fwp_fp, 'w') as f:
+        json.dump(fwp_config, f)
+    return tmp_path, fwp_fp, out_pattern
+
+
+def test_cli_forward_pass(fwp_setup):
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', fwp_fp, 'forward-pass'],
+                           obj={})
+    assert result.exit_code == 0, result.output
+    out_files = sorted((tmp_path / 'out').glob('*.h5'))
+    assert len(out_files) == 4
+    status = Status(str(tmp_path)).read()
+    assert status['forward-pass']
+    assert all(j['job_status'] == 'successful'
+               for j in status['forward-pass'].values())
+
+
+def test_cli_pipeline_monitor(fwp_setup):
+    """forward-pass + data-collect pipeline runs to completion and a
+    re-run skips completed steps."""
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    collect_fp = str(tmp_path / 'config_collect.json')
+    out_file = str(tmp_path / 'collected.h5')
+    with open(collect_fp, 'w') as f:
+        json.dump({
+            'file_paths': out_pattern.replace('{file_id}', '*'),
+            'out_file': out_file,
+            'execution_control': {'option': 'local'},
+        }, f)
+    pipe_fp = str(tmp_path / 'config_pipeline.json')
+    with open(pipe_fp, 'w') as f:
+        json.dump({'pipeline': [
+            {'forward-pass': 'config_fwp.json'},
+            {'data-collect': 'config_collect.json'},
+        ]}, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--monitor'], obj={})
+    assert result.exit_code == 0, result.output
+    assert os.path.exists(out_file)
+    with h5py.File(out_file, 'r') as f:
+        assert 'windspeed_100m' in f
+        assert f['windspeed_100m'].shape == (4, 400)
+
+    # re-run skips everything (incremental)
+    result2 = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                   '--monitor'], obj={})
+    assert result2.exit_code == 0, result2.output
+
+
+def test_cli_batch_dry_run(tmp_path):
+    base_cfg = {'spatial_pad': 0, 'temporal_pad': 0}
+    cfg_fp = str(tmp_path / 'config_fwp.json')
+    with open(cfg_fp, 'w') as f:
+        json.dump(base_cfg, f)
+    batch_fp = str(tmp_path / 'config_batch.json')
+    with open(batch_fp, 'w') as f:
+        json.dump({'sets': [{
+            'args': {'spatial_pad': [1, 2], 'temporal_pad': [0, 1]},
+            'files': ['config_fwp.json'],
+        }]}, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', batch_fp, 'batch',
+                                  '--dry-run'], obj={})
+    assert result.exit_code == 0, result.output
+    dirs = sorted(p.name for p in tmp_path.glob('batch_*'))
+    assert len(dirs) == 4
+    with open(tmp_path / dirs[0] / 'config_fwp.json') as f:
+        cfg = json.load(f)
+    assert cfg['spatial_pad'] in (1, 2)
+
+
+def test_cli_requires_config():
+    runner = CliRunner()
+    result = runner.invoke(main, ['forward-pass'], obj={})
+    assert result.exit_code != 0
