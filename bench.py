@@ -4,11 +4,12 @@ the flagship spatiotemporal GAN (the BASELINE.md north-star metric).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference runs TF conv kernels on CPU nodes for inference
-(use_cpu=True default, reference: sup3r/pipeline/strategy.py:280). The
-recorded TF-CPU-equivalent throughput for this chunk workload is
-~2.1e5 HR voxels/sec/core-node (measured proxy; see BASELINE.md) —
-vs_baseline reports speedup over that number.
+Baseline: the reference runs TF conv kernels on CPU for inference
+(use_cpu=True default, reference: sup3r/pipeline/strategy.py:280).
+Measured in this image with raw-TF ops building the same 3x/4x ST-GAN
+architecture on the same (4, 12, 12, 12, 2) chunk batch:
+3.34e4 HR voxels/sec (single process, tf.function compiled).
+vs_baseline reports speedup over that measurement.
 """
 
 import json
@@ -47,7 +48,7 @@ def main():
 
     hr_voxels = int(np.prod(out.shape[:-1])) * n_iters
     voxels_per_sec = hr_voxels / dt
-    baseline = 2.1e5  # TF-CPU proxy, HR voxels/sec
+    baseline = 3.34e4  # measured TF-CPU, HR voxels/sec (see docstring)
     print(json.dumps({
         'metric': 'forward_pass_hr_voxels_per_sec_per_chip',
         'value': round(voxels_per_sec, 1),

@@ -1,0 +1,163 @@
+"""Inference-time network optimization: rewrite
+``FlexiblePadding(reflect) -> Conv(k3,s1) -> Cropping (-> LeakyReLU)``
+sequences into single fused Pallas kernels.
+
+Shape algebra (why this is exact): with inner reflect pad p and crop c,
+the retained output pixels only ever read a 1-pixel reflect halo:
+  * Conv(k3, valid):  centered window iff p = c + 1  (configs: p3/c2)
+  * ConvT(k3, valid): centered window of the spatially-flipped kernel
+    iff c = p + 1 (configs: p3/c4)
+so both reduce to a k3/s1 reflect-boundary conv, which
+``ops.pallas_kernels.reflect_conv`` computes in one VMEM-resident
+kernel. Inline 'relu' activations fold in as LeakyReLU(alpha=0).
+"""
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sup3r_tpu.models.layers import (
+    Activation,
+    Conv2D,
+    Conv2DTranspose,
+    Conv3D,
+    Conv3DTranspose,
+    Cropping2D,
+    Cropping3D,
+    FlexiblePadding,
+    Layer,
+    LeakyReLU,
+)
+from sup3r_tpu.ops.pallas_kernels import (
+    reflect_conv,
+    reflect_conv_reference,
+)
+
+logger = logging.getLogger(__name__)
+
+#: conservative VMEM budget for the fused kernel's resident buffers
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+class FusedReflectConv(Layer):
+    """Fused reflect-pad + k3 conv + crop + activation block."""
+
+    def __init__(self, n_spatial, alpha=None):
+        self.n_spatial = n_spatial
+        self.alpha = alpha
+
+    def out_shape(self, in_shape):
+        raise NotImplementedError(
+            'FusedReflectConv is created by fuse_network with existing '
+            'params; shape inference happens pre-fusion')
+
+    def _fits_vmem(self, x, c_out):
+        padded = np.prod([s + 2 for s in x.shape[1:-1]]) * x.shape[-1]
+        out = np.prod(x.shape[1:-1]) * c_out
+        weights = 3 ** self.n_spatial * x.shape[-1] * c_out
+        return 4 * (padded + out + weights) < _VMEM_BUDGET_BYTES
+
+    def apply(self, params, x, ctx):
+        kernel = params['kernel'].astype(x.dtype)
+        bias = params['bias'].astype(x.dtype)
+        use_pallas = (jax.default_backend() == 'tpu'
+                      and self._fits_vmem(x, kernel.shape[-1]))
+        if use_pallas:
+            return reflect_conv(x, kernel, bias, alpha=self.alpha)
+        return reflect_conv_reference(x, kernel, bias, alpha=self.alpha)
+
+
+def _inner_pads(pad_layer):
+    """Per-spatial-dim pad widths, or None if not all-equal reflect."""
+    if pad_layer.mode != 'reflect':
+        return None
+    inner = pad_layer.paddings[1:-1]
+    widths = {w for pair in inner for w in pair}
+    if len(widths) != 1:
+        return None
+    return len(inner), widths.pop()
+
+
+def fuse_network(layers, params):
+    """Rewrite fusable sequences; returns (new_layers, new_params).
+
+    Non-matching layers pass through untouched, so this is safe to run
+    on any network."""
+    new_layers, new_params = [], []
+    i = 0
+    n_fused = 0
+    while i < len(layers):
+        match = _match_sequence(layers, params, i)
+        if match is None:
+            new_layers.append(layers[i])
+            new_params.append(params[i])
+            i += 1
+            continue
+        fused_layer, fused_params, consumed = match
+        new_layers.append(fused_layer)
+        new_params.append(fused_params)
+        i += consumed
+        n_fused += 1
+    if n_fused:
+        logger.info('Fused %d reflect-conv blocks for inference',
+                    n_fused)
+    return new_layers, new_params
+
+
+def _match_sequence(layers, params, i):
+    """Try to match a fusable sequence starting at layer i."""
+    if not isinstance(layers[i], FlexiblePadding):
+        return None
+    pads = _inner_pads(layers[i])
+    if pads is None:
+        return None
+    n_spatial, p = pads
+    if i + 2 >= len(layers):
+        return None
+    conv = layers[i + 1]
+    crop = layers[i + 2]
+    conv_types = {2: (Conv2D, Conv2DTranspose),
+                  3: (Conv3D, Conv3DTranspose)}[n_spatial]
+    crop_type = {2: Cropping2D, 3: Cropping3D}[n_spatial]
+    if not isinstance(conv, conv_types) or not isinstance(
+            crop, crop_type):
+        return None
+    if conv.kernel_size != (3,) * n_spatial or conv.strides != (
+            1,) * n_spatial or conv.padding != 'VALID':
+        return None
+    crops = {w for pair in crop.crops for w in pair}
+    if len(crops) != 1:
+        return None
+    c = crops.pop()
+    is_transpose = conv.transpose
+    if is_transpose and c != p + 1:
+        return None
+    if not is_transpose and c != p - 1:
+        return None
+
+    # activation: inline on the conv, or a following LeakyReLU /
+    # Activation('relu') layer
+    alpha = None
+    consumed = 3
+    if conv._act is not None:
+        if getattr(conv, '_act') is not jax.nn.relu:
+            return None
+        alpha = 0.0
+    elif i + 3 < len(layers):
+        nxt = layers[i + 3]
+        if isinstance(nxt, LeakyReLU):
+            alpha = nxt.alpha
+            consumed = 4
+        elif isinstance(nxt, Activation) and nxt.name == 'relu':
+            alpha = 0.0
+            consumed = 4
+
+    # jax.lax.conv_transpose(stride 1, VALID) equals a full-padding
+    # conv with the SAME (unflipped) kernel, so both conv and convT
+    # fuse with the kernel as-is
+    fused_params = {'kernel': params[i + 1]['kernel'],
+                    'bias': params[i + 1]['bias']}
+    return FusedReflectConv(n_spatial, alpha=alpha), fused_params, \
+        consumed

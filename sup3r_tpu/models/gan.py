@@ -352,6 +352,10 @@ class Sup3rGan(AbstractSingleModel):
 
     # ------------------------------------------------------------------
     # inference
+    #: rewrite pad/conv/crop/act blocks into fused Pallas kernels for
+    #: generate() (exact; see sup3r_tpu.models.fuse)
+    inference_fuse = True
+
     def _get_gen_apply(self):
         if self._gen_apply_fn is None:
             gen = self._gen
@@ -361,6 +365,25 @@ class Sup3rGan(AbstractSingleModel):
 
             self._gen_apply_fn = jax.jit(apply)
         return self._gen_apply_fn
+
+    def _get_fused_apply(self):
+        """(jitted_fn, fused_params) with fused blocks; rebuilt when
+        gen_params changes identity."""
+        cached = getattr(self, '_fused_cache', None)
+        if cached is None or cached[0] is not self.gen_params:
+            from sup3r_tpu.models.fuse import fuse_network
+            from sup3r_tpu.models.network import Network
+
+            layers, fparams = fuse_network(self._gen.layers,
+                                           self.gen_params)
+            fnet = Network(layers)
+
+            def apply(params, x, exo):
+                return fnet.apply(params, x, exo=exo)
+
+            self._fused_cache = (self.gen_params, jax.jit(apply),
+                                 fparams)
+        return self._fused_cache[1], self._fused_cache[2]
 
     def _parse_exo_for_generate(self, exogenous_data, low_res_shape):
         """Accept either a simple {feature: array} dict or the structured
@@ -406,8 +429,12 @@ class Sup3rGan(AbstractSingleModel):
             if v.ndim == low_res.ndim - 1:
                 v = v[None] if v.shape[0] != low_res.shape[0] else v[..., None]
             fixed_exo[k] = v
-        out = self._get_gen_apply()(self.gen_params,
-                                    jnp.asarray(low_res), fixed_exo)
+        if self.inference_fuse:
+            apply_fn, fparams = self._get_fused_apply()
+            out = apply_fn(fparams, jnp.asarray(low_res), fixed_exo)
+        else:
+            out = self._get_gen_apply()(
+                self.gen_params, jnp.asarray(low_res), fixed_exo)
         out = np.asarray(out)
         if un_norm_out and self._means is not None:
             out = self.un_norm_output(out)

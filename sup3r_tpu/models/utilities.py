@@ -1,0 +1,65 @@
+"""Model-layer utilities: interruptible training sessions + profiling.
+
+Reference parity: sup3r/models/utilities.py:30-133 (TrainingSession,
+tensorboard profiling — here jax.profiler traces).
+"""
+
+import contextlib
+import logging
+import os
+import threading
+
+logger = logging.getLogger(__name__)
+
+
+class TrainingSession:
+    """Run model.train in a thread so Ctrl-C stops the batch handler
+    gracefully and saves progress (reference: models/utilities.py:30).
+    """
+
+    def __init__(self, batch_handler, model, **kwargs):
+        self.batch_handler = batch_handler
+        self.model = model
+        self.kwargs = kwargs
+        self._exc = None
+
+    def _target(self):
+        try:
+            self.model.train(self.batch_handler, **self.kwargs)
+        except Exception as e:  # surfaced in run()
+            self._exc = e
+
+    def run(self):
+        """Train until completion or KeyboardInterrupt."""
+        thread = threading.Thread(target=self._target, daemon=True)
+        thread.start()
+        try:
+            while thread.is_alive():
+                thread.join(timeout=0.5)
+        except KeyboardInterrupt:
+            logger.info('Interrupt received; stopping batch handler '
+                        'and saving model state')
+            self.batch_handler.stop()
+            thread.join(timeout=30)
+        if self._exc is not None:
+            raise self._exc
+        return self.model
+
+
+@contextlib.contextmanager
+def profile_to_dir(log_dir, enabled=True):
+    """jax.profiler trace context writing to ``log_dir`` (view with
+    tensorboard / xprof). TPU-native replacement for the reference's
+    tf.summary.trace hooks."""
+    if not enabled:
+        yield
+        return
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info('Wrote jax profiler trace to %s', log_dir)

@@ -112,6 +112,51 @@ DIM_NAMES = {
     'valid_time': Dimension.TIME,
 }
 
+# ERA5 variables available on a single (surface) level
+SFC_VARS = [
+    'surface_sensible_heat_flux',
+    '10m_u_component_of_wind',
+    '10m_v_component_of_wind',
+    '100m_u_component_of_wind',
+    '100m_v_component_of_wind',
+    'surface_pressure',
+    '2m_temperature',
+    'geopotential',
+    'total_precipitation',
+    'convective_available_potential_energy',
+    '2m_dewpoint_temperature',
+    'convective_inhibition',
+    'surface_latent_heat_flux',
+    'instantaneous_moisture_flux',
+    'mean_total_precipitation_rate',
+    'mean_sea_level_pressure',
+    'friction_velocity',
+    'lake_cover',
+    'high_vegetation_cover',
+    'land_sea_mask',
+    'k_index',
+    'forecast_surface_roughness',
+    'northward_turbulent_surface_stress',
+    'eastward_turbulent_surface_stress',
+    'sea_surface_temperature',
+    'instantaneous_10m_wind_gust',
+    'skin_temperature',
+]
+
+# ERA5 variables available on multiple pressure levels
+LEVEL_VARS = [
+    'u_component_of_wind',
+    'v_component_of_wind',
+    'geopotential',
+    'temperature',
+    'relative_humidity',
+    'specific_humidity',
+    'divergence',
+    'vertical_velocity',
+    'pressure',
+    'potential_vorticity',
+]
+
 # Short ERA5 variable names → canonical names
 ERA_NAME_MAP = {
     'u10': 'u_10m',

@@ -1,0 +1,139 @@
+"""Pallas TPU kernels for the hot generator blocks.
+
+The shipped generator configs are stacks of
+``FlexiblePadding(reflect) -> Conv(k3, s1) -> Cropping -> LeakyReLU``
+units (reference: sup3r/configs/*/*.json). Composed naively, XLA
+materializes the reflect-padded tensor in HBM before every conv —
+for pad 3 on three dims that inflates a (12, 12, 12) chunk ~3.4x in
+HBM traffic, and the pad/crop/activation each cost extra HBM round
+trips.
+
+``reflect_conv`` computes the mathematically-equal fused op — k=3
+stride-1 convolution with 1-pixel reflect boundary + bias + LeakyReLU —
+in ONE kernel: the whole (small) chunk lives in VMEM, reflect halo is
+built in VMEM scratch, and the conv runs as 9/27 shifted MXU matmuls.
+
+Equivalence (net shape): pad 3 (+6), conv k3 valid (-2), crop 2 (-4)
+==> output pixel i sees input window [i-1, i+1] with reflect BC.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reflect_pad_scratch(x, scratch, n_spatial):
+    """Fill scratch (each spatial dim +2) with x + 1-pixel reflect
+    halo. scratch/x are VMEM values-by-ref; returns nothing."""
+    if n_spatial == 2:
+        h, w, c = x.shape
+        scratch[1:h + 1, 1:w + 1, :] = x[:]
+        # reflect rows then cols (corners resolved by the col pass)
+        scratch[0, 1:w + 1, :] = x[1, :, :]
+        scratch[h + 1, 1:w + 1, :] = x[h - 2, :, :]
+        scratch[:, 0, :] = scratch[:, 2, :]
+        scratch[:, w + 1, :] = scratch[:, w - 1, :]
+    else:
+        d, h, w, c = x.shape
+        scratch[1:d + 1, 1:h + 1, 1:w + 1, :] = x[:]
+        scratch[0, 1:h + 1, 1:w + 1, :] = x[1, :, :, :]
+        scratch[d + 1, 1:h + 1, 1:w + 1, :] = x[d - 2, :, :, :]
+        scratch[:, 0, 1:w + 1, :] = scratch[:, 2, 1:w + 1, :]
+        scratch[:, h + 1, 1:w + 1, :] = scratch[:, h - 1, 1:w + 1, :]
+        scratch[:, :, 0, :] = scratch[:, :, 2, :]
+        scratch[:, :, w + 1, :] = scratch[:, :, w - 1, :]
+
+
+def _reflect_conv_kernel_3d(x_ref, w_ref, b_ref, o_ref, scratch,
+                            *, alpha):
+    d, h, w, c_in = x_ref.shape[1:]
+    c_out = w_ref.shape[-1]
+    _reflect_pad_scratch(x_ref[0], scratch, 3)
+    acc = jnp.zeros((d * h * w, c_out), dtype=jnp.float32)
+    for k in range(27):
+        dz, dy, dx = k // 9, (k // 3) % 3, k % 3
+        window = scratch[dz:dz + d, dy:dy + h, dx:dx + w, :]
+        acc += jnp.dot(window.reshape(d * h * w, c_in), w_ref[k],
+                       preferred_element_type=jnp.float32)
+    acc += b_ref[0]
+    if alpha is not None:
+        acc = jnp.where(acc >= 0, acc, alpha * acc)
+    o_ref[0] = acc.reshape(d, h, w, c_out).astype(o_ref.dtype)
+
+
+def _reflect_conv_kernel_2d(x_ref, w_ref, b_ref, o_ref, scratch,
+                            *, alpha):
+    h, w, c_in = x_ref.shape[1:]
+    c_out = w_ref.shape[-1]
+    _reflect_pad_scratch(x_ref[0], scratch, 2)
+    acc = jnp.zeros((h * w, c_out), dtype=jnp.float32)
+    for k in range(9):
+        dy, dx = k // 3, k % 3
+        window = scratch[dy:dy + h, dx:dx + w, :]
+        acc += jnp.dot(window.reshape(h * w, c_in), w_ref[k],
+                       preferred_element_type=jnp.float32)
+    acc += b_ref[0]
+    if alpha is not None:
+        acc = jnp.where(acc >= 0, acc, alpha * acc)
+    o_ref[0] = acc.reshape(h, w, c_out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('alpha',))
+def reflect_conv(x, kernel, bias, alpha=None):
+    """Fused reflect-boundary k3/s1 conv + bias + optional LeakyReLU.
+
+    x: (n, s1, s2[, t], c_in); kernel: (3, 3[, 3], c_in, c_out);
+    bias: (c_out,); alpha: LeakyReLU negative slope or None.
+    Output has the same spatial shape as x with c_out channels.
+    """
+    n_spatial = x.ndim - 2
+    assert n_spatial in (2, 3), f'Bad input rank {x.ndim}'
+    n = x.shape[0]
+    c_in, c_out = kernel.shape[-2], kernel.shape[-1]
+    taps = 3 ** n_spatial
+    w2d = kernel.reshape(taps, c_in, c_out)
+    b2d = bias.reshape(1, c_out)
+    spatial = x.shape[1:-1]
+    out_shape = jax.ShapeDtypeStruct((n, *spatial, c_out), x.dtype)
+    scratch_shape = tuple(s + 2 for s in spatial) + (c_in,)
+    kernel_fn = (_reflect_conv_kernel_3d if n_spatial == 3
+                 else _reflect_conv_kernel_2d)
+    block = (1, *spatial, c_in)
+    idx_map = ((lambda i: (i, 0, 0, 0, 0)) if n_spatial == 3
+               else (lambda i: (i, 0, 0, 0)))
+    out_idx = idx_map
+    return pl.pallas_call(
+        functools.partial(kernel_fn, alpha=alpha),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(block, idx_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((taps, c_in, c_out), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, *spatial, c_out), out_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)],
+    )(x, w2d, b2d)
+
+
+def reflect_conv_reference(x, kernel, bias, alpha=None):
+    """Unfused XLA reference of the same op (pad/conv/crop/act) for
+    correctness checks and fallback."""
+    n_spatial = x.ndim - 2
+    pad = [(0, 0)] + [(1, 1)] * n_spatial + [(0, 0)]
+    xp = jnp.pad(x, pad, mode='reflect')
+    dn = (('NHWC', 'HWIO', 'NHWC') if n_spatial == 2
+          else ('NDHWC', 'DHWIO', 'NDHWC'))
+    y = jax.lax.conv_general_dilated(
+        xp, kernel, (1,) * n_spatial, 'VALID', dimension_numbers=dn)
+    y = y + bias
+    if alpha is not None:
+        y = jax.nn.leaky_relu(y, alpha)
+    return y

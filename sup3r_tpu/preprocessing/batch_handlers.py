@@ -22,6 +22,7 @@ from sup3r_tpu.preprocessing.batch_queues import (
 )
 from sup3r_tpu.preprocessing.samplers import (
     DualSampler,
+    DualSamplerCC,
     Sampler,
     SamplerDC,
 )
@@ -156,6 +157,26 @@ class DualBatchHandler(BaseBatchHandler):
                             s_enhance=self.s_enhance,
                             t_enhance=self.t_enhance,
                             **self._sampler_args)
+
+
+class BatchHandlerCC(DualBatchHandler):
+    """Climate-change handler: daily LR / hourly HR pairs from
+    DailyDataHandler outputs (reference factory product
+    'BatchHandlerCC')."""
+
+    SAMPLER = DualSamplerCC
+
+    @property
+    def hr_shape(self):
+        s = self._queue.samplers[0]
+        return (*s.hr_sample_shape, len(s.hr_features))
+
+    @property
+    def lr_shape(self):
+        s = self._queue.samplers[0]
+        t = s.hr_sample_shape[2] // s.t_enhance
+        return (s.lr_sample_shape[0], s.lr_sample_shape[1], t,
+                len(s.lr_features))
 
 
 class BatchHandlerMom1(BaseBatchHandler):

@@ -1,0 +1,95 @@
+"""Climate-change (daily/hourly) sampler + batch handler tests
+(mirrors reference tests/batch_handlers/test_bh_h5_cc.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.preprocessing.batch_handlers import BatchHandlerCC
+from sup3r_tpu.preprocessing.grid import GridDataset, PairedDataset
+from sup3r_tpu.preprocessing.samplers import (
+    DualSamplerCC,
+    nsrdb_reduce_daily_data,
+)
+from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+
+def _daily_hourly(s1=20, s2=20, n_days=5, solar=True):
+    t = n_days * 24
+    ti = pd.date_range('2023-06-01', periods=t, freq='h')
+    data = RNG_DATA = RANDOM_GENERATOR.random(
+        (s1, s2, t, 2)).astype(np.float32)
+    features = ['clearsky_ratio', 'u_100m'] if solar else ['u_100m',
+                                                           'v_100m']
+    if solar:
+        # night NaNs outside hours 8-16
+        night = ~np.isin(ti.hour, range(8, 16))
+        data[:, :, night, 0] = np.nan
+    lat = np.linspace(40, 39, s1)
+    lon = np.linspace(-105.5, -104.3, s2)
+    lat_lon = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    hourly = GridDataset(data, features, lat_lon=lat_lon,
+                         time_index=ti)
+    day_ids = pd.DatetimeIndex(ti.date)
+    days = day_ids.unique()
+    daily_arr = np.stack([
+        np.nanmean(data[:, :, day_ids == d], axis=2) for d in days],
+        axis=2)
+    daily = GridDataset(daily_arr, features, lat_lon=lat_lon,
+                        time_index=pd.DatetimeIndex(days))
+    return PairedDataset(daily=daily, hourly=hourly)
+
+
+def test_nsrdb_reduce_daily_data():
+    data = RANDOM_GENERATOR.random((1, 4, 4, 24, 1)).astype(np.float32)
+    data[..., :8, 0] = np.nan
+    data[..., 16:, 0] = np.nan
+    out = nsrdb_reduce_daily_data(data, 8, csr_ind=0)
+    assert out.shape == (1, 4, 4, 8, 1)
+    assert not np.isnan(out[..., 0]).any()
+
+
+def test_dual_sampler_cc_solar():
+    """t_enhance=8: 24h HR sample reduced to 8 daylight hours, 1-day
+    LR sample; NaNs filled."""
+    paired = _daily_hourly()
+    sampler = DualSamplerCC(paired, sample_shape=(8, 8, 8),
+                            s_enhance=1, t_enhance=8)
+    lr, hr = next(sampler)
+    assert lr.shape == (8, 8, 1, 2)
+    assert hr.shape == (8, 8, 8, 2)
+    assert not np.isnan(hr).any()
+
+
+def test_dual_sampler_cc_24x():
+    """t_enhance=24: full-day HR samples."""
+    paired = _daily_hourly(solar=False)
+    sampler = DualSamplerCC(paired, sample_shape=(8, 8, 48),
+                            s_enhance=1, t_enhance=24)
+    lr, hr = next(sampler)
+    assert lr.shape == (8, 8, 2, 2)
+    assert hr.shape == (8, 8, 48, 2)
+
+
+def test_dual_sampler_cc_spatial_coarsen():
+    """s_enhance > 1 coarsens the daily member for the LR side."""
+    paired = _daily_hourly(solar=False)
+    sampler = DualSamplerCC(paired, sample_shape=(8, 8, 24),
+                            s_enhance=2, t_enhance=24)
+    lr, hr = next(sampler)
+    assert lr.shape == (4, 4, 1, 2)
+    assert hr.shape == (8, 8, 24, 2)
+
+
+def test_batch_handler_cc():
+    paired = _daily_hourly()
+    handler = BatchHandlerCC([paired], batch_size=2, n_batches=2,
+                             s_enhance=1, t_enhance=8,
+                             sample_shape=(8, 8, 8))
+    batches = list(handler)
+    handler.stop()
+    assert len(batches) == 2
+    for b in batches:
+        assert b.low_res.shape == (2, 8, 8, 1, 2)
+        assert b.high_res.shape == (2, 8, 8, 8, 2)
+        assert not np.isnan(b.high_res).any()
