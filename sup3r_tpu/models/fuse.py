@@ -38,7 +38,9 @@ from sup3r_tpu.ops.pallas_kernels import (
 logger = logging.getLogger(__name__)
 
 #: conservative VMEM budget for the fused kernel's resident buffers
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+#: (padded input + accumulator + output + weights, plus compiler
+#: headroom for pipelining)
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
 
 
 class FusedReflectConv(Layer):
@@ -57,7 +59,11 @@ class FusedReflectConv(Layer):
         padded = np.prod([s + 2 for s in x.shape[1:-1]]) * x.shape[-1]
         out = np.prod(x.shape[1:-1]) * c_out
         weights = 3 ** self.n_spatial * x.shape[-1] * c_out
-        return 4 * (padded + out + weights) < _VMEM_BUDGET_BYTES
+        total = 4 * (padded + 2 * out + weights)
+        # large accumulators/padded blocks trigger register spills /
+        # scratch exhaustion; keep the fused path to small blocks
+        return (total < _VMEM_BUDGET_BYTES and out <= 256 * 1024
+                and padded <= 300 * 1024)
 
     def apply(self, params, x, ctx):
         kernel = params['kernel'].astype(x.dtype)

@@ -352,9 +352,14 @@ class Sup3rGan(AbstractSingleModel):
 
     # ------------------------------------------------------------------
     # inference
-    #: rewrite pad/conv/crop/act blocks into fused Pallas kernels for
-    #: generate() (exact; see sup3r_tpu.models.fuse)
-    inference_fuse = True
+    #: opt-in: rewrite pad/conv/crop/act blocks into fused Pallas
+    #: kernels for generate(). Numerically equivalent (fp32
+    #: reassociation-level differences) but measured SLOWER than
+    #: XLA's native convs for the shipped generators on v5e — XLA
+    #: already fuses pad/crop/activation into its conv emitter. Kept
+    #: as an opt-in for small-chunk serving experiments; see
+    #: scripts/bench_kernels.py for the ablation.
+    inference_fuse = False
 
     def _get_gen_apply(self):
         if self._gen_apply_fn is None:

@@ -49,34 +49,35 @@ def _reflect_pad_scratch(x, scratch, n_spatial):
 
 
 def _reflect_conv_kernel_3d(x_ref, w_ref, b_ref, o_ref, scratch,
-                            *, alpha):
+                            acc_ref, *, alpha):
     d, h, w, c_in = x_ref.shape[1:]
     c_out = w_ref.shape[-1]
     _reflect_pad_scratch(x_ref[0], scratch, 3)
-    acc = jnp.zeros((d * h * w, c_out), dtype=jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     for k in range(27):
         dz, dy, dx = k // 9, (k // 3) % 3, k % 3
         window = scratch[dz:dz + d, dy:dy + h, dx:dx + w, :]
-        acc += jnp.dot(window.reshape(d * h * w, c_in), w_ref[k],
-                       preferred_element_type=jnp.float32)
-    acc += b_ref[0]
+        acc_ref[:] += jnp.dot(window.reshape(d * h * w, c_in),
+                              w_ref[k],
+                              preferred_element_type=jnp.float32)
+    acc = acc_ref[:] + b_ref[0]
     if alpha is not None:
         acc = jnp.where(acc >= 0, acc, alpha * acc)
     o_ref[0] = acc.reshape(d, h, w, c_out).astype(o_ref.dtype)
 
 
 def _reflect_conv_kernel_2d(x_ref, w_ref, b_ref, o_ref, scratch,
-                            *, alpha):
+                            acc_ref, *, alpha):
     h, w, c_in = x_ref.shape[1:]
     c_out = w_ref.shape[-1]
     _reflect_pad_scratch(x_ref[0], scratch, 2)
-    acc = jnp.zeros((h * w, c_out), dtype=jnp.float32)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
     for k in range(9):
         dy, dx = k // 3, k % 3
         window = scratch[dy:dy + h, dx:dx + w, :]
-        acc += jnp.dot(window.reshape(h * w, c_in), w_ref[k],
-                       preferred_element_type=jnp.float32)
-    acc += b_ref[0]
+        acc_ref[:] += jnp.dot(window.reshape(h * w, c_in), w_ref[k],
+                              preferred_element_type=jnp.float32)
+    acc = acc_ref[:] + b_ref[0]
     if alpha is not None:
         acc = jnp.where(acc >= 0, acc, alpha * acc)
     o_ref[0] = acc.reshape(h, w, c_out).astype(o_ref.dtype)
@@ -119,7 +120,10 @@ def reflect_conv(x, kernel, bias, alpha=None):
         out_specs=pl.BlockSpec((1, *spatial, c_out), out_idx,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM(scratch_shape, jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(scratch_shape, jnp.float32),
+            pltpu.VMEM((int(np.prod(spatial)), c_out), jnp.float32),
+        ],
     )(x, w2d, b2d)
 
 

@@ -74,7 +74,12 @@ class ForwardPass:
     def pad_source_data(self, input_data, pad_width, exo_data,
                         mode='reflect'):
         """Reflect-pad input (and exo, scaled by enhancement)."""
-        out = np.pad(input_data, (*pad_width, (0, 0)), mode=mode)
+        if mode == 'reflect' and np.asarray(input_data).ndim == 4:
+            from sup3r_tpu._native import reflect_pad_4d
+
+            out = reflect_pad_4d(input_data, pad_width)
+        else:
+            out = np.pad(input_data, (*pad_width, (0, 0)), mode=mode)
         if exo_data is not None:
             for feature in exo_data:
                 for i, step in enumerate(exo_data[feature]['steps']):
@@ -194,10 +199,66 @@ class ForwardPass:
                 gids=chunk.gids)
         return failed, out_data if chunk.out_file is None else None
 
+    def run_chunks_batched(self, chunk_ids, batch_size):
+        """Device-batched execution: group same-shaped padded chunks,
+        stack them, run ONE jitted generate per group, split + write.
+
+        This is the TPU-native replacement for the reference's
+        process-pool-per-chunk (reference: forward_pass.py:503): a
+        batch of chunks fills the MXU and amortizes dispatch, while
+        chunk prep (IO + padding) overlaps on host threads."""
+        outputs = {}
+        with ThreadPoolExecutor(max(self.strategy.pass_workers,
+                                    2)) as pool:
+            chunks = list(pool.map(
+                lambda i: self.timer(self.get_input_chunk)(i),
+                chunk_ids))
+        groups = {}
+        for chunk in chunks:
+            key = (chunk.input_data.shape,
+                   chunk.exo_data is not None)
+            groups.setdefault(key, []).append(chunk)
+        for group in groups.values():
+            for start in range(0, len(group), batch_size):
+                batch = group[start:start + batch_size]
+                outputs.update(self._run_chunk_batch(batch))
+        return outputs
+
+    def _run_chunk_batch(self, batch):
+        """Run a list of same-shaped chunks as one device batch."""
+        if self.model.is_4d or any(c.exo_data for c in batch) or len(
+                batch) == 1:
+            # 4D models already batch over time; exo rasters differ
+            # per chunk — run individually
+            return {
+                c.index: self.run_chunk(
+                    c, allowed_const=self.strategy.allowed_const)[1]
+                for c in batch}
+        stacked = np.stack([c.input_data for c in batch], axis=0)
+        lr = self.model.norm_input(stacked)
+        out = self.model.generate(lr, norm_in=False, un_norm_out=True)
+        outputs = {}
+        for i, chunk in enumerate(batch):
+            out_i = np.asarray(out[i][chunk.hr_crop_slice])
+            self._output_check(
+                out_i, allowed_const=self.strategy.allowed_const)
+            if chunk.out_file is not None:
+                self.output_handler_class._write_output(
+                    data=out_i,
+                    features=list(self.model.hr_out_features),
+                    lat_lon=chunk.hr_lat_lon, times=chunk.hr_times,
+                    out_file=chunk.out_file, meta_data=self.meta,
+                    gids=chunk.gids)
+                outputs[chunk.index] = None
+            else:
+                outputs[chunk.index] = out_i
+        return outputs
+
     # ------------------------------------------------------------------
     @classmethod
     def run(cls, strategy, node_index):
-        """Run all this node's chunks (serial or IO-threaded)."""
+        """Run all this node's chunks (serial, IO-threaded, or
+        device-batched)."""
         if strategy.node_finished(node_index):
             logger.info('All chunks for node %s already done.',
                         node_index)
@@ -207,7 +268,10 @@ class ForwardPass:
             i for i in strategy.node_chunks[node_index]
             if not strategy.chunk_finished(i)]
         outputs = {}
-        if strategy.pass_workers > 1:
+        if getattr(strategy, 'device_batch_size', 1) > 1:
+            outputs = fwp.run_chunks_batched(
+                chunk_ids, strategy.device_batch_size)
+        elif strategy.pass_workers > 1:
             with ThreadPoolExecutor(strategy.pass_workers) as pool:
                 futures = {
                     pool.submit(cls._run_one, fwp, strategy, i): i

@@ -67,6 +67,9 @@ class ForwardPassStrategy:
     max_nodes: int = 1
     head_node: bool = False
     redistribute_chunks: bool = False
+    #: stack this many same-shaped padded chunks into one device batch
+    #: (TPU throughput: amortizes dispatch + fills the MXU)
+    device_batch_size: int = 1
 
     def __post_init__(self):
         self.timer = Timer()
