@@ -16,3 +16,7 @@ from sup3r_tpu.bias.transforms import (  # noqa: F401
     local_qdm_bc,
     monthly_local_linear_bc,
 )
+from sup3r_tpu.bias.bias_calc_vortex import (  # noqa: F401
+    BiasCorrectUpdate,
+    VortexMeanPrepper,
+)

@@ -190,9 +190,53 @@ class ForwardPassStrategy:
         return np.array_split(chunks, n_nodes)
 
     @property
+    def fwp_mask(self):
+        """Per-spatial-chunk skip mask: True where a 'mask' variable in
+        the input covers the entire padded chunk (e.g. all-ocean
+        chunks; reference: strategy.py:631-661)."""
+        if not hasattr(self, '_fwp_mask'):
+            n_spatial = self.fwp_slicer.n_spatial_chunks
+            mask = np.zeros(n_spatial, dtype=bool)
+            data = self.input_handler.data
+            if 'mask' not in getattr(data, 'features', []):
+                # mask may exist in the source without being a model
+                # feature; probe the raw files
+                try:
+                    ihk = dict(self.input_handler_kwargs)
+                    ihk.pop('time_slice', None)
+                    HandlerClass = get_input_handler_class(
+                        self.input_handler_name)
+                    data = HandlerClass(
+                        self.file_paths, features=['mask'],
+                        time_slice=slice(0, 1), **ihk).data
+                except Exception:
+                    data = self.input_handler.data
+            if 'mask' in getattr(data, 'features', []):
+                mask_vals = data['mask']
+                if mask_vals.ndim == 3:
+                    mask_vals = mask_vals[..., 0]
+                for s_idx, lr_slices in enumerate(
+                        self.fwp_slicer.s_lr_pad_slices):
+                    chunk_mask = mask_vals[lr_slices[0], lr_slices[1]]
+                    mask[s_idx] = bool(np.prod(chunk_mask))
+                logger.info('Masking %d of %d spatial chunks',
+                            int(mask.sum()), n_spatial)
+            self._fwp_mask = mask
+        return self._fwp_mask
+
+    def chunk_masked(self, chunk_index, log=True):
+        """Whether a chunk is skipped by the spatial mask."""
+        s_idx, _ = self.fwp_slicer.get_chunk_indices(chunk_index)
+        masked = bool(self.fwp_mask[s_idx])
+        if masked and log:
+            logger.info('Chunk %s is masked; skipping', chunk_index)
+        return masked
+
+    @property
     def unmasked_chunks(self):
-        """All chunk ids (spatial masking hook for subclasses)."""
-        return list(range(self.fwp_slicer.n_chunks))
+        """Chunk ids not skipped by the spatial mask."""
+        return [i for i in range(self.fwp_slicer.n_chunks)
+                if not self.chunk_masked(i, log=False)]
 
     def chunk_finished(self, chunk_index, log=True):
         """True if the chunk output file already exists (incremental
