@@ -331,6 +331,34 @@ class Sup3rGan(AbstractSingleModel):
             self._train_step_fn = self._build_train_step()
         return self._train_step_fn
 
+    def attach_mesh(self, mesh, axis='data'):
+        """Enable data-parallel training over a ``jax.sharding.Mesh``:
+        batches are sharded over ``axis`` and params/optimizer state
+        replicated; XLA inserts the gradient all-reduce over ICI
+        (replacing the reference's host-thread-per-GPU gradient
+        summation, reference: sup3r/models/abstract.py:807-914)."""
+        from sup3r_tpu.parallel import replicate
+
+        self._mesh = mesh
+        self._mesh_axis = axis
+        if self.gen_params is not None:
+            self.gen_params = replicate(mesh, self.gen_params)
+            self.disc_params = replicate(mesh, self.disc_params)
+            self._gen_opt_state = replicate(mesh, self._gen_opt_state)
+            self._disc_opt_state = replicate(mesh,
+                                             self._disc_opt_state)
+
+    def _place_batch(self, arr):
+        """Shard a batch over the attached mesh (no-op without one)."""
+        mesh = getattr(self, '_mesh', None)
+        if mesh is None:
+            return jnp.asarray(arr, dtype=jnp.float32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            np.asarray(arr, dtype=np.float32),
+            NamedSharding(mesh, P(self._mesh_axis)))
+
     def run_gradient_descent(self, low_res, hi_res_true,
                              weight_gen_advers=0.001, train_gen=True,
                              train_disc=False):
@@ -338,8 +366,8 @@ class Sup3rGan(AbstractSingleModel):
 
         Both sub-networks' grads are computed in one fused program;
         ``train_gen``/``train_disc`` gate which updates apply."""
-        lr = jnp.asarray(low_res, dtype=jnp.float32)
-        hr = jnp.asarray(hi_res_true, dtype=jnp.float32)
+        lr = self._place_batch(low_res)
+        hr = self._place_batch(hi_res_true)
         self._step_counter = getattr(self, '_step_counter', 0) + 1
         key = jax.random.PRNGKey(self._step_counter)
         (self.gen_params, self.disc_params, self._gen_opt_state,

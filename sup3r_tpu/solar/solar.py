@@ -265,10 +265,17 @@ class Solar:
                             cloud_threshold=0.99, features=('ghi',
                                                             'dni',
                                                             'dhi'),
-                            temporal_ids=None):
-        """Run irradiance for all (or selected) temporal chunks."""
+                            temporal_ids=None, max_nodes=1,
+                            node_index=0):
+        """Run irradiance for all (or this node's share of) temporal
+        chunks (reference: solar.py:584 distributes temporal chunks
+        over <= max_nodes jobs)."""
         out = cls.get_sup3r_fps(fp_pattern, ignore=f'_{fp_out_suffix}')
         fp_sets, t_slices, t_ids, _, target_fps = out
+        if temporal_ids is None and max_nodes and max_nodes > 1:
+            uniq = sorted(set(t_ids))
+            splits = np.array_split(uniq, min(max_nodes, len(uniq)))
+            temporal_ids = list(splits[node_index])
         written = []
         for fp_set, t_slice, t_id, target in zip(fp_sets, t_slices,
                                                  t_ids, target_fps):

@@ -1,0 +1,68 @@
+"""Data-parallel training over a device mesh (8 virtual CPU devices)
+and dual-resolution training."""
+
+import jax
+import numpy as np
+import pytest
+
+from sup3r_tpu.models import Sup3rGan
+from sup3r_tpu.parallel import get_mesh
+from sup3r_tpu.preprocessing.batch_handlers import (
+    BatchHandler,
+    DualBatchHandler,
+)
+from sup3r_tpu.utilities.test_helpers import (
+    make_fake_dset,
+    make_fake_dual,
+)
+from tests.training.test_model_family import _small_disc, _small_gen_s
+
+
+def test_mesh_data_parallel_training():
+    """Training with an attached 8-device mesh runs and changes
+    weights; loss values stay finite."""
+    assert jax.device_count() >= 8
+    features = ['u_100m', 'v_100m']
+    handler = BatchHandler(
+        [make_fake_dset((20, 20, 40), features)], batch_size=8,
+        n_batches=2, s_enhance=2, t_enhance=1, sample_shape=(8, 8, 1))
+    model = Sup3rGan(_small_gen_s(), _small_disc())
+    model.init_weights((1, 4, 4, 2), (1, 8, 8, 2))
+    model.attach_mesh(get_mesh(8))
+    w_before = np.asarray(model.gen_params[0]['kernel']).copy()
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    w_after = np.asarray(model.gen_params[0]['kernel'])
+    assert not np.allclose(w_before, w_after)
+    assert np.isfinite(
+        model.history['train_loss_gen'].values[-1])
+
+
+def test_mesh_replicated_and_batch_sharded():
+    """Params end up replicated and batches sharded over the mesh."""
+    model = Sup3rGan(_small_gen_s(), _small_disc())
+    model.init_weights((1, 4, 4, 2), (1, 8, 8, 2))
+    mesh = get_mesh(8)
+    model.attach_mesh(mesh)
+    kernel = model.gen_params[0]['kernel']
+    assert len(kernel.sharding.device_set) == 8
+    batch = model._place_batch(np.zeros((8, 4, 4, 2), np.float32))
+    assert len(batch.sharding.device_set) == 8
+    # replicated param: every device holds the full array
+    assert kernel.sharding.is_fully_replicated
+
+
+def test_dual_batch_handler_training():
+    """Training on pre-paired LR/HR data (DualBatchHandler)."""
+    features = ['u_100m', 'v_100m']
+    paired = make_fake_dual((12, 12, 30), 2, 1, features)
+    handler = DualBatchHandler(
+        [paired], batch_size=2, n_batches=2, s_enhance=2, t_enhance=1,
+        sample_shape=(8, 8, 1))
+    model = Sup3rGan(_small_gen_s(), _small_disc())
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    assert model.meta['s_enhance'] == 2
+    assert np.isfinite(model.history['train_loss_gen'].values[-1])
