@@ -8,6 +8,8 @@ reference factory products.
 
 import logging
 
+import numpy as np
+
 from sup3r_tpu.preprocessing.batch_queues import (
     BatchQueueDC,
     DualBatchQueue,
@@ -122,7 +124,23 @@ class BaseBatchHandler:
         return self.n_batches
 
     def __iter__(self):
-        return iter(self._queue)
+        """Iterate batches with device double-buffering: the next
+        batch's host->device transfer is issued while the train step
+        consumes the current one (JAX transfers are async, so
+        device_put ahead of use overlaps with compute)."""
+        import jax
+
+        pending = None
+        for batch in self._queue:
+            placed = type(batch)(*[
+                jax.device_put(np.ascontiguousarray(m))
+                if isinstance(m, np.ndarray) else m
+                for m in batch])
+            if pending is not None:
+                yield pending
+            pending = placed
+        if pending is not None:
+            yield pending
 
     def __next__(self):
         return next(self._queue)

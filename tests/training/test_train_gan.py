@@ -188,3 +188,23 @@ def test_early_stopping():
     history2 = pd.DataFrame({'val_loss_gen': np.linspace(2, 1, 8)})
     assert not Sup3rGan.early_stop(history2, 'val_loss_gen',
                                    threshold=0.01, n_epoch=5)
+
+
+def test_training_resume_extends_history(tmp_path):
+    """load() then train() continues epochs from the history index
+    (reference: sup3r/models/base.py:739-743)."""
+    handler = _handler(2, 1, (10, 10, 1))
+    model = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'))
+    out_dir = os.path.join(tmp_path, 'gan_{epoch}')
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=2, out_dir=out_dir)
+    loaded = Sup3rGan.load(os.path.join(tmp_path, 'gan_1'))
+    assert len(loaded.history) == 2
+    handler2 = _handler(2, 1, (10, 10, 1))
+    loaded.train(handler2, input_resolution={'spatial': '30km',
+                                             'temporal': '60min'},
+                 n_epoch=2, out_dir=out_dir)
+    assert len(loaded.history) == 4
+    assert list(loaded.history.index) == [0, 1, 2, 3]
+    assert os.path.exists(os.path.join(tmp_path, 'gan_3'))
