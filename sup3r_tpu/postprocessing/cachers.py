@@ -42,14 +42,20 @@ class Cacher:
                 out_files.append(fp)
                 continue
             tmp = fp + '.tmp'
+            from sup3r_tpu.utilities import OUTPUT_ATTRS
+            from sup3r_tpu.names import get_feature_basename
+
+            attrs = OUTPUT_ATTRS.get(get_feature_basename(feature), {})
             with h5py.File(tmp, 'w') as f:
                 chunk_spec = None
                 if chunks:
                     chunk_spec = tuple(chunks.get(feature, chunks)
                                        ) if isinstance(
                         chunks, dict) else tuple(chunks)
-                f.create_dataset(feature, data=data.data[..., i],
-                                 chunks=chunk_spec)
+                ds = f.create_dataset(feature, data=data.data[..., i],
+                                      chunks=chunk_spec)
+                if 'scale_factor' in attrs:
+                    ds.attrs['units'] = attrs.get('units', '')
                 f.create_dataset('latitude', data=data.lat_lon[..., 0])
                 f.create_dataset('longitude', data=data.lat_lon[..., 1])
                 if data.time_index is not None:

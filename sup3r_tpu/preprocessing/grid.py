@@ -174,6 +174,29 @@ class GridDataset:
         """No-op (data is always eager); kept for API parity."""
         return self
 
+    def flatten(self):
+        """Collapse (s1, s2) into a single flattened space dim:
+        returns (space, t, f) data + (space, 2) coords (reference:
+        sup3r/preprocessing/accessor.py:551)."""
+        s1, s2, t, f = self.data.shape
+        flat = self.data.reshape(s1 * s2, t, f)
+        coords = (None if self.lat_lon is None
+                  else self.lat_lon.reshape(-1, 2))
+        return flat, coords
+
+    @classmethod
+    def unflatten(cls, flat_data, grid_shape, features, lat_lon=None,
+                  time_index=None):
+        """Inverse of flatten: (space, t, f) -> GridDataset (reference:
+        sup3r/preprocessing/accessor.py:566)."""
+        s1, s2 = grid_shape
+        data = np.asarray(flat_data).reshape(s1, s2,
+                                             *flat_data.shape[1:])
+        if lat_lon is not None and lat_lon.ndim == 2:
+            lat_lon = lat_lon.reshape(s1, s2, 2)
+        return cls(data, features, lat_lon=lat_lon,
+                   time_index=time_index)
+
     def __repr__(self):
         return (f'GridDataset(shape={self.shape}, '
                 f'features={self.features})')
