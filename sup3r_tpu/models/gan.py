@@ -322,6 +322,7 @@ class Sup3rGan(AbstractSingleModel):
             return (gen_params_new, disc_params_new, gen_opt_new,
                     disc_opt_new, details)
 
+        self._raw_step = step
         return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
     @property
@@ -330,6 +331,63 @@ class Sup3rGan(AbstractSingleModel):
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
         return self._train_step_fn
+
+    def _split_sample_traced(self, sample):
+        """Device-side HR->LR transform of a raw sample batch using the
+        batch handler's transform config (traceable)."""
+        from sup3r_tpu.ops import (
+            spatial_coarsening,
+            temporal_coarsening,
+        )
+
+        cfg = self._sample_transform
+        lr = spatial_coarsening(sample, cfg['s_enhance'])
+        if cfg['t_enhance'] > 1:
+            lr = temporal_coarsening(lr, cfg['t_enhance'],
+                                     cfg['method'])
+        hr = sample[..., list(cfg['hr_features_ind'])]
+        if cfg['squeeze_time']:
+            lr = lr[:, :, :, 0, :]
+            hr = hr[:, :, :, 0, :]
+        return lr, hr
+
+    @property
+    def sample_train_step_fn(self):
+        """Train step consuming a raw HR sample batch: the HR->LR
+        coarsening transform runs ON DEVICE inside the same jitted
+        program (one H2D transfer per batch, zero host transform
+        cost). Requires ``self._sample_transform`` (set by train()
+        from a device_transform batch handler)."""
+        if getattr(self, '_sample_step_fn', None) is None:
+            self._build_train_step()
+            inner = self._raw_step
+
+            def step(gen_params, disc_params, gen_opt, disc_opt,
+                     sample, w_adv, do_gen, do_disc, key):
+                lr, hr = self._split_sample_traced(sample)
+                return inner(gen_params, disc_params, gen_opt,
+                             disc_opt, lr, hr, w_adv, do_gen, do_disc,
+                             key)
+
+            self._sample_step_fn = jax.jit(step,
+                                           donate_argnums=(0, 1, 2, 3))
+        return self._sample_step_fn
+
+    def run_gradient_descent_on_sample(self, sample,
+                                       weight_gen_advers=0.001,
+                                       train_gen=True,
+                                       train_disc=False):
+        """One gated optimization step from a raw HR sample batch."""
+        sample = self._place_batch(sample)
+        self._step_counter = getattr(self, '_step_counter', 0) + 1
+        key = jax.random.PRNGKey(self._step_counter)
+        (self.gen_params, self.disc_params, self._gen_opt_state,
+         self._disc_opt_state, details) = self.sample_train_step_fn(
+            self.gen_params, self.disc_params, self._gen_opt_state,
+            self._disc_opt_state, sample,
+            jnp.float32(weight_gen_advers), jnp.bool_(train_gen),
+            jnp.bool_(train_disc), key)
+        return {k: float(v) for k, v in details.items()}
 
     def attach_mesh(self, mesh, axis='data'):
         """Enable data-parallel training over a ``jax.sharding.Mesh``:
@@ -598,10 +656,15 @@ class Sup3rGan(AbstractSingleModel):
         sup3r/models/base.py:944-1032)."""
         do_gen = bool(only_gen or (train_gen and not gen_too_good))
         do_disc = bool(only_disc or (train_disc and not disc_too_good))
-        details = self.run_gradient_descent(
-            batch.low_res, batch.high_res,
-            weight_gen_advers=weight_gen_advers,
-            train_gen=do_gen, train_disc=do_disc)
+        if hasattr(batch, 'sample'):
+            details = self.run_gradient_descent_on_sample(
+                batch.sample, weight_gen_advers=weight_gen_advers,
+                train_gen=do_gen, train_disc=do_disc)
+        else:
+            details = self.run_gradient_descent(
+                batch.low_res, batch.high_res,
+                weight_gen_advers=weight_gen_advers,
+                train_gen=do_gen, train_disc=do_disc)
         details['gen_train_frac'] = float(do_gen)
         details['disc_train_frac'] = float(do_disc)
         return details
@@ -653,8 +716,12 @@ class Sup3rGan(AbstractSingleModel):
             return {}
         record = None
         for batch in val_data:
-            lr = jnp.asarray(batch.low_res, dtype=jnp.float32)
-            hr = jnp.asarray(batch.high_res, dtype=jnp.float32)
+            if hasattr(batch, 'sample'):
+                lr, hr = self._split_sample_traced(
+                    jnp.asarray(batch.sample, dtype=jnp.float32))
+            else:
+                lr = jnp.asarray(batch.low_res, dtype=jnp.float32)
+                hr = jnp.asarray(batch.high_res, dtype=jnp.float32)
             exo, _ = self._split_exo(hr)
             out = self._get_gen_apply()(self.gen_params, lr, exo)
             _, details = self.calc_loss(
@@ -684,6 +751,10 @@ class Sup3rGan(AbstractSingleModel):
             input_resolution=input_resolution,
             s_enhance=batch_handler.s_enhance,
             t_enhance=batch_handler.t_enhance, **params)
+        transform_config = getattr(batch_handler, 'transform_config',
+                                   None)
+        if transform_config is not None:
+            self._sample_transform = transform_config
 
         lr_shape = (1, *batch_handler.lr_shape)
         hr_shape = (1, *batch_handler.hr_shape)

@@ -55,8 +55,12 @@ class BaseBatchHandler:
                  means=None, stds=None, sample_shape=None,
                  feature_sets=None, queue_cap=4, max_workers=1,
                  transform_kwargs=None, mode='eager',
-                 sampler_kwargs=None, queue_kwargs=None):
+                 sampler_kwargs=None, queue_kwargs=None,
+                 device_transform=False):
         val_containers = val_containers or []
+        if device_transform:
+            queue_kwargs = dict(queue_kwargs or {})
+            queue_kwargs['device_transform'] = True
         self.s_enhance = s_enhance
         self.t_enhance = t_enhance
         self.batch_size = batch_size
@@ -104,6 +108,14 @@ class BaseBatchHandler:
 
         return self.SAMPLER(unwrap_container(container),
                             **self._sampler_args)
+
+    @property
+    def transform_config(self):
+        """Device-side transform description (None unless
+        device_transform=True)."""
+        if getattr(self._queue, 'device_transform', False):
+            return self._queue.transform_config
+        return None
 
     @property
     def lr_shape(self):

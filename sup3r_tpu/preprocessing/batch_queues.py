@@ -28,6 +28,9 @@ logger = logging.getLogger(__name__)
 
 Batch = namedtuple('Batch', ['low_res', 'high_res'])
 BatchWithObs = namedtuple('BatchWithObs', ['low_res', 'high_res', 'obs'])
+#: raw HR sample batch for device-side transforms (one H2D transfer;
+#: the jitted train step derives the LR input on device)
+RawBatch = namedtuple('RawBatch', ['sample'])
 
 
 class AbstractBatchQueue:
@@ -149,9 +152,15 @@ class AbstractBatchQueue:
 
 class SingleBatchQueue(AbstractBatchQueue):
     """Queue producing (lr, hr) by coarsening sampled HR data
-    (reference: batch_queues/base.py:30-86)."""
+    (reference: batch_queues/base.py:30-86).
 
-    def __init__(self, samplers, **kwargs):
+    With ``device_transform=True`` the queue yields raw HR samples
+    (RawBatch) and the model's jitted train step performs the
+    coarsening on device — one H2D transfer instead of two, and no
+    host CPU spent on the transform."""
+
+    def __init__(self, samplers, device_transform=False, **kwargs):
+        self.device_transform = device_transform
         super().__init__(samplers, **kwargs)
         s = self.samplers[0]
         self.features = s.features
@@ -193,6 +202,28 @@ class SingleBatchQueue(AbstractBatchQueue):
             lr = lr[:, :, :, 0, :]
             hr = hr[:, :, :, 0, :]
         return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
+
+    @property
+    def transform_config(self):
+        """Static description of the HR->LR transform for device-side
+        execution by the train step."""
+        return {
+            's_enhance': self.s_enhance,
+            't_enhance': self.t_enhance,
+            'method': self.transform_kwargs.get(
+                'temporal_coarsening_method', 'subsample'),
+            'hr_features_ind': tuple(self.hr_features_ind),
+            'squeeze_time': self._is_4d,
+        }
+
+    def post_proc(self, samples):
+        if self.device_transform:
+            if self.transform_kwargs.get('smoothing'):
+                raise NotImplementedError(
+                    'smoothing is a host-side transform; use '
+                    'device_transform=False with smoothing')
+            return RawBatch(sample=np.ascontiguousarray(samples))
+        return super().post_proc(samples)
 
 
 class DualBatchQueue(AbstractBatchQueue):

@@ -66,3 +66,33 @@ def test_dual_batch_handler_training():
                 n_epoch=1, out_dir=None)
     assert model.meta['s_enhance'] == 2
     assert np.isfinite(model.history['train_loss_gen'].values[-1])
+
+
+def test_device_transform_training_matches_host():
+    """device_transform=True (coarsening inside the jitted step) gives
+    the same losses as host-side coarsening given the same samples."""
+    from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+    features = ['u_100m', 'v_100m']
+    data = make_fake_dset((20, 20, 40), features)
+
+    def make_handler(device_transform):
+        # reset rng so both handlers draw identical crops
+        RANDOM_GENERATOR.bit_generator.state = np.random.default_rng(
+            seed=0).bit_generator.state
+        return BatchHandler(
+            [data], batch_size=2, n_batches=2, s_enhance=2,
+            t_enhance=1, sample_shape=(8, 8, 1),
+            device_transform=device_transform)
+
+    def train_one(handler):
+        model = Sup3rGan(_small_gen_s(), _small_disc())
+        model.init_weights((1, 4, 4, 2), (1, 8, 8, 2), seed=1)
+        model.train(handler, input_resolution={'spatial': '30km',
+                                               'temporal': '60min'},
+                    n_epoch=1, out_dir=None)
+        return model.history['train_loss_gen'].values[-1]
+
+    loss_host = train_one(make_handler(False))
+    loss_dev = train_one(make_handler(True))
+    np.testing.assert_allclose(loss_dev, loss_host, rtol=1e-4)
