@@ -44,10 +44,72 @@ def get_closest_row_col(lat_lon, target, threshold=None):
     return int(row), int(col)
 
 
-def infer_flat_grid(lat_lon_flat):
+def _walk_curvilinear_grid(lat_lon_flat, n_rows, n_cols):
+    """Reconstruct a curvilinear grid's gid raster by a nearest-
+    neighbor walk with parallelogram extrapolation (covers Lambert-
+    projected WTK grids, where lat/lon are not separable).
+
+    The northwest corner's two nearest neighbors seed the row/column
+    directions; each further cell is predicted from its already-placed
+    neighbors (expected = left + (above - above_left)) and snapped to
+    the nearest UNUSED site."""
+    pts = np.asarray(lat_lon_flat, dtype=np.float64)
+    tree = cKDTree(pts)
+    grid = np.full((n_rows, n_cols), -1, dtype=np.int64)
+    used = np.zeros(len(pts), dtype=bool)
+    lat, lon = pts[:, 0], pts[:, 1]
+    score = ((lat - lat.min()) / max(np.ptp(lat), 1e-9)
+             - (lon - lon.min()) / max(np.ptp(lon), 1e-9))
+    start = int(np.argmax(score))
+    grid[0, 0] = start
+    used[start] = True
+
+    def snap(expected):
+        k = 4
+        while k <= len(pts):
+            _, idxs = tree.query(expected, k=k)
+            for idx in np.atleast_1d(idxs):
+                if not used[int(idx)]:
+                    used[int(idx)] = True
+                    return int(idx)
+            k *= 4
+        raise RuntimeError('Ran out of unused grid sites')
+
+    # seed the two axis directions from the corner's nearest neighbors
+    _, nn = tree.query(pts[start], k=3)
+    cands = [int(i) for i in np.atleast_1d(nn) if int(i) != start]
+    d0 = pts[cands[0]] - pts[start]
+    d1 = pts[cands[1]] - pts[start]
+    # column direction = more eastward; row direction = more southward
+    col_dir, row_dir = ((d0, d1) if abs(d0[1]) >= abs(d1[1])
+                        else (d1, d0))
+
+    # first row
+    for j in range(1, n_cols):
+        prev = pts[grid[0, j - 1]]
+        step = (col_dir if j == 1
+                else prev - pts[grid[0, j - 2]])
+        grid[0, j] = snap(prev + step)
+    # remaining rows
+    for i in range(1, n_rows):
+        above = pts[grid[i - 1, 0]]
+        step = (row_dir if i == 1
+                else above - pts[grid[i - 2, 0]])
+        grid[i, 0] = snap(above + step)
+        for j in range(1, n_cols):
+            # parallelogram: left + (above - above_left)
+            expected = (pts[grid[i, j - 1]]
+                        + pts[grid[i - 1, j]]
+                        - pts[grid[i - 1, j - 1]])
+            grid[i, j] = snap(expected)
+    return grid
+
+
+def infer_flat_grid(lat_lon_flat, grid_shape=None):
     """Reconstruct the 2D grid index array from flattened (sites, 2)
-    coordinates of a regular grid: rows ordered by descending lat,
-    columns by ascending lon. Returns (n_rows, n_cols) int gid array."""
+    coordinates: exact lexsort for regular lat/lon grids, nearest-
+    neighbor walk for curvilinear (e.g. Lambert-projected WTK) grids.
+    Returns (n_rows, n_cols) int gid array."""
     lat, lon = lat_lon_flat[:, 0], lat_lon_flat[:, 1]
     lats = np.unique(lat)[::-1]
     lons = np.unique(lon)
@@ -59,16 +121,20 @@ def infer_flat_grid(lat_lon_flat):
         if (np.ptp(lat[grid], axis=1).max() < 1e-4
                 and np.ptp(lon[grid], axis=0).max() < 1e-4):
             return grid
-    # curvilinear fallback: estimate grid by sorting into rows via
-    # KDTree walk is complex; reconstruct via rounding lat bands
-    msg = ('Flattened meta does not form a perfectly regular grid; '
-           'falling back to lat-band reconstruction')
-    logger.warning(msg)
-    warn(msg)
-    n_rows = len(np.unique(np.round(lat, 4)))
-    n_cols = len(lat) // n_rows
-    order = np.lexsort((lon, -lat))
-    return order[:n_rows * n_cols].reshape(n_rows, n_cols)
+    # curvilinear: need the true (rows, cols); infer a square-ish
+    # shape if not provided
+    if grid_shape is None:
+        n = len(lat)
+        n_rows = int(np.sqrt(n))
+        while n % n_rows:
+            n_rows -= 1
+        n_cols = n // n_rows
+        warn('Flattened meta is not a regular lat/lon grid and no '
+             f'grid shape was given; assuming ({n_rows}, {n_cols}) '
+             'and reconstructing by nearest-neighbor walk')
+    else:
+        n_rows, n_cols = grid_shape
+    return _walk_curvilinear_grid(lat_lon_flat, n_rows, n_cols)
 
 
 class Rasterizer:
@@ -78,11 +144,12 @@ class Rasterizer:
     def __init__(self, file_paths=None, loader=None, features='all',
                  target=None, shape=None, time_slice=slice(None),
                  threshold=None, raster_file=None, max_delta=20,
-                 res_kwargs=None):
+                 res_kwargs=None, full_grid_shape=None):
         assert file_paths is not None or loader is not None
         self.loader = loader if loader is not None else Loader(
             file_paths, features=features, **(res_kwargs or {}))
         self.file_paths = file_paths
+        self.full_grid_shape = full_grid_shape
         self._target = None if target is None else np.asarray(target)
         self._grid_shape = None if shape is None else tuple(shape)
         self.time_slice = _parse_time_slice(time_slice)
@@ -98,7 +165,8 @@ class Rasterizer:
         """Full-domain (s1, s2, 2) coordinates."""
         if self._is_flat:
             if not hasattr(self, '_full_grid'):
-                self._full_grid = infer_flat_grid(self.loader.lat_lon_flat)
+                self._full_grid = infer_flat_grid(
+                    self.loader.lat_lon_flat, self.full_grid_shape)
             flat = self.loader.lat_lon_flat
             return flat[self._full_grid]
         return self.loader.data.lat_lon

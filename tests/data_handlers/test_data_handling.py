@@ -258,3 +258,58 @@ def test_multi_file_time_concat(tmp_path):
     dset = LoaderNC([fp1, fp2]).data
     assert dset['u_10m'].shape[2] == 8
     assert dset.time_index.is_monotonic_increasing
+
+
+def test_curvilinear_flat_grid_reconstruction(tmp_path):
+    """Lambert-style rotated grids (non-separable lat/lon) reconstruct
+    via the nearest-neighbor walk and rasterize correctly."""
+    import h5py
+
+    from sup3r_tpu.preprocessing.rasterizers import infer_flat_grid
+
+    # build a rotated 12x10 grid
+    n_rows, n_cols = 12, 10
+    i, j = np.meshgrid(np.arange(n_rows), np.arange(n_cols),
+                       indexing='ij')
+    theta = np.radians(15)
+    lat = 40.0 - 0.05 * (i * np.cos(theta) - j * np.sin(theta))
+    lon = -105.0 + 0.05 * (i * np.sin(theta) + j * np.cos(theta))
+    flat_order = np.random.default_rng(0).permutation(n_rows * n_cols)
+    lat_flat = lat.ravel()[flat_order]
+    lon_flat = lon.ravel()[flat_order]
+
+    grid = infer_flat_grid(
+        np.column_stack([lat_flat, lon_flat]), (n_rows, n_cols))
+    rec_lat = lat_flat[grid]
+    rec_lon = lon_flat[grid]
+    # reconstruction recovers the original raster exactly (every site
+    # used once, rows/cols in grid order)
+    assert len(np.unique(grid)) == n_rows * n_cols
+    np.testing.assert_allclose(rec_lat, lat, atol=1e-6)
+    np.testing.assert_allclose(rec_lon, lon, atol=1e-6)
+
+    # end-to-end: write a flattened h5 on this grid and rasterize
+    t = 4
+    meta = np.zeros(n_rows * n_cols, dtype=[('latitude', 'f4'),
+                                            ('longitude', 'f4'),
+                                            ('elevation', 'f4')])
+    meta['latitude'] = lat_flat
+    meta['longitude'] = lon_flat
+    fp = str(tmp_path / 'curvi.h5')
+    import pandas as pd
+
+    vals = np.arange(t * n_rows * n_cols, dtype=np.float32).reshape(
+        t, -1)
+    with h5py.File(fp, 'w') as f:
+        f.create_dataset('meta', data=meta)
+        f.create_dataset('time_index', data=np.array(
+            [str(ts).encode() for ts in pd.date_range(
+                '2023-01-01', periods=t, freq='h')]))
+        ds = f.create_dataset('windspeed_100m', data=vals)
+        ds.attrs['scale_factor'] = 1.0
+    r = Rasterizer(fp, full_grid_shape=(n_rows, n_cols))
+    assert r.data['windspeed_100m'].shape == (n_rows, n_cols, t)
+    # values land at the right grid cells
+    np.testing.assert_allclose(
+        r.data['windspeed_100m'][..., 0],
+        vals[0][grid], atol=1e-6)
