@@ -770,9 +770,19 @@ class Sup3rGan(AbstractSingleModel):
         stop = False
         for epoch in epochs:
             self._train_record = None
-            loss_details = self._train_epoch(
-                batch_handler, weight_gen_advers, train_gen, train_disc,
-                disc_loss_bounds)
+            if tensorboard_profile and epoch == epochs[0]:
+                from sup3r_tpu.models.utilities import profile_to_dir
+
+                log_dir = os.path.join(
+                    os.path.dirname(out_dir or './'), 'profile')
+                with profile_to_dir(log_dir):
+                    loss_details = self._train_epoch(
+                        batch_handler, weight_gen_advers, train_gen,
+                        train_disc, disc_loss_bounds)
+            else:
+                loss_details = self._train_epoch(
+                    batch_handler, weight_gen_advers, train_gen,
+                    train_disc, disc_loss_bounds)
             val_details = self.calc_val_loss(batch_handler,
                                              weight_gen_advers)
             loss_details.update(val_details)

@@ -64,10 +64,18 @@ class OutputHandler:
             (lat_lon[:, -1, 1] < lat_lon[:, 0, 1]).any())
 
     @classmethod
-    def get_lat_lon(cls, low_res_lat_lon, shape):
-        """Bilinear remesh of the (padded) low-res grid onto the high-res
-        grid, handling the 180-degree wrap (reference:
-        writers/base.py:434)."""
+    def get_lat_lon(cls, low_res_lat_lon, shape, method='bilinear'):
+        """Remesh of the (padded) low-res grid onto the high-res grid,
+        handling the 180-degree wrap (reference: writers/base.py:434).
+
+        method='bilinear' (default) exploits that the padded source
+        grid is REGULAR in index space, so separable bilinear
+        interpolation replaces the reference's O(N log N) Delaunay
+        griddata — orders of magnitude faster on continental grids
+        and equal to griddata wherever the coordinate fields are
+        locally planar (they are, away from strong map-projection
+        curvature). method='griddata' reproduces the reference
+        exactly."""
         low_res_lat_lon = np.array(low_res_lat_lon, dtype=np.float64)
         assert low_res_lat_lon.shape[0] > 1 and (
             low_res_lat_lon.shape[1] > 1), (
@@ -78,8 +86,6 @@ class OutputHandler:
             low_res_lat_lon[..., 1] = (low_res_lat_lon[..., 1] + 360) \
                 % 360
         padded = cls.pad_lat_lon(low_res_lat_lon)
-        lats = padded[..., 0].ravel()
-        lons = padded[..., 1].ravel()
 
         lr_y, lr_x = low_res_lat_lon.shape[:2]
         hr_y, hr_x = shape
@@ -90,12 +96,26 @@ class OutputHandler:
         new_y = np.arange(0, 10, 10 / hr_y) + 5 / hr_y
         new_x = np.arange(0, 10, 10 / hr_x) + 5 / hr_x
 
-        X, Y = np.meshgrid(x, y, copy=False)
-        old = np.column_stack([Y.ravel(), X.ravel()]).astype(np.float32)
-        X, Y = np.meshgrid(new_x, new_y, copy=False)
-        new = np.column_stack([Y.ravel(), X.ravel()]).astype(np.float32)
-        new_lons = griddata(old, lons, new)
-        new_lats = griddata(old, lats, new)
+        if method == 'bilinear':
+            from scipy.interpolate import RegularGridInterpolator
+
+            pts_y, pts_x = np.meshgrid(new_y, new_x, indexing='ij')
+            query = np.column_stack([pts_y.ravel(), pts_x.ravel()])
+            lat_i = RegularGridInterpolator((y, x), padded[..., 0])
+            lon_i = RegularGridInterpolator((y, x), padded[..., 1])
+            new_lats = lat_i(query)
+            new_lons = lon_i(query)
+        else:
+            lats = padded[..., 0].ravel()
+            lons = padded[..., 1].ravel()
+            X, Y = np.meshgrid(x, y, copy=False)
+            old = np.column_stack([Y.ravel(), X.ravel()]).astype(
+                np.float32)
+            X, Y = np.meshgrid(new_x, new_y, copy=False)
+            new = np.column_stack([Y.ravel(), X.ravel()]).astype(
+                np.float32)
+            new_lons = griddata(old, lons, new)
+            new_lats = griddata(old, lats, new)
         new_lons = (new_lons + 180) % 360 - 180
         return np.dstack([new_lats.reshape(shape),
                           new_lons.reshape(shape)])

@@ -139,3 +139,37 @@ def test_collect_nc(tmp_path):
     CollectorNC.collect(chunks, out_file)
     dset = LoaderNC(out_file).data
     np.testing.assert_allclose(dset['u_100m'], data[..., 0], atol=1e-4)
+
+
+def test_get_lat_lon_bilinear_matches_griddata():
+    """The fast bilinear remesh agrees with the reference-style
+    griddata remesh on regular and rotated grids."""
+    import time
+
+    # regular grid
+    lr = _grid(6, 7)
+    fast = OutputHandler.get_lat_lon(lr.copy(), (18, 21))
+    slow = OutputHandler.get_lat_lon(lr.copy(), (18, 21),
+                                     method='griddata')
+    np.testing.assert_allclose(fast, slow, atol=1e-5)
+
+    # mildly curvilinear grid
+    i, j = np.meshgrid(np.arange(6), np.arange(7), indexing='ij')
+    lat = 40 - 0.1 * i - 0.01 * j
+    lon = -105 + 0.1 * j + 0.01 * i
+    lr2 = np.dstack([lat, lon])
+    fast2 = OutputHandler.get_lat_lon(lr2.copy(), (12, 14))
+    slow2 = OutputHandler.get_lat_lon(lr2.copy(), (12, 14),
+                                      method='griddata')
+    np.testing.assert_allclose(fast2, slow2, atol=1e-5)
+
+    # speed sanity on a bigger grid (fast path should be much faster)
+    big = _grid(60, 60)
+    t0 = time.perf_counter()
+    OutputHandler.get_lat_lon(big.copy(), (300, 300))
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    OutputHandler.get_lat_lon(big.copy(), (300, 300),
+                              method='griddata')
+    t_slow = time.perf_counter() - t0
+    assert t_fast < t_slow
