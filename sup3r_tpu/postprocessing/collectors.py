@@ -44,10 +44,13 @@ class CollectorH5:
     def collect(cls, file_paths, out_file, features='all',
                 max_workers=None, n_writes=None, target_meta_file=None,
                 join_times=False):
-        """Collect chunk files into ``out_file``."""
+        """Collect chunk files into ``out_file``. ``n_writes`` bounds
+        memory by splitting each feature's collection into that many
+        temporal slabs (reference: collectors/h5.py:590-718)."""
         collector = cls(file_paths)
         collector._collect(out_file, features=features,
-                           target_meta_file=target_meta_file)
+                           target_meta_file=target_meta_file,
+                           n_writes=n_writes)
         return out_file
 
     def _read_meta(self):
@@ -73,7 +76,8 @@ class CollectorH5:
             np.unique(np.concatenate([t.values for t in times])))
         return uniq, lat, lon, all_times
 
-    def _collect(self, out_file, features='all', target_meta_file=None):
+    def _collect(self, out_file, features='all', target_meta_file=None,
+                 n_writes=None):
         gids, lat, lon, times = self._read_meta()
         if target_meta_file is not None:
             target = pd.read_csv(target_meta_file)
@@ -110,35 +114,46 @@ class CollectorH5:
                 [str(t).encode() for t in times]))
             for k, v in attrs.items():
                 out.attrs[k] = v
+            # memory-bounded: process chunk files in n_writes groups of
+            # temporal ids (each group's rows are written then freed)
+            t_ids = sorted({get_chunk_indices(fp)[0]
+                            for fp in self.flist})
+            n_groups = min(n_writes or 1, len(t_ids))
+            t_groups = np.array_split(np.asarray(t_ids), n_groups)
             for feat in features:
                 dset_attrs, dtype = get_dset_attrs(feat)
                 full = out.create_dataset(
                     feat, shape=(len(times), len(gids)), dtype=dtype)
                 for key, val in dset_attrs.items():
                     full.attrs[key] = val
-                for fp in self.flist:
-                    with h5py.File(fp, 'r') as f:
-                        fmeta = f['meta'][:]
-                        fgids = (fmeta['gid']
-                                 if 'gid' in fmeta.dtype.names
-                                 else np.arange(len(fmeta)))
-                        ftimes = pd.DatetimeIndex(
-                            [t.decode()[:26]
-                             for t in f['time_index'][:]])
-                        rows = np.array(
-                            [time_pos[t] for t in ftimes])
-                        cols = np.array(
-                            [gid_pos[g] for g in fgids
-                             if g in gid_pos])
-                        keep_cols = np.array(
-                            [i for i, g in enumerate(fgids)
-                             if g in gid_pos])
-                        block = f[feat][:][:, keep_cols]
-                        r0, r1 = rows.min(), rows.max() + 1
-                        assert np.array_equal(
-                            rows, np.arange(r0, r1)), (
-                            'Non-contiguous time rows in chunk file')
-                        full[r0:r1, cols] = block
+                for group in t_groups:
+                    group = set(int(g) for g in group)
+                    fps = [fp for fp in self.flist
+                           if get_chunk_indices(fp)[0] in group]
+                    for fp in fps:
+                        with h5py.File(fp, 'r') as f:
+                            fmeta = f['meta'][:]
+                            fgids = (fmeta['gid']
+                                     if 'gid' in fmeta.dtype.names
+                                     else np.arange(len(fmeta)))
+                            ftimes = pd.DatetimeIndex(
+                                [t.decode()[:26]
+                                 for t in f['time_index'][:]])
+                            rows = np.array(
+                                [time_pos[t] for t in ftimes])
+                            cols = np.array(
+                                [gid_pos[g] for g in fgids
+                                 if g in gid_pos])
+                            keep_cols = np.array(
+                                [i for i, g in enumerate(fgids)
+                                 if g in gid_pos])
+                            block = f[feat][:][:, keep_cols]
+                            r0, r1 = rows.min(), rows.max() + 1
+                            assert np.array_equal(
+                                rows, np.arange(r0, r1)), (
+                                'Non-contiguous time rows in chunk '
+                                'file')
+                            full[r0:r1, cols] = block
         os.replace(tmp, out_file)
         logger.info('Collected %d chunk files into %s', len(self.flist),
                     out_file)

@@ -173,3 +173,28 @@ def test_get_lat_lon_bilinear_matches_griddata():
                               method='griddata')
     t_slow = time.perf_counter() - t0
     assert t_fast < t_slow
+
+
+def test_collect_h5_n_writes(tmp_path):
+    """Multi-write collection equals single-pass collection."""
+    s1, s2, t = 4, 4, 8
+    data = (RANDOM_GENERATOR.random((s1, s2, t, 1)) * 10).astype(
+        np.float32)
+    lat_lon = _grid(s1, s2)
+    times = pd.date_range('2023-01-01', periods=t, freq='h')
+    gids = np.arange(s1 * s2).reshape(s1, s2)
+    chunks = []
+    for t_idx, t_slice in enumerate(
+            [slice(0, 2), slice(2, 4), slice(4, 6), slice(6, 8)]):
+        fp = str(tmp_path / f'chunk_{t_idx:06d}_000000.h5')
+        OutputHandlerH5._write_output(
+            data[:, :, t_slice].copy(), ['windspeed_100m'], lat_lon,
+            times[t_slice], fp, gids=gids)
+        chunks.append(fp)
+    out1 = str(tmp_path / 'one.h5')
+    out2 = str(tmp_path / 'multi.h5')
+    CollectorH5.collect(chunks, out1)
+    CollectorH5.collect(chunks, out2, n_writes=3)
+    with h5py.File(out1, 'r') as f1, h5py.File(out2, 'r') as f2:
+        np.testing.assert_array_equal(f1['windspeed_100m'][:],
+                                      f2['windspeed_100m'][:])
