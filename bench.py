@@ -28,9 +28,11 @@ def main():
     # flagship: 3x spatial / 4x temporal 2-feature ST GAN
     model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
                      get_config('spatiotemporal/disc_test'))
-    # production-like chunk: batched lr chunks (pad included)
-    chunk = (4, 12, 12, 12, 2)   # (chunks, s1, s2, t, f)
-    model.init_weights((1, *chunk[1:]), (1, 36, 36, 48, 2))
+    # production-like device batch of padded lr chunks (see
+    # scripts/: batch x chunk sweep; this configuration keeps the MXU
+    # busy instead of being dispatch-bound)
+    chunk = (8, 20, 20, 24, 2)   # (chunks, s1, s2, t, f)
+    model.init_weights((1, *chunk[1:]), (1, 60, 60, 96, 2))
     params = jax.device_put(model.gen_params)
     gen = model.generator
 

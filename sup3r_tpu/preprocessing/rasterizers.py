@@ -307,6 +307,8 @@ class DualRasterizer:
         weights[exact, 0] = 1
         weights /= weights.sum(axis=1, keepdims=True)
         flat = lr.data.reshape(-1, *lr.data.shape[2:])
-        out = np.einsum('nk,nk...->n...', weights, flat[idx])
+        from sup3r_tpu._native import idw_apply
+
+        out = idw_apply(flat, idx, weights.astype(np.float32))
         return out.reshape(*target_lat_lon.shape[:2],
                            *lr.data.shape[2:]).astype(np.float32)
