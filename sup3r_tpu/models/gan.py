@@ -389,6 +389,21 @@ class Sup3rGan(AbstractSingleModel):
             jnp.bool_(train_disc), key)
         return {k: float(v) for k, v in details.items()}
 
+    def update_optimizer(self, option='generator', **kwargs):
+        """Update optimizer config (e.g. learning_rate) mid-training;
+        Adam moments are preserved (reference:
+        sup3r/models/abstract.py update_optimizer)."""
+        if option in ('generator', 'all'):
+            cfg = {**self._optimizer_config, **kwargs}
+            self._gen_tx, self._optimizer_config = _make_optimizer(cfg)
+        if option in ('discriminator', 'all'):
+            cfg = {**self._optimizer_disc_config, **kwargs}
+            self._disc_tx, self._optimizer_disc_config = \
+                _make_optimizer(cfg)
+        # step closures capture the old tx; rebuild on next use
+        self._train_step_fn = None
+        self._sample_step_fn = None
+
     def attach_mesh(self, mesh, axis='data'):
         """Enable data-parallel training over a ``jax.sharding.Mesh``:
         batches are sharded over ``axis`` and params/optimizer state

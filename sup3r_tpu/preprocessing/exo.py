@@ -159,10 +159,17 @@ class ExoRasterizer:
 
     @property
     def cache_file(self):
-        """Cache path keyed by feature + enhancement."""
+        """Cache path keyed by feature + enhancement + spatial extent
+        (extent hash prevents collisions between different domains)."""
+        import hashlib
+
+        corner = self.lr_lat_lon[[0, -1], [0, -1]].tobytes()
+        extent = hashlib.md5(
+            corner + bytes(str(self.lr_lat_lon.shape), 'utf8')
+        ).hexdigest()[:8]
         return os.path.join(
             self.cache_dir,
-            f'exo_{self.feature}_{self.s_enhance}x_'
+            f'exo_{self.feature}_{extent}_{self.s_enhance}x_'
             f'{self.t_enhance}x.npy')
 
     @property

@@ -208,3 +208,25 @@ def test_training_resume_extends_history(tmp_path):
     assert len(loaded.history) == 4
     assert list(loaded.history.index) == [0, 1, 2, 3]
     assert os.path.exists(os.path.join(tmp_path, 'gan_3'))
+
+
+def test_update_optimizer_preserves_state():
+    """Changing the learning rate mid-training keeps Adam moments and
+    rebuilds the step."""
+    handler = _handler(2, 1, (10, 10, 1))
+    model = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'),
+                     learning_rate=1e-4)
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    opt_state_before = model._gen_opt_state
+    model.update_optimizer(option='all', learning_rate=5e-5)
+    assert model._optimizer_config['learning_rate'] == 5e-5
+    assert model._optimizer_disc_config['learning_rate'] == 5e-5
+    assert model._gen_opt_state is opt_state_before  # moments kept
+    # training continues fine with the new optimizer
+    handler2 = _handler(2, 1, (10, 10, 1))
+    model.train(handler2, input_resolution={'spatial': '30km',
+                                            'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    assert len(model.history) == 2
