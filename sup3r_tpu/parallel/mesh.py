@@ -34,3 +34,24 @@ def replicate(mesh, tree):
     """Replicate a pytree (params / optimizer state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None):
+    """Initialize JAX multi-host (DCN) process groups so a single
+    logical run spans hosts — replaces the reference's SLURM-node
+    independence for tightly-coupled runs (SURVEY 2.7). For loosely-
+    coupled fleets, the chunk-file + jobstore pattern (CLI pipeline)
+    remains available and is often preferable for elasticity.
+
+    With no args, reads the standard JAX coordination env vars
+    (JAX_COORDINATOR_ADDRESS etc. / cloud TPU metadata)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()

@@ -225,7 +225,10 @@ class ForwardPass:
         return outputs
 
     def _run_chunk_batch(self, batch):
-        """Run a list of same-shaped chunks as one device batch."""
+        """Run a list of same-shaped chunks as one device batch,
+        optionally sharded over a device mesh (multi-chip chunk
+        fan-out — the SPMD version of the reference's node-per-chunk
+        SLURM distribution, SURVEY 2.7)."""
         if self.model.is_4d or any(c.exo_data for c in batch) or len(
                 batch) == 1:
             # 4D models already batch over time; exo rasters differ
@@ -236,7 +239,24 @@ class ForwardPass:
                 for c in batch}
         stacked = np.stack([c.input_data for c in batch], axis=0)
         lr = self.model.norm_input(stacked)
+        n_real = len(batch)
+        if getattr(self.strategy, 'use_mesh', False):
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from sup3r_tpu.parallel import get_mesh
+
+            mesh = get_mesh()
+            n_dev = mesh.devices.size
+            pad = (-len(batch)) % n_dev
+            if pad:
+                lr = np.concatenate(
+                    [lr, np.repeat(lr[-1:], pad, axis=0)], axis=0)
+            lr = jax.device_put(
+                np.ascontiguousarray(lr, dtype=np.float32),
+                NamedSharding(mesh, P('data')))
         out = self.model.generate(lr, norm_in=False, un_norm_out=True)
+        out = out[:n_real]
         outputs = {}
         for i, chunk in enumerate(batch):
             out_i = np.asarray(out[i][chunk.hr_crop_slice])

@@ -70,6 +70,9 @@ class ForwardPassStrategy:
     #: stack this many same-shaped padded chunks into one device batch
     #: (TPU throughput: amortizes dispatch + fills the MXU)
     device_batch_size: int = 1
+    #: shard device batches over all local devices (multi-chip chunk
+    #: fan-out via a jax.sharding.Mesh data axis)
+    use_mesh: bool = False
 
     def __post_init__(self):
         self.timer = Timer()
