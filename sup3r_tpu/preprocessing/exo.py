@@ -265,7 +265,17 @@ class SzaRasterizer(ExoRasterizer):
 
 class ObsRasterizer(ExoRasterizer):
     """Sparse observation rasterization: NaN where no obs (reference:
-    exo.py:461)."""
+    exo.py:461). Feature names carry an '_obs' suffix; the source file
+    is read with the base feature name."""
+
+    def get_source_data(self):
+        base = self.feature.replace('_obs', '')
+        orig = self.feature
+        try:
+            self.feature = base
+            return super().get_source_data()
+        finally:
+            self.feature = orig
 
     def get_data(self):
         coords, values = self.get_source_data()
@@ -291,6 +301,16 @@ class ExoDataHandler:
     RASTERIZERS = {
         'sza': SzaRasterizer,
     }
+
+    @classmethod
+    def _rasterizer_class(cls, feature):
+        """Rasterizer for a feature: sza -> analytic, *_obs -> sparse
+        observations, else mean-agg."""
+        if feature in cls.RASTERIZERS:
+            return cls.RASTERIZERS[feature]
+        if feature.endswith('_obs'):
+            return ObsRasterizer
+        return ExoRasterizer
 
     def __init__(self, file_paths, feature, model=None, steps=None,
                  source_file=None, input_handler_name=None,
@@ -346,7 +366,7 @@ class ExoDataHandler:
 
     def get_all_step_data(self):
         """ExoData with a raster for each step."""
-        cls = self.RASTERIZERS.get(self.feature, ExoRasterizer)
+        cls = self._rasterizer_class(self.feature)
         entry = {'steps': []}
         for step in self.steps:
             rasterizer = cls(
