@@ -21,6 +21,25 @@ from sup3r_tpu.utilities import Timer
 logger = logging.getLogger(__name__)
 
 
+def _compose_slice(outer, inner):
+    """Compose two contiguous slices: index ``inner`` within the
+    extent selected by ``outer``."""
+    base = 0 if outer.start is None else outer.start
+    return slice(base + inner.start, base + inner.stop)
+
+
+class _CoordsOnlyHandler:
+    """Geometry-only stand-in for the full input handler when
+    ``chunked_io=True``: exposes lat_lon / time_index / a coords-only
+    dataset; actual variable reads happen per chunk."""
+
+    def __init__(self, rasterizer):
+        self.rasterizer = rasterizer
+        self.data = rasterizer.data
+        self.lat_lon = rasterizer.lat_lon
+        self.time_index = rasterizer.data.time_index
+
+
 @dataclass
 class ForwardPassChunk:
     """One chunk's padded input + metadata for generation/writing."""
@@ -73,6 +92,12 @@ class ForwardPassStrategy:
     #: shard device batches over all local devices (multi-chip chunk
     #: fan-out via a jax.sharding.Mesh data axis)
     use_mesh: bool = False
+    #: stream input per chunk: only coordinates are loaded up front and
+    #: each chunk reads just its padded window from disk (lazy NetCDF4
+    #: slicing / windowed H5 gid reads). Replaces the reference's
+    #: dask-lazy input handlers (sup3r/pipeline/strategy.py:253-266)
+    #: for continental-scale domains that don't fit in host RAM.
+    chunked_io: bool = False
 
     def __post_init__(self):
         self.timer = Timer()
@@ -88,8 +113,11 @@ class ForwardPassStrategy:
         ihk = dict(self.input_handler_kwargs)
         self.time_slice = ihk.pop('time_slice', slice(None))
         HandlerClass = get_input_handler_class(self.input_handler_name)
-        self.input_handler = HandlerClass(
-            self.file_paths, features=self.features, **ihk)
+        if self.chunked_io:
+            self.input_handler = self._init_chunked_io(ihk)
+        else:
+            self.input_handler = HandlerClass(
+                self.file_paths, features=self.features, **ihk)
 
         grid_shape = self.input_handler.lat_lon.shape[:2]
         n_times = len(self.input_handler.time_index)
@@ -279,10 +307,14 @@ class ForwardPassStrategy:
         exo_data = (self.exo_data.get_chunk(
             [lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice])
             if self.exo_data is not None else None)
-        data = self.input_handler.data
-        input_data = data.as_array(self.features)[
-            lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice]
-        input_data = np.array(input_data)
+        if self.chunked_io:
+            input_data = self._read_chunk_window(lr_pad_slice,
+                                                 ti_pad_slice)
+        else:
+            data = self.input_handler.data
+            input_data = data.as_array(self.features)[
+                lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice]
+            input_data = np.array(input_data)
 
         if self.bias_correct_kwargs:
             from sup3r_tpu.bias.utilities import bias_correct_features
@@ -297,6 +329,54 @@ class ForwardPassStrategy:
                 bc_method=self.bias_correct_method,
                 bc_kwargs=self.bias_correct_kwargs)
         return input_data, exo_data
+
+    def _init_chunked_io(self, ihk):
+        """Coords-only setup for streaming reads: resolve the raster
+        extent once (coordinate search / flat-grid walk), keep only
+        geometry in memory, and stash per-chunk handler kwargs."""
+        from sup3r_tpu.preprocessing.loaders import get_source_type
+        from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+        ihk = dict(ihk)
+        unsupported = {k: ihk.get(k) for k in
+                       ('hr_spatial_coarsen', 'time_roll', 'time_shift')
+                       if ihk.get(k) not in (None, 0, 1)}
+        assert not unsupported, (
+            f'chunked_io does not support {list(unsupported)} — these '
+            'remap the global grid/time axes, incompatible with '
+            'per-chunk windowed reads')
+        rk = dict(ihk.get('res_kwargs') or {})
+        if get_source_type(self.file_paths) == 'nc':
+            rk['lazy'] = True
+        ihk['res_kwargs'] = rk
+        meta_keys = ('target', 'shape', 'threshold', 'raster_file',
+                     'res_kwargs', 'full_grid_shape')
+        meta_kwargs = {k: ihk[k] for k in meta_keys if k in ihk}
+        self._meta_rast = Rasterizer(self.file_paths, features=[],
+                                     **meta_kwargs)
+        # per-chunk kwargs: the window supersedes extent matching
+        for k in ('target', 'shape', 'raster_file', 'threshold',
+                  'cache_kwargs', 'hr_spatial_coarsen', 'time_roll',
+                  'time_shift', 'full_grid_shape'):
+            ihk.pop(k, None)
+        self._chunk_ihk = ihk
+        return _CoordsOnlyHandler(self._meta_rast)
+
+    def _read_chunk_window(self, lr_pad_slice, ti_pad_slice):
+        """Build a windowed DataHandler for one padded chunk: reads
+        only that window from disk, then derives features on it."""
+        meta_idx = self._meta_rast.raster_index
+        if isinstance(meta_idx, np.ndarray):
+            window = meta_idx[lr_pad_slice[0], lr_pad_slice[1]]
+        else:
+            window = (_compose_slice(meta_idx[0], lr_pad_slice[0]),
+                      _compose_slice(meta_idx[1], lr_pad_slice[1]))
+        HandlerClass = get_input_handler_class(self.input_handler_name)
+        handler = HandlerClass(
+            self.file_paths, features=self.features, window=window,
+            time_slice=ti_pad_slice, **self._chunk_ihk)
+        return np.asarray(handler.data.as_array(self.features),
+                          dtype=np.float32)
 
     def init_chunk(self, chunk_index=0):
         """Build the ForwardPassChunk for a chunk id."""

@@ -39,7 +39,7 @@ class DataHandler:
                  raster_file=None, time_roll=0, time_shift=None,
                  hr_spatial_coarsen=1, nan_method_kwargs=None,
                  interp_kwargs=None, cache_kwargs=None, res_kwargs=None,
-                 FeatureRegistry=None):
+                 FeatureRegistry=None, window=None):
         self.file_paths = file_paths
         registry = FeatureRegistry or self.FEATURE_REGISTRY
 
@@ -51,7 +51,8 @@ class DataHandler:
             self.rasterizer = Rasterizer(
                 file_paths, features='all', target=target, shape=shape,
                 time_slice=time_slice, threshold=threshold,
-                raster_file=raster_file, res_kwargs=res_kwargs)
+                raster_file=raster_file, res_kwargs=res_kwargs,
+                window=window)
             self._rasterizer_hook()
             raster_data = self.rasterizer.data
             feats = (raster_data.features if features in ('all', None)

@@ -124,6 +124,145 @@ def decode_cf_time(values, units, calendar='standard'):
     return pd.DatetimeIndex(origin + deltas)
 
 
+class _LazyNCVar:
+    """Deferred view of an on-disk NetCDF4 variable: slicing reads only
+    the requested window from the h5py dataset, applying the dim
+    reorder / scale / fill on the fly. This is what lets chunked
+    inference stream continental inputs instead of loading them."""
+
+    def __init__(self, dset, src_dims, canon_dims, scale=1.0, offset=0.0,
+                 fill=None, flips=()):
+        self._dset = dset
+        self._src_dims = src_dims
+        self.dims = canon_dims
+        self._scale = scale
+        self._offset = offset
+        self._fill = fill
+        #: canonical dims whose order is reversed vs on-disk (e.g.
+        #: ascending-latitude files exposed with descending lats)
+        self.flips = set(flips)
+        # canonical shape
+        size = dict(zip(canon_dims, [
+            dset.shape[src_dims.index(d)] for d in canon_dims]))
+        self.shape = tuple(size[d] for d in canon_dims)
+        self.ndim = len(self.shape)
+        self.dtype = np.float32
+
+    def _decode(self, values):
+        values = np.asarray(values, dtype=np.float32)
+        if self._scale != 1.0 or self._offset != 0.0:
+            values = values * self._scale + self._offset
+        if self._fill is not None and not np.isnan(self._fill):
+            values = np.where(values == self._fill, np.nan, values)
+        return values
+
+    def isel(self, sel):
+        """Read a window; ``sel`` maps canonical dim name -> slice (in
+        canonical orientation, flips applied transparently)."""
+        size = dict(zip(self.dims, self.shape))
+        src_idx, post = [], {}
+        for d in self._src_dims:
+            sl = sel.get(d, slice(None))
+            step = sl.step or 1
+            if step != 1:
+                # strided/reversed window: read the full dim, apply the
+                # canonical slice after reorder (h5py can't step < 0)
+                post[d] = sl
+                sl = slice(None)
+            elif d in self.flips:
+                n = size[d]
+                start, stop, _ = sl.indices(n)
+                sl = slice(n - stop, n - start)
+            src_idx.append(sl)
+        block = self._dset[tuple(src_idx)]
+        order = [self._src_dims.index(d) for d in self.dims
+                 if d in self._src_dims]
+        block = np.transpose(block, order)
+        for d in self.flips:
+            block = np.flip(block, axis=self.dims.index(d))
+        if post:
+            block = block[tuple(post.get(d, slice(None))
+                                for d in self.dims)]
+        return self._decode(block)
+
+    def __getitem__(self, idx):
+        """Materialize fully then index (for API parity with arrays)."""
+        return self.materialize()[idx]
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.materialize()
+        return out.astype(dtype) if dtype is not None else out
+
+    def materialize(self):
+        """Full read in canonical order."""
+        return self.isel({})
+
+
+class _LazyTimeConcat:
+    """Lazy concatenation of per-file lazy variables along time (e.g.
+    monthly/yearly NetCDF series). Window reads split the requested
+    time slice across member files so only touched files hit disk —
+    the TPU-native replacement for the reference's dask-backed
+    ``xr.open_mfdataset`` laziness (sup3r/preprocessing/loaders/nc.py)."""
+
+    def __init__(self, parts, dims):
+        self.parts = list(parts)
+        self.dims = dims
+        self._t_ax = dims.index(Dimension.TIME)
+        sizes = [p.shape[self._t_ax] for p in self.parts]
+        self._offsets = np.cumsum([0, *sizes])
+        shape = list(self.parts[0].shape)
+        shape[self._t_ax] = int(self._offsets[-1])
+        self.shape = tuple(shape)
+        self.ndim = len(self.shape)
+        self.dtype = np.float32
+
+    def isel(self, sel):
+        """Read a window; the time slice is routed to the member files
+        that overlap it (contiguous step-1 slices only)."""
+        tsl = sel.get(Dimension.TIME, slice(None))
+        start, stop, step = tsl.indices(self.shape[self._t_ax])
+        if step != 1:
+            # read the contiguous envelope, stride afterwards
+            env = dict(sel)
+            lo, hi = (start, stop) if step > 0 else (stop + 1, start + 1)
+            env[Dimension.TIME] = slice(lo, hi)
+            out = self.isel(env)
+            idx = [slice(None)] * out.ndim
+            idx[self._t_ax] = slice(None, None, step)
+            return out[tuple(idx)]
+        blocks = []
+        for i, part in enumerate(self.parts):
+            lo = max(start, int(self._offsets[i])) - int(self._offsets[i])
+            hi = min(stop, int(self._offsets[i + 1])) - int(
+                self._offsets[i])
+            if hi <= lo:
+                continue
+            psel = dict(sel)
+            psel[Dimension.TIME] = slice(lo, hi)
+            if hasattr(part, 'isel'):
+                blocks.append(part.isel(psel))
+            else:
+                idx = tuple(psel.get(d, slice(None)) for d in self.dims)
+                blocks.append(np.asarray(part[idx], dtype=np.float32))
+        return np.concatenate(blocks, axis=self._t_ax)
+
+    def __getitem__(self, idx):
+        return self.materialize()[idx]
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.materialize()
+        return out.astype(dtype) if dtype is not None else out
+
+    def materialize(self):
+        """Full read in canonical order."""
+        return self.isel({})
+
+
+#: duck-type tuple for "reads from disk on demand"
+_LAZY_TYPES = (_LazyNCVar, _LazyTimeConcat)
+
+
 class RawDataset:
     """Gridded variables with canonical dims (s1, s2, t[, level]) plus
     coords — the loader→rasterizer→deriver interchange container."""
@@ -156,28 +295,29 @@ class RawDataset:
         return str(name).lower() in self.data_vars
 
     def __getitem__(self, name):
-        return self.data_vars[str(name).lower()]
+        var = self.data_vars[str(name).lower()]
+        if isinstance(var, _LAZY_TYPES):
+            var = var.materialize()
+            self.data_vars[str(name).lower()] = var
+        return var
 
     def dims(self, name):
         """Canonical dim names of a variable."""
         return self.var_dims[str(name).lower()]
 
     def isel(self, s1=slice(None), s2=slice(None), t=slice(None)):
-        """Slice all variables spatially/temporally."""
+        """Slice all variables spatially/temporally. Lazy variables
+        read only the requested window from disk."""
+        sel = {Dimension.SOUTH_NORTH: s1, Dimension.WEST_EAST: s2,
+               Dimension.TIME: t}
         new_vars, new_dims = {}, {}
         for name, arr in self.data_vars.items():
             dims = self.var_dims[name]
-            idx = []
-            for dim in dims:
-                if dim == Dimension.SOUTH_NORTH:
-                    idx.append(s1)
-                elif dim == Dimension.WEST_EAST:
-                    idx.append(s2)
-                elif dim == Dimension.TIME:
-                    idx.append(t)
-                else:
-                    idx.append(slice(None))
-            new_vars[name] = arr[tuple(idx)]
+            if isinstance(arr, _LAZY_TYPES):
+                new_vars[name] = arr.isel(sel)
+            else:
+                idx = tuple(sel.get(dim, slice(None)) for dim in dims)
+                new_vars[name] = arr[idx]
             new_dims[name] = dims
         ti = None if self.time_index is None else self.time_index[t]
         return RawDataset(new_vars, new_dims, self.lat_lon[s1, s2],
@@ -238,8 +378,13 @@ class LoaderNC:
     sup3r/preprocessing/loaders/nc.py:28)."""
 
     def __init__(self, file_paths, features='all', res_kwargs=None,
-                 chunks=None, BaseLoader=None):
+                 chunks=None, BaseLoader=None, lazy=False):
+        """``lazy=True`` defers variable reads (h5py-backed NetCDF4
+        files only): data is pulled from disk per requested window,
+        enabling chunked streaming over continental inputs."""
         self.file_paths = expand_paths(file_paths)
+        self._handles = []
+        self.lazy = lazy
         per_file = [self._load_one(p) for p in self.file_paths]
         self.data = self._merge(per_file)
         if features != 'all' and features is not None:
@@ -251,15 +396,23 @@ class LoaderNC:
 
     def _load_one(self, path):
         backend, handle = _nc_open(path)
+        lazy = self.lazy and backend == 'h5py'
         try:
-            return self._standardize(_nc_vars(backend, handle))
+            return self._standardize(_nc_vars(backend, handle),
+                                     lazy=lazy)
         finally:
-            if backend == 'h5py':
-                pass  # keep open for lazy h5py reads? -> eager read above
-            else:
+            if backend == 'h5py' and lazy:
+                self._handles.append(handle)  # keep open for reads
+            elif backend != 'h5py':
                 handle.close()
 
-    def _standardize(self, raw_vars):
+    def close(self):
+        """Close any lazily-held file handles."""
+        for h in self._handles:
+            h.close()
+        self._handles = []
+
+    def _standardize(self, raw_vars, lazy=False):
         # resolve coordinate arrays
         lower = {k.lower(): k for k in raw_vars}
 
@@ -340,23 +493,29 @@ class LoaderNC:
             if Dimension.SOUTH_NORTH not in cdims or (
                     Dimension.WEST_EAST not in cdims):
                 continue
-            values = np.asarray(arr[:], dtype=np.float32)
+            sf, off = 1.0, 0.0
             if 'scale_factor' in attrs:
                 sf = float(np.asarray(attrs['scale_factor']).ravel()[0])
                 off = float(np.asarray(attrs.get('add_offset', 0)
                                        ).ravel()[0])
-                values = values * sf + off
             fill = attrs.get('_FillValue', attrs.get('missing_value'))
-            if fill is not None:
-                fv = float(np.asarray(fill).ravel()[0])
-                if not np.isnan(fv):
+            fv = (float(np.asarray(fill).ravel()[0])
+                  if fill is not None else None)
+            canon = tuple(d for d in target_order if d in cdims)
+            if lazy:
+                values = _LazyNCVar(arr, cdims, canon, scale=sf,
+                                    offset=off, fill=fv)
+            else:
+                values = np.asarray(arr[:], dtype=np.float32)
+                if sf != 1.0 or off != 0.0:
+                    values = values * sf + off
+                if fv is not None and not np.isnan(fv):
                     values = np.where(values == fv, np.nan, values)
-            # reorder to canonical
-            order = [cdims.index(d) for d in target_order if d in cdims]
-            values = np.transpose(values, order)
-            cdims = tuple(d for d in target_order if d in cdims)
+                order = [cdims.index(d) for d in target_order
+                         if d in cdims]
+                values = np.transpose(values, order)
             data_vars[standardize_var_name(name)] = values
-            var_dims[standardize_var_name(name)] = cdims
+            var_dims[standardize_var_name(name)] = canon
 
         dset = RawDataset(data_vars, var_dims, np.dstack([lat2d, lon2d]),
                           time_index=time_index, levels=levels)
@@ -369,6 +528,9 @@ class LoaderNC:
             dset.lat_lon = dset.lat_lon[::-1].copy()
             for name, arr in dset.data_vars.items():
                 if Dimension.SOUTH_NORTH in dset.var_dims[name]:
+                    if isinstance(arr, _LazyNCVar):
+                        arr.flips.add(Dimension.SOUTH_NORTH)
+                        continue
                     ax = dset.var_dims[name].index(Dimension.SOUTH_NORTH)
                     dset.data_vars[name] = np.flip(arr, axis=ax).copy()
         if dset.levels is not None and len(dset.levels) > 1 and (
@@ -377,6 +539,9 @@ class LoaderNC:
             for name, arr in dset.data_vars.items():
                 dims = dset.var_dims[name]
                 if Dimension.PRESSURE_LEVEL in dims:
+                    if isinstance(arr, _LazyNCVar):
+                        arr.flips.add(Dimension.PRESSURE_LEVEL)
+                        continue
                     ax = dims.index(Dimension.PRESSURE_LEVEL)
                     dset.data_vars[name] = np.flip(arr, axis=ax).copy()
         return dset
@@ -399,11 +564,23 @@ class LoaderNC:
                 order = np.argsort(
                     np.concatenate([base.time_index.values,
                                     other.time_index.values]))
+                sorted_cat = bool(np.all(np.diff(order) > 0))
                 for name in overlap:
+                    a, b = base.data_vars[name], other.data_vars[name]
+                    lazy = isinstance(a, _LAZY_TYPES) or isinstance(
+                        b, _LAZY_TYPES)
+                    if lazy and sorted_cat:
+                        parts = (a.parts if isinstance(a, _LazyTimeConcat)
+                                 else [a])
+                        parts = [*parts, *(
+                            b.parts if isinstance(b, _LazyTimeConcat)
+                            else [b])]
+                        base.data_vars[name] = _LazyTimeConcat(
+                            parts, base.var_dims[name])
+                        continue
                     ax = base.var_dims[name].index(Dimension.TIME)
-                    cat = np.concatenate(
-                        [base.data_vars[name], other.data_vars[name]],
-                        axis=ax)
+                    cat = np.concatenate([np.asarray(a), np.asarray(b)],
+                                         axis=ax)
                     base.data_vars[name] = np.take(cat, order, axis=ax)
                 base.time_index = pd.DatetimeIndex(
                     np.concatenate([base.time_index.values,

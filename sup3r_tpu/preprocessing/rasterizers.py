@@ -144,7 +144,12 @@ class Rasterizer:
     def __init__(self, file_paths=None, loader=None, features='all',
                  target=None, shape=None, time_slice=slice(None),
                  threshold=None, raster_file=None, max_delta=20,
-                 res_kwargs=None, full_grid_shape=None):
+                 res_kwargs=None, full_grid_shape=None, window=None):
+        """``window`` short-circuits extent matching with a precomputed
+        raster index: an (s1_slice, s2_slice) pair for gridded NC input
+        or a 2D gid array for flattened H5. Used by chunked streaming
+        inference (ForwardPassStrategy(chunked_io=True)) so per-chunk
+        reads skip the coordinate search entirely."""
         assert file_paths is not None or loader is not None
         self.loader = loader if loader is not None else Loader(
             file_paths, features=features, **(res_kwargs or {}))
@@ -156,6 +161,7 @@ class Rasterizer:
         self.threshold = threshold
         self.raster_file = raster_file
         self._is_flat = isinstance(self.loader, LoaderH5)
+        self.window = window
         self.raster_index = self._get_raster_index()
         self.data = self._rasterize()
 
@@ -172,6 +178,10 @@ class Rasterizer:
         return self.loader.data.lat_lon
 
     def _get_raster_index(self):
+        if self.window is not None:
+            if isinstance(self.window, np.ndarray):
+                return self.window
+            return tuple(self.window)
         if self.raster_file is not None and os.path.exists(
                 self.raster_file):
             idx = np.loadtxt(self.raster_file, dtype=int)

@@ -71,6 +71,47 @@ def make_fake_nc_file(path, shape, features, start='2023-01-01',
     return path
 
 
+def make_fake_nc4_file(path, shape, features, start='2023-01-01',
+                       freq='h', ascending_lats=False, scale_factor=None,
+                       lat_range=(40.0, 39.0),
+                       lon_range=(-105.5, -104.3)):
+    """Write an HDF5-backed NetCDF4-style file via h5py (dimension
+    scales attached so DIMENSION_LIST resolves) — exercises the lazy
+    windowed-read loader path, which needs an h5py backend."""
+    s1, s2, t = shape
+    lat0, lat1 = lat_range if not ascending_lats else lat_range[::-1]
+    lat = np.linspace(lat0, lat1, s1).astype(np.float32)
+    lon = np.linspace(*lon_range, s2).astype(np.float32)
+    time_index = pd.date_range(start, periods=t, freq=freq)
+    hours = ((time_index - pd.Timestamp('1900-01-01'))
+             .total_seconds() / 3600).astype('float64')
+
+    import h5py
+
+    with h5py.File(path, 'w') as f:
+        tv = f.create_dataset('time', data=hours)
+        tv.attrs['units'] = np.bytes_('hours since 1900-01-01')
+        tv.attrs['calendar'] = np.bytes_('standard')
+        latv = f.create_dataset('lat', data=lat)
+        lonv = f.create_dataset('lon', data=lon)
+        tv.make_scale('time')
+        latv.make_scale('lat')
+        lonv.make_scale('lon')
+        for feat in features:
+            arr = RANDOM_GENERATOR.random((t, s1, s2)).astype(np.float32)
+            if scale_factor is not None:
+                stored = np.round(arr / scale_factor).astype(np.int16)
+                v = f.create_dataset(feat, data=stored)
+                v.attrs['scale_factor'] = np.float64(scale_factor)
+                v.attrs['add_offset'] = np.float64(0.0)
+            else:
+                v = f.create_dataset(feat, data=arr)
+            v.dims[0].attach_scale(tv)
+            v.dims[1].attach_scale(latv)
+            v.dims[2].attach_scale(lonv)
+    return path
+
+
 def make_fake_h5_file(path, shape, features, start='2023-01-01',
                       freq='h', scale_factor=100.0,
                       lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3),
