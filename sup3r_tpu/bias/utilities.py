@@ -16,10 +16,15 @@ logger = logging.getLogger(__name__)
 
 
 def bias_correct_feature(source_feature, data, feature_names, lat_lon,
-                         time_index, bc_method, bc_kwargs):
+                         time_index, bc_method, bc_kwargs,
+                         lr_padded_slice=None):
     """Bias correct one feature channel in a chunk array.
 
-    data: (s1, s2, t, n_features) padded chunk input."""
+    data: (s1, s2, t, n_features) padded chunk input.
+    lr_padded_slice: the chunk's padded (row, col) slices into the full
+    input raster — when the bias factor rasters share that grid this
+    windows them by slice directly, skipping per-chunk lat/lon
+    matching (reference: bias_transforms.py lr_padded_slice args)."""
     method = getattr(transforms_mod, bc_method, None)
     if method is None or not callable(method):
         raise KeyError(
@@ -29,6 +34,8 @@ def bias_correct_feature(source_feature, data, feature_names, lat_lon,
     feature_data = data[..., idf]
 
     sig_params = inspect.signature(method).parameters
+    if 'lr_padded_slice' in sig_params and lr_padded_slice is not None:
+        kwargs.setdefault('lr_padded_slice', lr_padded_slice)
     if 'date_range_kwargs' in sig_params and (
             'date_range_kwargs' not in kwargs):
         kwargs['date_range_kwargs'] = get_date_range_kwargs(time_index)
@@ -39,16 +46,14 @@ def bias_correct_feature(source_feature, data, feature_names, lat_lon,
     if 'time_index' in sig_params:
         kwargs.setdefault('time_index', time_index)
     kwargs = {k: v for k, v in kwargs.items() if k in sig_params}
-    if 'lat_lon' in sig_params:
-        corrected = method(feature_data, **kwargs)
-    else:
-        corrected = method(feature_data, **kwargs)
+    corrected = method(feature_data, **kwargs)
     data[..., idf] = corrected
     return data
 
 
 def bias_correct_features(features, data, feature_names, lat_lon,
-                          time_index, bc_method, bc_kwargs):
+                          time_index, bc_method, bc_kwargs,
+                          lr_padded_slice=None):
     """Bias correct all requested features in place."""
     data = np.array(data)
     for feature in features:
@@ -59,5 +64,5 @@ def bias_correct_features(features, data, feature_names, lat_lon,
             continue
         data = bias_correct_feature(
             feature, data, feature_names, lat_lon, time_index,
-            bc_method, bc_kwargs)
+            bc_method, bc_kwargs, lr_padded_slice=lr_padded_slice)
     return data

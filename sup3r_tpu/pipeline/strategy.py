@@ -319,15 +319,19 @@ class ForwardPassStrategy:
         if self.bias_correct_kwargs:
             from sup3r_tpu.bias.utilities import bias_correct_features
 
-            lat_lon = self.input_handler.lat_lon[lr_pad_slice[0],
-                                                 lr_pad_slice[1]]
+            # full-domain lat_lon + lr_padded_slice: factor rasters are
+            # windowed file->domain by coordinate match once, then
+            # domain->chunk by slice (reference contract:
+            # bias_transforms.py lr_padded_slice args)
             time_index = self.input_handler.time_index[ti_pad_slice]
             input_data = bias_correct_features(
                 features=list(self.bias_correct_kwargs),
                 data=input_data, feature_names=self.features,
-                lat_lon=lat_lon, time_index=time_index,
+                lat_lon=self.input_handler.lat_lon,
+                time_index=time_index,
                 bc_method=self.bias_correct_method,
-                bc_kwargs=self.bias_correct_kwargs)
+                bc_kwargs=self.bias_correct_kwargs,
+                lr_padded_slice=lr_pad_slice)
         return input_data, exo_data
 
     def _init_chunked_io(self, ihk):

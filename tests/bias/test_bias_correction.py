@@ -250,3 +250,47 @@ def test_fwp_integration_with_bias_correction(tmp_path):
     np.testing.assert_allclose(chunk_bc[..., 0],
                                chunk_raw[..., 0] * 2 + 1, rtol=1e-5)
     np.testing.assert_allclose(chunk_bc[..., 1], chunk_raw[..., 1])
+
+
+def test_fwp_bias_correction_chunk_windowing(tmp_path):
+    """Spatially-varying factors are windowed domain->chunk via
+    lr_padded_slice for every padded chunk (reference contract:
+    bias_transforms.py lr_padded_slice args)."""
+    from sup3r_tpu.pipeline import ForwardPassStrategy
+    from tests.forward_pass.test_forward_pass import (
+        _s_gen_config,
+        _save_model,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (12, 12, 4), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,
+                               is_5d=False)
+    lat = np.linspace(40.0, 39.0, 12)
+    lon = np.linspace(-105.5, -104.3, 12)
+    lat2d, lon2d = np.meshgrid(lat, lon, indexing='ij')
+    scalar = (1.0 + np.arange(12)[:, None] * 0.1
+              + np.arange(12)[None, :] * 0.01)
+    fp_bc = str(tmp_path / 'bc.h5')
+    with h5py.File(fp_bc, 'w') as f:
+        f.create_dataset('latitude', data=lat2d)
+        f.create_dataset('longitude', data=lon2d)
+        f.create_dataset('u_100m_scalar', data=scalar[..., None])
+        f.create_dataset('u_100m_adder', data=np.zeros((12, 12, 1)))
+
+    common = dict(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(6, 6, 4), spatial_pad=1, temporal_pad=0,
+        out_pattern=None)
+    strat_bc = ForwardPassStrategy(
+        **common, bias_correct_method='local_linear_bc',
+        bias_correct_kwargs={'u_100m': {'bias_fp': fp_bc}})
+    strat_raw = ForwardPassStrategy(**common)
+    for idx in range(strat_bc.fwp_slicer.n_chunks):
+        s_idx, _ = strat_bc.fwp_slicer.get_chunk_indices(idx)
+        pad = strat_bc.fwp_slicer.s_lr_pad_slices[s_idx]
+        chunk_bc, _ = strat_bc.prep_chunk_data(idx)
+        chunk_raw, _ = strat_raw.prep_chunk_data(idx)
+        expected = chunk_raw[..., 0] * scalar[pad[0], pad[1]][..., None]
+        np.testing.assert_allclose(chunk_bc[..., 0], expected, rtol=1e-5)
