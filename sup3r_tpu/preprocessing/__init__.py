@@ -8,6 +8,15 @@ thread keeps a device-bound batch queue full while the train step runs.
 """
 
 from sup3r_tpu.preprocessing.grid import GridDataset, PairedDataset  # noqa
+from sup3r_tpu.preprocessing.data_handlers import (  # noqa: F401
+    DailyDataHandler,
+    DataHandler,
+    DataHandlerH5SolarCC,
+    DataHandlerH5WindCC,
+    DataHandlerNCforCC,
+    DataHandlerNCforCCwithPowerLaw,
+    get_input_handler_class,
+)
 from sup3r_tpu.preprocessing.samplers import (  # noqa: F401
     DualSampler,
     Sampler,

@@ -56,10 +56,13 @@ class BaseBatchHandler:
                  feature_sets=None, queue_cap=4, max_workers=1,
                  transform_kwargs=None, mode='eager',
                  sampler_kwargs=None, queue_kwargs=None,
-                 device_transform=False):
+                 device_transform=False, **kwargs):
+        """Extra **kwargs are forwarded to the queue (reference
+        factory composes queue signatures into the handler; e.g.
+        s_padding/t_padding/lower_models for conditional queues)."""
+        queue_kwargs = {**(queue_kwargs or {}), **kwargs}
         val_containers = val_containers or []
         if device_transform:
-            queue_kwargs = dict(queue_kwargs or {})
             queue_kwargs['device_transform'] = True
         self.s_enhance = s_enhance
         self.t_enhance = t_enhance
