@@ -10,6 +10,11 @@ Measured in this image with raw-TF ops building the same 3x/4x ST-GAN
 architecture on the same (4, 12, 12, 12, 2) chunk batch:
 3.34e4 HR voxels/sec (single process, tf.function compiled).
 vs_baseline reports speedup over that measurement.
+
+Timing note: on the axon-tunneled TPU, ``block_until_ready`` does not
+reliably wait for remote execution, so each timed repetition ends with
+a jitted scalar reduction whose VALUE is fetched to the host — the
+fetch cannot complete before the device finishes the queued work.
 """
 
 import json
@@ -28,28 +33,30 @@ def main():
     # flagship: 3x spatial / 4x temporal 2-feature ST GAN
     model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
                      get_config('spatiotemporal/disc_test'))
-    # production-like device batch of padded lr chunks (see
-    # scripts/: batch x chunk sweep; this configuration keeps the MXU
-    # busy instead of being dispatch-bound)
+    # production-like device batch of padded lr chunks
     chunk = (8, 20, 20, 24, 2)   # (chunks, s1, s2, t, f)
     model.init_weights((1, *chunk[1:]), (1, 60, 60, 96, 2))
     params = jax.device_put(model.gen_params)
     gen = model.generator
 
     fwd = jax.jit(lambda p, x: gen.apply(p, x))
+    ssum = jax.jit(jnp.sum)
     x = jnp.asarray(
         np.random.default_rng(0).random(chunk), dtype=jnp.float32)
 
-    out = jax.block_until_ready(fwd(params, x))  # compile
-    n_iters = 8
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(params, x)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    out = fwd(params, x)
+    float(ssum(out))  # warm both compiles + full sync
+    n_iters = 4
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fwd(params, x)
+        float(ssum(out))  # host value fetch = real device completion
+        best = min(best, (time.perf_counter() - t0) / n_iters)
 
-    hr_voxels = int(np.prod(out.shape[:-1])) * n_iters
-    voxels_per_sec = hr_voxels / dt
+    hr_voxels = int(np.prod(out.shape[:-1]))
+    voxels_per_sec = hr_voxels / best
     baseline = 3.34e4  # measured TF-CPU, HR voxels/sec (see docstring)
     print(json.dumps({
         'metric': 'forward_pass_hr_voxels_per_sec_per_chip',

@@ -461,16 +461,36 @@ class Sup3rGan(AbstractSingleModel):
     #: as an opt-in for small-chunk serving experiments; see
     #: scripts/bench_kernels.py for the ablation.
     inference_fuse = False
+    #: opt-in reduced-precision inference: set to 'bfloat16' to run the
+    #: generator's convs on the MXU in bf16 (params/activations cast
+    #: in-graph, output cast back to float32). ~2x HBM traffic
+    #: reduction; output differs from fp32 at the bf16 epsilon (~3
+    #: decimal digits) so it is off by default — the reference serves
+    #: fp32 (TF float32 Keras inference).
+    inference_dtype = None
 
     def _get_gen_apply(self):
-        if self._gen_apply_fn is None:
+        if not isinstance(self._gen_apply_fn, dict):
+            self._gen_apply_fn = {}
+        dt = self.inference_dtype
+        if dt not in self._gen_apply_fn:
             gen = self._gen
+            if dt is None:
+                def apply(params, x, exo):
+                    return gen.apply(params, x, exo=exo)
+            else:
+                jdt = jnp.dtype(dt)
 
-            def apply(params, x, exo):
-                return gen.apply(params, x, exo=exo)
+                def apply(params, x, exo):
+                    params = jax.tree.map(
+                        lambda p: p.astype(jdt), params)
+                    x = x.astype(jdt)
+                    exo = {k: v.astype(jdt) for k, v in exo.items()}
+                    out = gen.apply(params, x, exo=exo)
+                    return out.astype(jnp.float32)
 
-            self._gen_apply_fn = jax.jit(apply)
-        return self._gen_apply_fn
+            self._gen_apply_fn[dt] = jax.jit(apply)
+        return self._gen_apply_fn[dt]
 
     def _get_fused_apply(self):
         """(jitted_fn, fused_params) with fused blocks; rebuilt when

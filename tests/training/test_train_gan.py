@@ -230,3 +230,24 @@ def test_update_optimizer_preserves_state():
                                             'temporal': '60min'},
                 n_epoch=1, out_dir=None)
     assert len(model.history) == 2
+
+
+def test_bf16_inference_close_to_fp32():
+    """Opt-in bfloat16 inference matches fp32 within bf16 epsilon."""
+    model = Sup3rGan(_small_gen_s(), get_config('spatial/disc_test'))
+    model.meta.update(lr_features=['u_100m', 'v_100m'],
+                      hr_out_features=['u_100m', 'v_100m'],
+                      input_resolution={'spatial': '30km',
+                                        'temporal': '60min'})
+    model.set_norm_stats({'u_100m': 0.1, 'v_100m': -0.2},
+                         {'u_100m': 1.1, 'v_100m': 0.9})
+    model.init_weights((1, 8, 8, 2), (1, 16, 16, 2))
+    lr = np.random.default_rng(0).random((2, 8, 8, 2)).astype(np.float32)
+    out32 = model.generate(lr)
+    model.inference_dtype = 'bfloat16'
+    out16 = model.generate(lr)
+    assert out16.dtype == np.float32
+    assert np.allclose(out16, out32, rtol=0.05, atol=0.05)
+    assert not np.allclose(out16, out32, rtol=1e-7, atol=1e-8)
+    model.inference_dtype = None
+    np.testing.assert_allclose(model.generate(lr), out32, rtol=1e-6)
