@@ -43,7 +43,8 @@ class SolarCC(Sup3rGan):
         super().init_weights(lr_shape, hr_shape, seed=seed)
 
     def _make_gen_loss_fn(self):
-        gen, disc = self._gen, self._disc
+        disc = self._disc
+        gen_apply = self._train_gen_apply()
         loss_fun = self.loss_fun
         sh, dh, plh = (self.STARTING_HOUR, self.DAYLIGHT_HOURS,
                        self.POINT_LOSS_HOURS)
@@ -52,7 +53,7 @@ class SolarCC(Sup3rGan):
             assert hr.shape[3] % 24 == 0, (
                 f'SolarCC needs multiples of 24 hourly steps, got '
                 f'{hr.shape}')
-            out = gen.apply(gen_params, lr)
+            out = gen_apply(gen_params, lr)
             n_days = hr.shape[3] // 24
 
             d_true, d_gen = [], []

@@ -73,7 +73,8 @@ class Sup3rGanWithObs(Sup3rGan):
         return ~mask
 
     def _make_gen_loss_fn(self):
-        gen, disc = self._gen, self._disc
+        disc = self._disc
+        gen_apply = self._train_gen_apply()
         loss_fun = self.loss_fun
         n_exo = len(self.hr_exo_features)
         exo_names = list(self.hr_exo_features)
@@ -94,7 +95,7 @@ class Sup3rGanWithObs(Sup3rGan):
                 chan = hr[..., idx:idx + 1]
                 exo[name] = jnp.where(not_obs[..., idx:idx + 1],
                                       jnp.nan, chan)
-            out = gen.apply(gen_params, lr, exo=exo)
+            out = gen_apply(gen_params, lr, exo=exo)
             full = (jnp.concatenate(
                 [out] + [hr[..., hr.shape[-1] - n_exo + i:
                             hr.shape[-1] - n_exo + i + 1]

@@ -251,3 +251,47 @@ def test_bf16_inference_close_to_fp32():
     assert not np.allclose(out16, out32, rtol=1e-7, atol=1e-8)
     model.inference_dtype = None
     np.testing.assert_allclose(model.generate(lr), out32, rtol=1e-6)
+
+
+def test_train_fuse_matches_unfused():
+    """Fused-train-step gradients match the plain network: one step
+    from identical states produces (near-)identical params."""
+    import jax
+
+    from sup3r_tpu.configs import get_config
+
+    def one_step(fuse):
+        np.random.seed(0)
+        gen_cfg = get_config('spatiotemporal/gen_3x_4x_2f')
+        disc_cfg = get_config('spatiotemporal/disc_test')
+        model = Sup3rGan(gen_cfg, disc_cfg, learning_rate=1e-3)
+        model.train_fuse = fuse
+        model.meta.update(lr_features=['u_100m', 'v_100m'],
+                          hr_out_features=['u_100m', 'v_100m'],
+                          input_resolution={'spatial': '12km',
+                                            'temporal': '60min'})
+        model.init_weights((1, 6, 6, 8, 2), (1, 18, 18, 32, 2))
+        rng = np.random.default_rng(1)
+        lr = rng.random((2, 6, 6, 8, 2)).astype(np.float32)
+        hr = rng.random((2, 18, 18, 32, 2)).astype(np.float32)
+        step = model.train_step_fn
+        out = step(model.gen_params, model.disc_params,
+                   model._gen_opt_state, model._disc_opt_state,
+                   lr, hr, 1e-3, True, True, jax.random.PRNGKey(0))
+        return out[0], out[4]
+
+    p_fused, d_fused = one_step(True)
+    p_plain, d_plain = one_step(False)
+    np.testing.assert_allclose(float(d_fused['loss_gen']),
+                               float(d_plain['loss_gen']), rtol=1e-5)
+    # Adam's 1/sqrt(v) amplifies ulp-level backward-pass ordering
+    # differences where v ~ 0, so allow a slightly looser atol
+    for a, b in zip(jax_leaves(p_fused), jax_leaves(p_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def jax_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
