@@ -97,14 +97,31 @@ class LinearCorrection(FillAndSmoothMixin, DataRetrievalBase):
         """Compute factors for every bias gid and optionally write the
         factor file. Returns the dict of factor rasters."""
         out = self._init_out()
-        for bias_gid in range(self.bias_gid_raster.size):
+
+        def one_gid(bias_gid):
             base_data, base_ti = self.get_base_data(
                 bias_gid, daily_reduction=daily_reduction)
             if base_data is None:
-                continue
+                return bias_gid, None
             bias_data = self.get_bias_data(bias_gid)
-            single = self._stats_single(
+            return bias_gid, self._stats_single(
                 bias_data, base_data, self.bias_time_index, base_ti)
+
+        gids = range(self.bias_gid_raster.size)
+        if max_workers == 1:
+            results = map(one_gid, gids)
+        else:
+            # reference uses ProcessPoolExecutor (bias_calc.py:191-255);
+            # the per-gid work is numpy percentile/stat reductions that
+            # release the GIL, so threads parallelize without the
+            # fork+pickle cost
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                results = list(pool.map(one_gid, gids))
+        for bias_gid, single in results:
+            if single is None:
+                continue
             row, col = np.unravel_index(bias_gid,
                                         self.bias_gid_raster.shape)
             for key, val in single.items():

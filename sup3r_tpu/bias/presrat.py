@@ -121,11 +121,12 @@ class PresRat(QuantileDeltaMappingCorrection):
     def run(self, fp_out=None, max_workers=1, daily_reduction='avg',
             fill_extend=True, smooth_extend=0, smooth_interior=0):
         out = self._init_out()
-        for bias_gid in range(self.bias_gid_raster.size):
+
+        def one_gid(bias_gid):
             base_data, base_ti = self.get_base_data(
                 bias_gid, daily_reduction=daily_reduction)
             if base_data is None:
-                continue
+                return bias_gid, None
             bias_data = self.get_bias_data(bias_gid)
             fut_data = self.get_bias_fut_data(bias_gid)
             bias_ti = self.bias_time_index
@@ -142,6 +143,16 @@ class PresRat(QuantileDeltaMappingCorrection):
                 corrected[valid], self.zero_rate_threshold)
             k = self.calc_k_factor(base_data, bias_data, fut_data,
                                    corrected, base_ti, bias_ti, fut_ti)
+            return bias_gid, (single, tau_fut, zero_rate, k)
+
+        from sup3r_tpu.bias.qdm import _run_gid_loop
+
+        results = _run_gid_loop(one_gid, self.bias_gid_raster.size,
+                                max_workers)
+        for bias_gid, res in results:
+            if res is None:
+                continue
+            single, tau_fut, zero_rate, k = res
             row, col = np.unravel_index(bias_gid,
                                         self.bias_gid_raster.shape)
             for key, v in single.items():

@@ -16,6 +16,19 @@ from sup3r_tpu.preprocessing.data_handlers import get_input_handler_class
 logger = logging.getLogger(__name__)
 
 
+def _run_gid_loop(fn, n_gids, max_workers):
+    """Run per-gid stat computation serially or across threads (the
+    reference fans out with ProcessPoolExecutor, bias_calc.py:191-255;
+    the work here is GIL-releasing numpy reductions so threads are the
+    cheaper equivalent)."""
+    if max_workers == 1:
+        return map(fn, range(n_gids))
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(fn, range(n_gids)))
+
+
 def window_center(ntimes):
     """ntimes equally spaced days-of-year, shifted half an interval
     (reference: qdm.py:273)."""
@@ -118,16 +131,23 @@ class QuantileDeltaMappingCorrection(FillAndSmoothMixin,
             fill_extend=True, smooth_extend=0, smooth_interior=0):
         """Compute QDM parameter rasters for every gid; write to H5."""
         out = self._init_out()
-        for bias_gid in range(self.bias_gid_raster.size):
+
+        def one_gid(bias_gid):
             base_data, base_ti = self.get_base_data(
                 bias_gid, daily_reduction=daily_reduction)
             if base_data is None:
-                continue
+                return bias_gid, None
             bias_data = self.get_bias_data(bias_gid)
             fut_data = self.get_bias_fut_data(bias_gid)
-            single = self._windowed_params(
+            return bias_gid, self._windowed_params(
                 bias_data, fut_data, base_data, self.bias_time_index,
                 self.bias_fut_dh.time_index, base_ti)
+
+        results = _run_gid_loop(one_gid, self.bias_gid_raster.size,
+                                max_workers)
+        for bias_gid, single in results:
+            if single is None:
+                continue
             row, col = np.unravel_index(bias_gid,
                                         self.bias_gid_raster.shape)
             for k, v in single.items():

@@ -92,6 +92,21 @@ class GridDataset:
             return self.data[..., idx]
         return self.data[key]
 
+    def qa(self, stats=('nan_perc', 'mean', 'std', 'min', 'max')):
+        """Per-feature data-quality stats (reference:
+        sup3r/preprocessing/accessor.py:625 ``Sup3rX.qa``)."""
+        out = {}
+        for f in self.features:
+            arr = self[f]
+            info = {}
+            for s in stats:
+                if s == 'nan_perc':
+                    info[s] = float(100 * np.isnan(arr).mean())
+                else:
+                    info[s] = float(getattr(np, 'nan' + s)(arr))
+            out[f] = info
+        return out
+
     def __setitem__(self, feature, values):
         """Add or overwrite a feature channel."""
         values = np.asarray(values, dtype=np.float32)

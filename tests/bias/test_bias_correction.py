@@ -149,6 +149,22 @@ def test_skill_assessment(paired_files):
     assert 'base_windspeed_100m_percentile_50' in out
 
 
+def test_linear_correction_threaded_matches_serial(paired_files,
+                                                   tmp_path):
+    """max_workers>1 (thread fan-out over gids) produces identical
+    factor rasters to the serial loop."""
+    base_fp, bias_fp = paired_files
+    calc = LinearCorrection(base_fp, bias_fp, 'windspeed_100m',
+                            'u_100m')
+    out1 = calc.run(fill_extend=False, max_workers=1)
+    calc2 = LinearCorrection(base_fp, bias_fp, 'windspeed_100m',
+                             'u_100m')
+    out2 = calc2.run(fill_extend=False, max_workers=4)
+    assert sorted(out1) == sorted(out2)
+    for k in out1:
+        np.testing.assert_allclose(out1[k], out2[k], equal_nan=True)
+
+
 def test_qdm_correction_and_transform(tmp_path):
     base_fp = make_fake_h5_file(
         str(tmp_path / 'base.h5'), (20, 20, 24 * 365), ['ghi'],
