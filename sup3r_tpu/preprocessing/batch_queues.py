@@ -67,8 +67,10 @@ class AbstractBatchQueue:
         """Pick a sampler weighted by its data size."""
         if len(self.samplers) == 1:
             return self.samplers[0]
+        from sup3r_tpu.preprocessing.samplers import _safe_probs
+
         idx = RANDOM_GENERATOR.choice(
-            len(self.samplers), p=self.container_weights)
+            len(self.samplers), p=_safe_probs(self.container_weights))
         return self.samplers[idx]
 
     def sample_batch(self):
@@ -144,6 +146,11 @@ class AbstractBatchQueue:
                 except Empty:
                     if not self._training_flag.is_set():
                         return
+                    if (self._thread is None
+                            or not self._thread.is_alive()):
+                        raise RuntimeError(
+                            'Batch producer thread died (see "Batch '
+                            'producer error" traceback in the log)')
 
     def __next__(self):
         self.start()

@@ -7,6 +7,8 @@ samplers), samplers/dual.py (DualSampler), samplers/dc.py (SamplerDC).
 
 import logging
 
+import numpy as np
+
 from sup3r_tpu.names import parse_feature
 from sup3r_tpu.utilities import RANDOM_GENERATOR
 
@@ -33,6 +35,18 @@ def uniform_time_sampler(data_shape, sample_shape, crop_slice=slice(None)):
     return slice(start, start + shape)
 
 
+def _safe_probs(weights):
+    """Normalize bin weights into a valid probability vector in
+    float64 (fp32 sums fail np.random's tolerance check; NaN/zero
+    weights fall back to uniform)."""
+    w = np.asarray(weights, dtype=np.float64)
+    w = np.where(np.isfinite(w) & (w > 0), w, 0.0)
+    s = w.sum()
+    if s <= 0:
+        return np.full(len(w), 1.0 / len(w))
+    return w / s
+
+
 def weighted_box_sampler(data_shape, sample_shape, weights):
     """Spatial crop where the grid is divided into len(weights) chunks
     along a flattened spatial index and the crop start is drawn from the
@@ -46,7 +60,7 @@ def weighted_box_sampler(data_shape, sample_shape, weights):
                        max(len(indices) // len(weights), 1))
     ][:len(weights)]
     chunk_idx = RANDOM_GENERATOR.choice(
-        len(chunks), p=[w / sum(weights) for w in weights])
+        len(chunks), p=_safe_probs(weights))
     chunk = chunks[chunk_idx]
     flat = RANDOM_GENERATOR.choice(chunk)
     row, col = flat // max_cols, flat % max_cols
@@ -64,7 +78,7 @@ def weighted_time_sampler(data_shape, sample_shape, weights):
     chunks = [t_indices[x: x + chunk_size]
               for x in range(0, len(t_indices), chunk_size)][:len(weights)]
     chunk_idx = RANDOM_GENERATOR.choice(
-        len(chunks), p=[w / sum(weights) for w in weights])
+        len(chunks), p=_safe_probs(weights))
     start = RANDOM_GENERATOR.choice(chunks[chunk_idx])
     return slice(start, start + shape)
 

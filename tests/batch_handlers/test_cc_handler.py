@@ -93,3 +93,50 @@ def test_batch_handler_cc():
         assert b.low_res.shape == (2, 8, 8, 1, 2)
         assert b.high_res.shape == (2, 8, 8, 8, 2)
         assert not np.isnan(b.high_res).any()
+
+
+def test_train_cc_with_topo_exo(tmp_path):
+    """Wind-CC training with mid-network topography exo (reference:
+    tests/training/test_train_exo_cc.py): DualSamplerCC feature split
+    routes topography to hr_exo, the generator consumes it via
+    Sup3rConcat, and a short train run completes with finite losses."""
+    import os
+
+    from sup3r_tpu.models import Sup3rGan
+
+    paired = _daily_hourly(solar=False)
+    # add a (time-invariant) topography channel to both members
+    topo = RANDOM_GENERATOR.random(
+        (*paired.hourly.data.shape[:2], 1)).astype(np.float32)
+    for member in (paired.daily, paired.hourly):
+        t = member.data.shape[2]
+        member['topography'] = np.repeat(topo, t, axis=2)
+
+    handler = BatchHandlerCC(
+        [paired], batch_size=2, n_batches=2, s_enhance=1, t_enhance=24,
+        sample_shape=(8, 8, 24),
+        feature_sets={'features': ['u_100m', 'v_100m', 'topography'],
+                      'hr_exo_features': ['topography'],
+                      'lr_only_features': []})
+    gen = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatioTemporalExpansion', 'temporal_mult': 24,
+         'temporal_method': 'nearest'},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'Sup3rConcat', 'name': 'topography'},
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'}]}
+    disc = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+         'strides': 2, 'padding': 'same'},
+        {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]}
+    model = Sup3rGan(gen, disc, learning_rate=1e-4)
+    model.train(handler, input_resolution={'spatial': '4km',
+                                           'temporal': '1440min'},
+                n_epoch=2, weight_gen_advers=1e-4, train_gen=True,
+                train_disc=True,
+                out_dir=os.path.join(tmp_path, 'cc_{epoch}'))
+    assert model.hr_exo_features == ['topography']
+    assert model.hr_out_features == ['u_100m', 'v_100m']
+    assert np.isfinite(model.history['train_loss_gen'].values).all()

@@ -296,3 +296,46 @@ def test_solar_multi_step_gan(tmp_path):
     lr = RNG.random((3, 4, 4, 3)).astype(np.float32)
     out = model.generate(lr)
     assert out.shape == (1, 8, 8, 12, 1)
+
+
+def test_gan_dc_with_exo(tmp_path):
+    """Data-centric GAN training with topography exo (reference:
+    tests/training/test_train_exo_dc.py): DC bin weights update while
+    the generator consumes a mid-network exo raster."""
+    import os
+
+    import numpy as np
+
+    from sup3r_tpu.models import Sup3rGanDC
+    from sup3r_tpu.preprocessing.batch_handlers import BatchHandlerDC
+    from sup3r_tpu.utilities.test_helpers import make_fake_dset
+
+    data = make_fake_dset((20, 20, 48),
+                          ['u_100m', 'v_100m', 'topography'])
+    handler = BatchHandlerDC(
+        [data], [data], batch_size=2, n_batches=2, s_enhance=2,
+        t_enhance=1, sample_shape=(8, 8, 4),
+        feature_sets={'hr_exo_features': ['topography']},
+        n_space_bins=4, n_time_bins=2)
+    gen = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'Sup3rConcat', 'name': 'topography'},
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'}]}
+    disc = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+         'strides': 2, 'padding': 'same'},
+        {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]}
+    model = Sup3rGanDC(gen, disc, learning_rate=1e-4)
+    model.train(handler, input_resolution={'spatial': '24km',
+                                           'temporal': '60min'},
+                n_epoch=2, weight_gen_advers=1e-4, train_gen=True,
+                train_disc=True,
+                out_dir=os.path.join(tmp_path, 'dc_{epoch}'))
+    assert model.hr_exo_features == ['topography']
+    # DC weights were pushed to the samplers and are normalized
+    w = handler._queue.samplers[0].spatial_weights
+    assert w is not None and np.isclose(np.sum(w), 1.0, atol=1e-5)
