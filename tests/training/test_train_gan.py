@@ -295,3 +295,40 @@ def jax_leaves(tree):
     import jax
 
     return jax.tree.leaves(tree)
+
+
+def test_train_remat_matches():
+    """jax.checkpoint rematerialization changes memory, not math: one
+    step with train_remat=True matches the default step."""
+    import jax
+
+    from sup3r_tpu.configs import get_config
+
+    def one_step(remat):
+        gen_cfg = _small_gen_st()
+        disc_cfg = {'hidden_layers': [
+            {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]}
+        model = Sup3rGan(gen_cfg, disc_cfg, learning_rate=1e-3)
+        model.train_remat = remat
+        model.meta.update(lr_features=['u_100m', 'v_100m'],
+                          hr_out_features=['u_100m', 'v_100m'],
+                          input_resolution={'spatial': '12km',
+                                            'temporal': '60min'})
+        model.init_weights((1, 6, 6, 6, 2), (1, 12, 12, 12, 2))
+        rng = np.random.default_rng(3)
+        lr = rng.random((2, 6, 6, 6, 2)).astype(np.float32)
+        hr = rng.random((2, 12, 12, 12, 2)).astype(np.float32)
+        out = model.train_step_fn(
+            model.gen_params, model.disc_params, model._gen_opt_state,
+            model._disc_opt_state, lr, hr, 1e-3, True, True,
+            jax.random.PRNGKey(0))
+        return out[0], float(out[4]['loss_gen'])
+
+    p1, l1 = one_step(False)
+    p2, l2 = one_step(True)
+    assert np.isclose(l1, l2, rtol=1e-6)
+    for a, b in zip(jax_leaves(p1), jax_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
