@@ -202,6 +202,65 @@ class AbstractSingleModel(AbstractInterface):
     """Shared single-model machinery: norm stats, loss resolution,
     exo plumbing, parameter (de)serialization."""
 
+    #: fuse pad/conv/crop blocks inside the jitted train step too —
+    #: the same bit-identical rewrite as inference_fuse, applied to
+    #: the generator's forward AND backward passes (the halo ring is
+    #: wasted FLOPs in both directions). Gradients flow to the
+    #: ORIGINAL param pytree: fusion preserves the leaf order (pad/
+    #: crop/activation layers carry empty param dicts), so the fused
+    #: structure is rebuilt in-graph with jax.tree.unflatten.
+    train_fuse = True
+
+    def _train_gen_apply(self):
+        """Generator apply for traced training paths, with fusable
+        blocks rewritten (see ``train_fuse``). Falls back to the plain
+        network when nothing fuses or the leaf-identity invariant
+        doesn't hold."""
+        if not self.train_fuse or self.gen_params is None:
+            return self._gen.apply
+        from sup3r_tpu.models.fuse import FusedReflectConv, fuse_network
+        from sup3r_tpu.models.network import Network
+
+        layers, ftmpl = fuse_network(self._gen.layers, self.gen_params)
+        if not any(isinstance(lyr, FusedReflectConv) for lyr in layers):
+            return self._gen.apply
+        orig_leaves = jax.tree.leaves(self.gen_params)
+        fused_leaves = jax.tree.leaves(ftmpl)
+        same = (len(orig_leaves) == len(fused_leaves) and all(
+            a is b for a, b in zip(orig_leaves, fused_leaves)))
+        if not same:  # pragma: no cover - safety net
+            logger.warning('Fused param leaf order diverged; training '
+                           'falls back to the unfused generator')
+            return self._gen.apply
+        fused_def = jax.tree.structure(ftmpl)
+        fnet = Network(layers)
+
+        def apply(params, x, exo=None, train=False, dropout_key=None):
+            fp = jax.tree.unflatten(fused_def, jax.tree.leaves(params))
+            return fnet.apply(fp, x, exo=exo, train=train,
+                              dropout_key=dropout_key)
+
+        return apply
+
+    #: opt-in gradient rematerialization: wrap the generator forward
+    #: in jax.checkpoint so the backward pass recomputes activations
+    #: instead of keeping all ~50 layers' intermediates in HBM —
+    #: trades ~30% more generator FLOPs for several x larger feasible
+    #: batch/chunk sizes on a 16 GB chip.
+    train_remat = False
+
+    def _maybe_remat(self, gen_apply):
+        """Apply ``train_remat`` to a generator apply callable."""
+        if not self.train_remat:
+            return gen_apply
+        rematted = jax.checkpoint(
+            lambda p, x, exo: gen_apply(p, x, exo=exo))
+
+        def apply(params, x, exo=None, **_):
+            return rematted(params, x, exo or {})
+
+        return apply
+
     def __init__(self):
         self.meta = {}
         self._means = None

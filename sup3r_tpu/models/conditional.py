@@ -86,8 +86,10 @@ class Sup3rCondMom(AbstractSingleModel):
             return {f: hr[..., n_out + i:n_out + i + 1]
                     for i, f in enumerate(exo_names)}
 
+        gen_apply = self._maybe_remat(self._train_gen_apply())
+
         def loss_fn(gen_params, lr, hr, output, mask):
-            out = gen.apply(gen_params, lr, exo=split_exo(hr))
+            out = gen_apply(gen_params, lr, exo=split_exo(hr))
             return loss_fun(out * mask, output * mask)
 
         def step(gen_params, gen_opt, lr, hr, output, mask):
@@ -122,9 +124,9 @@ class Sup3rCondMom(AbstractSingleModel):
     # ------------------------------------------------------------------
     def _get_gen_apply(self):
         if self._gen_apply_fn is None:
-            gen = self._gen
+            apply = self._train_gen_apply()  # pad/crop fusion
             self._gen_apply_fn = jax.jit(
-                lambda p, x, exo: gen.apply(p, x, exo=exo))
+                lambda p, x, exo: apply(p, x, exo=exo))
         return self._gen_apply_fn
 
     def generate(self, low_res, norm_in=True, un_norm_out=True,
