@@ -96,3 +96,39 @@ def test_device_transform_training_matches_host():
     loss_host = train_one(make_handler(False))
     loss_dev = train_one(make_handler(True))
     np.testing.assert_allclose(loss_dev, loss_host, rtol=1e-4)
+
+
+def test_dual_pipeline_from_files(tmp_path):
+    """The sup3rwind dual-resolution production flow from raw files:
+    coarse NC (ERA-style) + fine H5 (WTK-style) -> DataHandlers ->
+    DualRasterizer (IDW regrid of LR onto the coarsened-HR grid) ->
+    DualBatchHandler -> short GAN train (reference:
+    tests/training/test_train_dual.py)."""
+    from sup3r_tpu.preprocessing import DataHandler
+    from sup3r_tpu.preprocessing.rasterizers import DualRasterizer
+    from sup3r_tpu.utilities.test_helpers import (
+        make_fake_h5_file,
+        make_fake_nc_file,
+    )
+
+    features = ['u_100m', 'v_100m']
+    lr_fp = make_fake_nc_file(str(tmp_path / 'era.nc'), (10, 10, 20),
+                              ['u100', 'v100'])
+    hr_fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (20, 20, 20),
+                              features)
+    lr_h = DataHandler(lr_fp, features=features)
+    hr_h = DataHandler(hr_fp, features=features)
+    paired = DualRasterizer((lr_h.data, hr_h.data), s_enhance=2,
+                            t_enhance=1).data
+    assert paired.low_res.shape[:2] == (10, 10)
+    assert paired.high_res.shape[:2] == (20, 20)
+    assert not np.isnan(paired.low_res.data).any()
+
+    handler = DualBatchHandler(
+        [paired], batch_size=2, n_batches=2, s_enhance=2, t_enhance=1,
+        sample_shape=(8, 8, 1))
+    model = Sup3rGan(_small_gen_s(), _small_disc())
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    assert np.isfinite(model.history['train_loss_gen'].values[-1])
