@@ -114,3 +114,73 @@ def test_cli_requires_config():
     runner = CliRunner()
     result = runner.invoke(main, ['forward-pass'], obj={})
     assert result.exit_code != 0
+
+
+def test_cli_bias_calc(tmp_path):
+    """bias-calc CLI runs jobs from config and records status."""
+    import h5py
+
+    from sup3r_tpu.utilities.test_helpers import (
+        make_fake_h5_file,
+        make_fake_nc_file,
+    )
+
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (20, 20, 480), ['windspeed_100m'],
+        freq='h', value_range=(0, 20),
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'bias.nc'), (10, 10, 100), ['u100'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    fp_out = str(tmp_path / 'factors.h5')
+    cfg = {
+        'run_dir': str(tmp_path),
+        'jobs': [{
+            'bias_calc_class': 'LinearCorrection',
+            'base_fps': base_fp, 'bias_fps': bias_fp,
+            'base_dset': 'windspeed_100m', 'bias_feature': 'u_100m',
+            'fp_out': fp_out,
+        }],
+    }
+    cfg_fp = str(tmp_path / 'config_bc.json')
+    with open(cfg_fp, 'w') as f:
+        json.dump(cfg, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', cfg_fp, 'bias-calc'], obj={})
+    assert result.exit_code == 0, result.output
+    with h5py.File(fp_out, 'r') as f:
+        assert 'u_100m_scalar' in f
+    status = Status(str(tmp_path)).read()
+    assert status['bias-calc']['bias_calc_0']['job_status'] == \
+        'successful'
+
+
+def test_cli_qa(fwp_setup):
+    """qa CLI re-coarsens fwp output against the source."""
+    run_dir, fwp_fp, out_pattern = fwp_setup
+    run_dir = str(run_dir)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', fwp_fp, 'forward-pass'],
+                           obj={})
+    assert result.exit_code == 0, result.output
+    with open(fwp_fp) as f:
+        fwp_cfg = json.load(f)
+    import glob
+
+    out_files = sorted(glob.glob(
+        out_pattern.replace('{file_id}', '*')))
+    assert out_files
+    qa_cfg = {
+        'run_dir': run_dir,
+        'source_file_paths': fwp_cfg['file_paths'],
+        'out_file_path': out_files[0],
+        's_enhance': 2, 't_enhance': 1,
+        'temporal_coarsening_method': 'subsample',
+        'qa_fp': os.path.join(run_dir, 'qa.h5'),
+    }
+    qa_fp = os.path.join(run_dir, 'config_qa.json')
+    with open(qa_fp, 'w') as f:
+        json.dump(qa_cfg, f)
+    result = runner.invoke(main, ['-c', qa_fp, 'qa'], obj={})
+    assert result.exit_code == 0, result.output
+    assert os.path.exists(qa_cfg['qa_fp'])
