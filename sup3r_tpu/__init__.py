@@ -27,3 +27,28 @@ import os
 
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), 'configs')
 TEST_DATA_DIR = os.path.join(os.path.dirname(__file__), '..', 'tests', 'data')
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt out with
+    SUP3R_TPU_NO_COMPILE_CACHE=1). Chunked inference compiles one
+    program per distinct padded-chunk shape; on a tunneled/remote TPU
+    each compile costs tens of seconds, and the cache removes all of
+    them on reruns (measured 96s -> <1s per program)."""
+    if os.environ.get('SUP3R_TPU_NO_COMPILE_CACHE'):
+        return
+    if os.environ.get('JAX_COMPILATION_CACHE_DIR'):
+        return  # user already configured it
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.path.expanduser('~/.cache/sup3r_tpu/jax')
+            jax.config.update('jax_compilation_cache_dir', cache_dir)
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # pragma: no cover - jax config drift
+        pass
+
+
+_enable_compilation_cache()

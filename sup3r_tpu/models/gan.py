@@ -581,8 +581,27 @@ class Sup3rGan(AbstractSingleModel):
         else:
             out = self._get_gen_apply()(
                 self.gen_params, jnp.asarray(low_res), fixed_exo)
-        out = np.asarray(out)
+        un_done = False
         if un_norm_out and self._means is not None:
+            means, stds = self._stats_for(self.hr_out_features)
+            if out.shape[-1] == means.size:
+                # denormalize ON DEVICE before the host fetch, as a
+                # single jitted dispatch — host-side numpy on a
+                # (batch, 60, 60, 96, f) block costs ~2 s/batch on a
+                # 1-vCPU inference node, and two separate un-jitted
+                # device ops cost a dispatch roundtrip each
+                if not hasattr(self, '_unnorm_jit'):
+                    self._unnorm_jit = jax.jit(
+                        lambda o, s, m: o * s + m)
+                out = self._unnorm_jit(out, jnp.asarray(stds),
+                                       jnp.asarray(means))
+                un_done = True
+        out = np.asarray(out)
+        if not out.flags.writeable:
+            # zero-copy views of device buffers are read-only; the
+            # writers mutate in place (limits, u/v inversion)
+            out = out.copy()
+        if un_norm_out and not un_done and self._means is not None:
             out = self.un_norm_output(out)
         out = self._combine_fwp_output(out, exogenous_data)
         return out

@@ -229,8 +229,7 @@ class ForwardPass:
         optionally sharded over a device mesh (multi-chip chunk
         fan-out — the SPMD version of the reference's node-per-chunk
         SLURM distribution, SURVEY 2.7)."""
-        if self.model.is_4d or any(c.exo_data for c in batch) or len(
-                batch) == 1:
+        if self.model.is_4d or any(c.exo_data for c in batch):
             # 4D models already batch over time; exo rasters differ
             # per chunk — run individually
             return {
@@ -240,6 +239,15 @@ class ForwardPass:
         stacked = np.stack([c.input_data for c in batch], axis=0)
         lr = self.model.norm_input(stacked)
         n_real = len(batch)
+        # pad partial batches up to the configured device batch size by
+        # repeating the last chunk: the batch dim stays STATIC so XLA
+        # compiles exactly one program per chunk shape instead of one
+        # per (shape, remainder-size) pair — remote compiles are tens
+        # of seconds each
+        full = getattr(self.strategy, 'device_batch_size', 1)
+        if n_real < full:
+            lr = np.concatenate(
+                [lr, np.repeat(lr[-1:], full - n_real, axis=0)], axis=0)
         if getattr(self.strategy, 'use_mesh', False):
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -248,7 +256,7 @@ class ForwardPass:
 
             mesh = get_mesh()
             n_dev = mesh.devices.size
-            pad = (-len(batch)) % n_dev
+            pad = (-lr.shape[0]) % n_dev
             if pad:
                 lr = np.concatenate(
                     [lr, np.repeat(lr[-1:], pad, axis=0)], axis=0)
