@@ -550,14 +550,18 @@ class Sup3rGan(AbstractSingleModel):
                 for k, v in out.items()}
 
     def generate(self, low_res, norm_in=True, un_norm_out=True,
-                 exogenous_data=None):
+                 exogenous_data=None, fetch=True):
         """Public inference: (input-exo concat) -> normalize ->
         generator (+layer exo) -> denormalize -> (output-exo concat).
 
         low_res: 4D/5D physical-units array (n_obs first). Reference
-        parity: sup3r/models/abstract.py:1037-1105."""
-        low_res = np.asarray(low_res, dtype=np.float32)
-        low_res = self._combine_fwp_input(low_res, exogenous_data)
+        parity: sup3r/models/abstract.py:1037-1105. A jax.Array input
+        (e.g. mesh-sharded by the chunk runner) is used as-is so its
+        device placement/sharding survives into the jitted apply."""
+        if not (isinstance(low_res, jnp.ndarray)
+                and not exogenous_data):
+            low_res = np.asarray(low_res, dtype=np.float32)
+            low_res = self._combine_fwp_input(low_res, exogenous_data)
         exo = self._parse_exo_for_generate(exogenous_data, low_res.shape)
         if norm_in and self._means is not None:
             low_res = self.norm_input(low_res)
@@ -596,6 +600,11 @@ class Sup3rGan(AbstractSingleModel):
                 out = self._unnorm_jit(out, jnp.asarray(stds),
                                        jnp.asarray(means))
                 un_done = True
+        if not fetch and un_done and not exogenous_data:
+            # pipelined inference: hand back the un-fetched device
+            # array so the caller can overlap the host fetch/write of
+            # this batch with the dispatch of the next one
+            return out
         out = np.asarray(out)
         if not out.flags.writeable:
             # zero-copy views of device buffers are read-only; the

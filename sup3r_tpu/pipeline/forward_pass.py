@@ -218,24 +218,47 @@ class ForwardPass:
             key = (chunk.input_data.shape,
                    chunk.exo_data is not None)
             groups.setdefault(key, []).append(chunk)
-        for group in groups.values():
-            for start in range(0, len(group), batch_size):
-                batch = group[start:start + batch_size]
-                outputs.update(self._run_chunk_batch(batch))
+        # overlap the host-bound tail (device fetch + crop + h5 write)
+        # of batch N with the dispatch of batch N+1: dispatches are
+        # async device work, drains are GIL-releasing (tunnel/PCIe
+        # wait, disk IO), so even a 1-vCPU node pipelines them
+        drain_futs = []
+        with ThreadPoolExecutor(max_workers=1) as drain_pool:
+            for group in groups.values():
+                for start in range(0, len(group), batch_size):
+                    batch = group[start:start + batch_size]
+                    dispatched = self._dispatch_chunk_batch(batch)
+                    if dispatched is None:  # per-chunk fallback path
+                        outputs.update(self._run_chunk_batch(batch))
+                        continue
+                    drain_futs.append(drain_pool.submit(
+                        self._drain_chunk_batch, batch, dispatched))
+            for fut in drain_futs:
+                outputs.update(fut.result())
         return outputs
 
     def _run_chunk_batch(self, batch):
-        """Run a list of same-shaped chunks as one device batch,
-        optionally sharded over a device mesh (multi-chip chunk
-        fan-out — the SPMD version of the reference's node-per-chunk
-        SLURM distribution, SURVEY 2.7)."""
-        if self.model.is_4d or any(c.exo_data for c in batch):
-            # 4D models already batch over time; exo rasters differ
-            # per chunk — run individually
+        """Run a list of same-shaped chunks as one device batch
+        (dispatch + drain in one call; the per-chunk fallback when
+        batching doesn't apply)."""
+        dispatched = self._dispatch_chunk_batch(batch)
+        if dispatched is None:
             return {
                 c.index: self.run_chunk(
                     c, allowed_const=self.strategy.allowed_const)[1]
                 for c in batch}
+        return self._drain_chunk_batch(batch, dispatched)
+
+    def _dispatch_chunk_batch(self, batch):
+        """Stack same-shaped chunks and launch the device batch,
+        optionally sharded over a device mesh (multi-chip chunk
+        fan-out — the SPMD version of the reference's node-per-chunk
+        SLURM distribution, SURVEY 2.7). Returns the un-fetched device
+        output (or None when chunks must run individually)."""
+        if self.model.is_4d or any(c.exo_data for c in batch):
+            # 4D models already batch over time; exo rasters differ
+            # per chunk — run individually
+            return None
         stacked = np.stack([c.input_data for c in batch], axis=0)
         lr = self.model.norm_input(stacked)
         n_real = len(batch)
@@ -263,7 +286,17 @@ class ForwardPass:
             lr = jax.device_put(
                 np.ascontiguousarray(lr, dtype=np.float32),
                 NamedSharding(mesh, P('data')))
-        out = self.model.generate(lr, norm_in=False, un_norm_out=True)
+        out = self.model.generate(lr, norm_in=False, un_norm_out=True,
+                                  fetch=False)
+        return out, n_real
+
+    def _drain_chunk_batch(self, batch, dispatched):
+        """Fetch a dispatched batch to host, crop each chunk and
+        write/return it."""
+        out, n_real = dispatched
+        out = np.asarray(out)
+        if not out.flags.writeable:
+            out = out.copy()
         out = out[:n_real]
         outputs = {}
         for i, chunk in enumerate(batch):
