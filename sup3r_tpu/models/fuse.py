@@ -33,6 +33,7 @@ from sup3r_tpu.models.layers import (
 from sup3r_tpu.ops.pallas_kernels import (
     reflect_conv,
     reflect_conv_reference,
+    small_reflect_conv,
 )
 
 logger = logging.getLogger(__name__)
@@ -80,11 +81,34 @@ class FusedReflectConv(Layer):
         return (total < _VMEM_BUDGET_BYTES and out <= 256 * 1024
                 and padded <= 300 * 1024)
 
+    #: inference-only (set by Sup3rGan._get_fused_apply): route
+    #: tiny-channel 3D convs (ci*co <= 32, e.g. the flagship
+    #: generator's final 8->2 conv at HR resolution) through the VPU
+    #: shifted-FMA Pallas kernel — XLA's conv emitter pads the channel
+    #: lane dim to 128 and runs ~2x slower AND in bf16-rounded-input
+    #: precision (measured 5.9e-3 abs error vs float64 truth; the
+    #: kernel is exact fp32 at 1.5e-6). Off by default because
+    #: pallas_call has no autodiff rule — training paths must not
+    #: enable it.
+    small_channel_kernel = False
+
+    def _small_ok(self, x, kernel):
+        ci, co = kernel.shape[-2:]
+        block = 4 * np.prod([s + 2 for s in x.shape[1:-1]])
+        return (self.n_spatial == 3 and x.ndim == 5
+                and x.dtype == jnp.float32
+                and ci * co <= 32
+                and block < 32 * 1024 * 1024)
+
     def apply(self, params, x, ctx):
         kernel = params['kernel'].astype(x.dtype)
         bias = params['bias'].astype(x.dtype)
-        use_pallas = (self.use_pallas
-                      and jax.default_backend() == 'tpu'
+        on_tpu = jax.default_backend() == 'tpu'
+        if (self.small_channel_kernel and on_tpu
+                and self._small_ok(x, kernel)):
+            return small_reflect_conv(x, kernel, bias,
+                                      alpha=self.alpha)
+        use_pallas = (self.use_pallas and on_tpu
                       and self._fits_vmem(x, kernel.shape[-1]))
         if use_pallas:
             return reflect_conv(x, kernel, bias, alpha=self.alpha)
