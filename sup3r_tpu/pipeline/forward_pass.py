@@ -255,12 +255,15 @@ class ForwardPass:
         fan-out — the SPMD version of the reference's node-per-chunk
         SLURM distribution, SURVEY 2.7). Returns the un-fetched device
         output (or None when chunks must run individually)."""
-        if self.model.is_4d or any(c.exo_data for c in batch):
-            # 4D models already batch over time; exo rasters differ
-            # per chunk — run individually
+        if self.model.is_4d:
+            # 4D models already batch over time — run individually
             return None
+        exo_batched = None
+        if any(c.exo_data for c in batch):
+            exo_batched = self._stack_exo(batch)
+            if exo_batched is None:  # heterogeneous exo; fall back
+                return None
         stacked = np.stack([c.input_data for c in batch], axis=0)
-        lr = self.model.norm_input(stacked)
         n_real = len(batch)
         # pad partial batches up to the configured device batch size by
         # repeating the last chunk: the batch dim stays STATIC so XLA
@@ -268,9 +271,27 @@ class ForwardPass:
         # per (shape, remainder-size) pair — remote compiles are tens
         # of seconds each
         full = getattr(self.strategy, 'device_batch_size', 1)
-        if n_real < full:
-            lr = np.concatenate(
-                [lr, np.repeat(lr[-1:], full - n_real, axis=0)], axis=0)
+
+        def pad_full(arr):
+            if n_real < full:
+                return np.concatenate(
+                    [arr, np.repeat(arr[-1:], full - n_real, axis=0)],
+                    axis=0)
+            return arr
+
+        stacked = pad_full(stacked)
+        if exo_batched is not None:
+            # exo normalization/combination runs inside generate();
+            # out = generate(raw stacked + stacked exo rasters)
+            for entry in exo_batched.values():
+                for step in entry['steps']:
+                    step['data'] = pad_full(step['data'])
+            out = self.model.generate(stacked, norm_in=True,
+                                      un_norm_out=True,
+                                      exogenous_data=exo_batched,
+                                      fetch=False)
+            return out, n_real
+        lr = self.model.norm_input(stacked)
         if getattr(self.strategy, 'use_mesh', False):
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -289,6 +310,40 @@ class ForwardPass:
         out = self.model.generate(lr, norm_in=False, un_norm_out=True,
                                   fetch=False)
         return out, n_real
+
+    @staticmethod
+    def _stack_exo(batch):
+        """Stack per-chunk exo rasters into batched ExoData so chunks
+        with exogenous features (topography/sza/obs — every production
+        sup3rcc/sup3rwind run) still go through the device-batched
+        path. Returns None if the chunks' exo structures differ."""
+        first = batch[0].exo_data
+        if not all(c.exo_data is not None
+                   and sorted(c.exo_data) == sorted(first)
+                   for c in batch):
+            return None
+        from sup3r_tpu.preprocessing.exo import ExoData
+
+        out = {}
+        for feat, entry in first.items():
+            steps = []
+            for i, step in enumerate(entry['steps']):
+                datas = []
+                for c in batch:
+                    csteps = c.exo_data[feat]['steps']
+                    if (len(csteps) != len(entry['steps'])
+                            or csteps[i]['combine_type']
+                            != step['combine_type']
+                            or np.shape(csteps[i]['data'])
+                            != np.shape(step['data'])):
+                        return None
+                    datas.append(np.asarray(csteps[i]['data'],
+                                            dtype=np.float32))
+                steps.append({**{k: v for k, v in step.items()
+                                 if k != 'data'},
+                              'data': np.stack(datas, axis=0)})
+            out[feat] = {'steps': steps}
+        return ExoData(out)
 
     def _drain_chunk_batch(self, batch, dispatched):
         """Fetch a dispatched batch to host, crop each chunk and

@@ -52,3 +52,65 @@ def test_mesh_sharded_chunk_batch(tmp_path):
     for idx in serial:
         np.testing.assert_allclose(sharded[idx], serial[idx],
                                     atol=1e-4)
+
+
+def test_exo_chunks_are_batched(tmp_path):
+    """Chunks with exogenous rasters go through the device-batched path
+    and match per-chunk execution exactly."""
+    from sup3r_tpu.utilities.test_helpers import (
+        make_fake_h5_file,
+        make_fake_nc_file,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'in.nc'), (12, 12, 4),
+                                   ['u100', 'v100'])
+    topo_file = make_fake_h5_file(str(tmp_path / 'topo.h5'),
+                                  (24, 24, 2), ['topography'])
+    from sup3r_tpu.models import Sup3rGan
+
+    features = ['u_100m', 'v_100m']
+    gen = [{'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2},
+           {'class': 'Sup3rConcat', 'name': 'topography'},
+           {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc)
+    model.meta.update(lr_features=features, hr_out_features=features,
+                      hr_exo_features=['topography'],
+                      s_enhance=2, t_enhance=1,
+                      input_resolution={'spatial': '12km',
+                                        'temporal': '60min'})
+    model.set_norm_stats({f: 0.1 for f in features},
+                         {f: 0.9 for f in features})
+    model.init_weights((1, 6, 6, 4, 2), (1, 12, 12, 4, 3))
+    model_dir = str(tmp_path / 'model')
+    model.save(model_dir)
+
+    def make(batch_size):
+        return ForwardPassStrategy(
+            file_paths=input_file,
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(6, 6, 4), spatial_pad=1, temporal_pad=0,
+            exo_handler_kwargs={'topography': {
+                'source_file': topo_file,
+                'cache_dir': str(tmp_path / f'exo{batch_size}')}},
+            out_pattern=None, device_batch_size=batch_size)
+
+    strat_b = make(4)
+    fp = ForwardPass(strat_b)
+    chunks = [fp.get_input_chunk(i) for i in range(4)]
+    assert all(c.exo_data is not None for c in chunks)
+    dispatched = fp._dispatch_chunk_batch(chunks)
+    assert dispatched is not None, 'exo chunks must batch'
+    out_batched = fp._drain_chunk_batch(chunks, dispatched)
+
+    strat_1 = make(1)
+    fp1 = ForwardPass(strat_1)
+    for idx in range(4):
+        _, single = fp1.run_chunk(fp1.get_input_chunk(idx))
+        np.testing.assert_allclose(out_batched[idx], single,
+                                   rtol=1e-5, atol=1e-6)
