@@ -258,6 +258,12 @@ class ForwardPass:
         if self.model.is_4d:
             # 4D models already batch over time — run individually
             return None
+        members = getattr(self.model, 'models', None)
+        if members is not None and any(
+                getattr(m, 'is_4d', False) for m in members):
+            # multistep chains with a 4D step fold the batch dim at the
+            # 5D->4D transpose — run those chunks individually
+            return None
         exo_batched = None
         if any(c.exo_data for c in batch):
             exo_batched = self._stack_exo(batch)
