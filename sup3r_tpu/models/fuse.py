@@ -81,16 +81,15 @@ class FusedReflectConv(Layer):
         return (total < _VMEM_BUDGET_BYTES and out <= 256 * 1024
                 and padded <= 300 * 1024)
 
-    #: inference-only (set by Sup3rGan._get_fused_apply): route
-    #: tiny-channel 3D convs (ci*co <= 32, e.g. the flagship
-    #: generator's final 8->2 conv at HR resolution) through the VPU
-    #: shifted-FMA Pallas kernel — XLA's conv emitter pads the channel
-    #: lane dim to 128 and runs ~2x slower AND in bf16-rounded-input
-    #: precision (measured 5.9e-3 abs error vs float64 truth; the
-    #: kernel is exact fp32 at 1.5e-6). Off by default because
-    #: pallas_call has no autodiff rule — training paths must not
-    #: enable it.
-    small_channel_kernel = False
+    #: default-on: route tiny-channel 3D convs (ci*co <= 32, e.g. the
+    #: flagship generator's final 8->2 conv at HR resolution) through
+    #: the VPU shifted-FMA Pallas kernel — XLA's conv emitter pads the
+    #: channel lane dim to 128 and runs ~2x slower AND in
+    #: bf16-rounded-input precision (measured 5.9e-3 abs error vs
+    #: float64 truth; the kernel is exact fp32 at 1.5e-6). The kernel
+    #: carries a custom VJP (shifted-einsum adjoints), so it runs in
+    #: training too.
+    small_channel_kernel = True
 
     def _small_ok(self, x, kernel):
         ci, co = kernel.shape[-2:]

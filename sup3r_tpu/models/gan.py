@@ -511,9 +511,6 @@ class Sup3rGan(AbstractSingleModel):
             for lyr in layers:
                 if isinstance(lyr, FusedReflectConv):
                     lyr.use_pallas = self.inference_pallas
-                    # no autodiff rule on the Pallas kernel, so it is
-                    # inference-only; training fusion keeps XLA convs
-                    lyr.small_channel_kernel = True
             fnet = Network(layers)
             dt = self.inference_dtype
             if dt is None:

@@ -183,17 +183,34 @@ def small_reflect_conv(x, kernel, bias, alpha=None):
     taps in VMEM: measured ~1-2 ms for the same op, bit-comparable at
     fp32 tap ordering.
 
+    Differentiable: a custom VJP computes input/kernel gradients with
+    XLA shifted einsums (the reflect-pad and transposes around the
+    kernel use JAX's native autodiff), so the kernel is usable inside
+    jitted train steps.
+
     x: (B, H, W, T, CI) float32; kernel: (3, 3, 3, CI, CO)."""
-    B, H, W, T, CI = x.shape
-    CO = kernel.shape[-1]
     # time into lanes: (B, H, W, T, CI) -> (B, CI, H, W, T)
     xt = jnp.transpose(x, (0, 4, 1, 2, 3))
     xp = jnp.pad(xt, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)),
                  mode='reflect')
     # kernel per in-channel: (CI, 3, 3, 3, 1, CO)
     kt = jnp.transpose(kernel, (3, 0, 1, 2, 4))[:, :, :, :, None, :]
+    out = _small_conv_core(xp, kt)
+    y = jnp.transpose(out, (0, 1, 2, 4, 3)) + bias
+    if alpha is not None:
+        y = jax.nn.leaky_relu(y, alpha)
+    return y
 
-    out = pl.pallas_call(
+
+@jax.custom_vjp
+def _small_conv_core(xp, kt):
+    """VALID k3 conv on the padded, time-in-lanes layout:
+    xp (B, CI, H+2, W+2, T+2), kt (CI, 3, 3, 3, 1, CO) ->
+    (B, H, W, CO, T)."""
+    B, CI = xp.shape[:2]
+    H, W, T = (s - 2 for s in xp.shape[2:])
+    CO = kt.shape[-1]
+    return pl.pallas_call(
         functools.partial(_small_conv_kernel, H=H, W=W, T=T, CO=CO),
         grid=(B, CI),
         in_specs=[
@@ -204,12 +221,42 @@ def small_reflect_conv(x, kernel, bias, alpha=None):
         ],
         out_specs=pl.BlockSpec((1, H, W, CO, T),
                                lambda b, ci: (b, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, CO, T), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, CO, T), xp.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary'),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, kt)
-    y = jnp.transpose(out, (0, 1, 2, 4, 3)) + bias
-    if alpha is not None:
-        y = jax.nn.leaky_relu(y, alpha)
-    return y
+
+
+def _small_conv_fwd(xp, kt):
+    return _small_conv_core(xp, kt), (xp, kt)
+
+
+def _small_conv_bwd(res, g):
+    """Shifted-einsum adjoints (tiny channel counts keep these
+    cheap): dxp scatters each tap's contribution back into the padded
+    input; dkt reduces each tap over all positions."""
+    xp, kt = res
+    H, W, T = g.shape[1], g.shape[2], g.shape[4]
+    dxp = jnp.zeros_like(xp)
+    dkt = []
+    for dh in range(3):
+        dk_h = []
+        for dw in range(3):
+            dk_w = []
+            for dt in range(3):
+                # g: (B, H, W, CO, T); k tap: (CI, CO)
+                tap = kt[:, dh, dw, dt, 0, :]           # (CI, CO)
+                term = jnp.einsum('bhwot,co->bchwt', g, tap)
+                dxp = dxp.at[:, :, dh:dh + H, dw:dw + W,
+                             dt:dt + T].add(term)
+                sl = xp[:, :, dh:dh + H, dw:dw + W, dt:dt + T]
+                dk_w.append(jnp.einsum('bchwt,bhwot->co', sl, g))
+            dk_h.append(jnp.stack(dk_w, axis=0))
+        dkt.append(jnp.stack(dk_h, axis=0))
+    dk = jnp.stack(dkt, axis=0)                          # (3,3,3,CI,CO)
+    dkt_out = jnp.transpose(dk, (3, 0, 1, 2, 4))[:, :, :, :, None, :]
+    return dxp, dkt_out
+
+
+_small_conv_core.defvjp(_small_conv_fwd, _small_conv_bwd)

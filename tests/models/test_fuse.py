@@ -112,3 +112,45 @@ def test_gan_generate_fused_matches_unfused():
     model.inference_fuse = True
     out_fused = model.generate(lr)
     np.testing.assert_allclose(out_fused, out_plain, atol=1e-5)
+
+
+def test_small_conv_kernel_grads_match_reference():
+    """The small-channel Pallas conv's custom VJP (interpret mode)
+    matches the XLA reference conv's gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from sup3r_tpu.ops import pallas_kernels as pk
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw['interpret'] = True
+        kw.pop('compiler_params', None)
+        return orig(*a, **kw)
+
+    pl.pallas_call = interp
+    try:
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((2, 6, 5, 8, 3)), jnp.float32)
+        k = jnp.asarray(rng.random((3, 3, 3, 3, 2)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.random((2,)), jnp.float32)
+
+        def loss(fn):
+            return lambda x, k, b: jnp.sum(fn(x, k, b, alpha=0.2) ** 2)
+
+        g1 = jax.grad(loss(pk.small_reflect_conv),
+                      argnums=(0, 1, 2))(x, k, b)
+        g2 = jax.grad(loss(pk.reflect_conv_reference),
+                      argnums=(0, 1, 2))(x, k, b)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=1e-4, atol=1e-5)
+        # forward equivalence too
+        o1 = pk.small_reflect_conv(x, k, b, alpha=0.2)
+        o2 = pk.reflect_conv_reference(x, k, b, alpha=0.2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        pl.pallas_call = orig
