@@ -379,8 +379,15 @@ class ForwardPassStrategy:
         handler = HandlerClass(
             self.file_paths, features=self.features, window=window,
             time_slice=ti_pad_slice, **self._chunk_ihk)
-        return np.asarray(handler.data.as_array(self.features),
-                          dtype=np.float32)
+        out = np.asarray(handler.data.as_array(self.features),
+                         dtype=np.float32)
+        # lazy loaders keep h5py handles open for window reads; close
+        # them explicitly so thousands of chunks can't exhaust fds
+        loader = getattr(getattr(handler, 'rasterizer', None),
+                         'loader', None)
+        if loader is not None and hasattr(loader, 'close'):
+            loader.close()
+        return out
 
     def init_chunk(self, chunk_index=0):
         """Build the ForwardPassChunk for a chunk id."""
