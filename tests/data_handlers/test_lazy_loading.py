@@ -150,3 +150,52 @@ def test_chunked_io_rejects_grid_remaps(tmp_path):
             fwp_chunk_shape=(8, 8, 4), out_pattern=None,
             input_handler_kwargs={'hr_spatial_coarsen': 2},
             chunked_io=True)
+
+
+def test_chunked_io_with_nc_for_cc(tmp_path):
+    """chunked_io composes with the GCM handler (per-chunk NSRDB
+    clearsky regrid on the window) and matches the eager path."""
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+
+    gcm = make_fake_nc_file(str(tmp_path / 'rsds.nc'), (8, 8, 4),
+                            ['rsds'], freq='D')
+    nsrdb = make_fake_h5_file(
+        str(tmp_path / 'nsrdb.h5'), (10, 10, 48), ['clearsky_ghi'],
+        freq='30min', value_range=(0, 1000),
+        lat_range=(40.2, 38.9), lon_range=(-105.7, -104.2))
+
+    features = ['clearsky_ratio']
+    gen = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatialExpansion', 'spatial_mult': 2},
+           {'class': 'Conv2D', 'filters': 1, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    from sup3r_tpu.models import Sup3rGan
+
+    model = Sup3rGan(gen, disc)
+    model.meta.update(lr_features=features, hr_out_features=features,
+                      s_enhance=2, t_enhance=1,
+                      input_resolution={'spatial': '100km',
+                                        'temporal': '1440min'})
+    model.set_norm_stats({f: 0.5 for f in features},
+                         {f: 0.2 for f in features})
+    model.init_weights((1, 4, 4, 1), (1, 8, 8, 1))
+    model_dir = str(tmp_path / 'model')
+    model.save(model_dir)
+
+    kwargs = dict(
+        file_paths=gcm, model_kwargs={'model_dir': model_dir},
+        input_handler_name='DataHandlerNCforCC',
+        input_handler_kwargs={'nsrdb_source_fp': nsrdb,
+                              'nsrdb_agg': 2},
+        fwp_chunk_shape=(4, 4, 4), spatial_pad=1, temporal_pad=0,
+        out_pattern=None)
+    eager = ForwardPassStrategy(**kwargs)
+    lazy = ForwardPassStrategy(chunked_io=True, **kwargs)
+    for idx in range(eager.fwp_slicer.n_chunks):
+        a, _ = eager.prep_chunk_data(idx)
+        b, _ = lazy.prep_chunk_data(idx)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
