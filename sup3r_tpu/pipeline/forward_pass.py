@@ -307,6 +307,9 @@ class ForwardPass:
             mesh = get_mesh()
             n_dev = mesh.devices.size
             pad = (-lr.shape[0]) % n_dev
+            logger.info(
+                'use_mesh: %d chunk(s) over %d device(s)%s', lr.shape[0],
+                n_dev, f' (+{pad} padding repeats)' if pad else '')
             if pad:
                 lr = np.concatenate(
                     [lr, np.repeat(lr[-1:], pad, axis=0)], axis=0)
