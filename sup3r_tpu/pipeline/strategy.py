@@ -364,7 +364,60 @@ class ForwardPassStrategy:
                   'time_shift', 'full_grid_shape'):
             ihk.pop(k, None)
         self._chunk_ihk = ihk
+        self._set_chunked_clearsky_scale(ihk)
         return _CoordsOnlyHandler(self._meta_rast)
+
+    def _set_chunked_clearsky_scale(self, ihk):
+        """chunked_io x DataHandlerNCforCC: the eager handler scales its
+        regridded NSRDB clearsky_ghi by the DOMAIN-level
+        max(rsds)/max(cs) ratio; per-window handlers must apply the
+        same global factor or chunk outputs diverge ~2% at window
+        maxima. Compute it once here with blocked full-domain reads and
+        stash it in the per-chunk handler kwargs."""
+        from sup3r_tpu.preprocessing.data_handlers import (
+            DataHandlerNCforCC,
+        )
+        from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+        HandlerClass = get_input_handler_class(self.input_handler_name)
+        nsrdb_fp = ihk.get('nsrdb_source_fp')
+        need_cs = any(str(f).lower() in ('clearsky_ratio', 'clearsky_ghi')
+                      for f in (self.features or []))
+        if (not issubclass(HandlerClass, DataHandlerNCforCC)
+                or nsrdb_fp is None or not need_cs):
+            return
+        gcm_ti = self._meta_rast.data.time_index
+        grid = self._meta_rast.lat_lon.reshape(-1, 2)
+        n_pts = len(grid)
+
+        # unscaled clearsky max over the full domain, blocked by points
+        cs_max = -np.inf
+        pblock = 65536
+        for p0 in range(0, n_pts, pblock):
+            out = HandlerClass._regrid_clearsky(
+                nsrdb_fp, ihk.get('nsrdb_agg', 1),
+                grid[p0:p0 + pblock], gcm_ti)
+            cs_max = max(cs_max, float(np.nanmax(out)))
+
+        # rsds max over the full domain, blocked in time
+        rsds_max = -np.inf
+        n_t = len(gcm_ti)
+        tblock = max(1, int(4e7 // max(n_pts, 1)))
+        for t0 in range(0, n_t, tblock):
+            rast = Rasterizer(
+                self.file_paths, features=['rsds'],
+                window=self._meta_rast.raster_index,
+                time_slice=slice(t0, min(t0 + tblock, n_t)),
+                res_kwargs=self._chunk_ihk.get('res_kwargs'))
+            rsds_max = max(rsds_max, float(np.nanmax(
+                np.asarray(rast.data['rsds']))))
+            if hasattr(rast.loader, 'close'):
+                rast.loader.close()
+        scale = rsds_max / max(cs_max, 1e-6)
+        logger.info('chunked_io NCforCC: domain clearsky scale = %.6g '
+                    '(rsds max %.6g / cs max %.6g)', scale, rsds_max,
+                    cs_max)
+        self._chunk_ihk['clearsky_scale'] = scale
 
     def _read_chunk_window(self, lr_pad_slice, ti_pad_slice):
         """Build a windowed DataHandler for one padded chunk: reads

@@ -204,10 +204,15 @@ class DataHandlerNCforCC(DataHandler):
     FEATURE_REGISTRY = RegistryNCforCC
 
     def __init__(self, file_paths, features='all', nsrdb_source_fp=None,
-                 nsrdb_agg=1, nsrdb_smoothing=0, **kwargs):
+                 nsrdb_agg=1, nsrdb_smoothing=0, clearsky_scale=None,
+                 **kwargs):
         self._nsrdb_source_fp = nsrdb_source_fp
         self._nsrdb_agg = nsrdb_agg
         self._nsrdb_smoothing = nsrdb_smoothing
+        #: precomputed domain-level rsds/cs max ratio; windowed handlers
+        #: (chunked_io) must use the global factor, not a window-local
+        #: one, or chunk outputs diverge from the eager path
+        self._clearsky_scale = clearsky_scale
         self._features_req = features
         super().__init__(file_paths, features=features, **kwargs)
 
@@ -225,13 +230,35 @@ class DataHandlerNCforCC(DataHandler):
     def get_clearsky_ghi(self):
         """Regrid NSRDB clearsky_ghi to the GCM grid: KDTree agg of
         nsrdb_agg nearest sites, daily mean, scaled so its max matches
-        rsds max (reference: nc_cc.py:160-241)."""
-        nsrdb = LoaderH5(self._nsrdb_source_fp)
+        rsds max (reference: nc_cc.py:160-241). When a precomputed
+        ``clearsky_scale`` was given (chunked_io streaming), the global
+        factor is applied instead of a window-local max ratio."""
+        gcm_ti = self.rasterizer.data.time_index
+        out = self._regrid_clearsky(
+            self._nsrdb_source_fp, self._nsrdb_agg,
+            self.rasterizer.lat_lon.reshape(-1, 2), gcm_ti)
+        s1, s2 = self.rasterizer.grid_shape
+        cs = out.T.reshape(s1, s2, len(gcm_ti))
+        scale = self._clearsky_scale
+        if scale is None and 'rsds' in self.rasterizer.data:
+            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
+            scale = rsds_max / max(np.nanmax(cs), 1e-6)
+        if scale is not None:
+            cs = cs * scale
+        return cs.astype(np.float32)
+
+    @staticmethod
+    def _regrid_clearsky(nsrdb_fp, nsrdb_agg, target_grid, gcm_ti):
+        """UNSCALED NSRDB clearsky_ghi on arbitrary target points:
+        KDTree agg of the nsrdb_agg nearest sites per point, daily
+        mean, mapped to each gcm step by day-of-year. Returns
+        (len(gcm_ti), n_points) float32. Point-separable, so callers
+        may block over target points (reference: nc_cc.py:160-231)."""
+        nsrdb = LoaderH5(nsrdb_fp)
         cs_ghi = nsrdb.get('clearsky_ghi')  # (t, sites)
         nsrdb_ti = nsrdb.time_index
-        target_grid = self.rasterizer.lat_lon.reshape(-1, 2)
         tree = cKDTree(nsrdb.lat_lon_flat)
-        _, idx = tree.query(target_grid, k=self._nsrdb_agg)
+        _, idx = tree.query(np.asarray(target_grid), k=nsrdb_agg)
         if idx.ndim == 1:
             idx = idx[:, None]
         agg = cs_ghi[:, idx].mean(axis=-1)  # (t, n_points)
@@ -240,7 +267,6 @@ class DataHandlerNCforCC(DataHandler):
         day_ids = pd.DatetimeIndex(nsrdb_ti.date)
         days = day_ids.unique()
         daily = np.stack([agg[day_ids == d].mean(axis=0) for d in days])
-        gcm_ti = self.rasterizer.data.time_index
         gcm_days = pd.DatetimeIndex(pd.DatetimeIndex(gcm_ti).date)
         # map each gcm step to same day-of-year in the nsrdb year
         doy_nsrdb = pd.DatetimeIndex(days).dayofyear
@@ -248,12 +274,7 @@ class DataHandlerNCforCC(DataHandler):
         for i, d in enumerate(gcm_days):
             match = np.where(doy_nsrdb == d.dayofyear)[0]
             out[i] = daily[match[0] if len(match) else 0]
-        s1, s2 = self.rasterizer.grid_shape
-        cs = out.T.reshape(s1, s2, len(gcm_ti))
-        if 'rsds' in self.rasterizer.data:
-            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
-            cs = cs * (rsds_max / max(np.nanmax(cs), 1e-6))
-        return cs.astype(np.float32)
+        return out
 
 
 class DataHandlerNCforCCwithPowerLaw(DataHandlerNCforCC):
