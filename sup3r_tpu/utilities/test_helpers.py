@@ -74,10 +74,11 @@ def make_fake_nc_file(path, shape, features, start='2023-01-01',
 def make_fake_nc4_file(path, shape, features, start='2023-01-01',
                        freq='h', ascending_lats=False, scale_factor=None,
                        lat_range=(40.0, 39.0),
-                       lon_range=(-105.5, -104.3)):
+                       lon_range=(-105.5, -104.3), levels=None):
     """Write an HDF5-backed NetCDF4-style file via h5py (dimension
     scales attached so DIMENSION_LIST resolves) — exercises the lazy
-    windowed-read loader path, which needs an h5py backend."""
+    windowed-read loader path, which needs an h5py backend. With
+    ``levels``, variables get a (time, level, lat, lon) shape."""
     s1, s2, t = shape
     lat0, lat1 = lat_range if not ascending_lats else lat_range[::-1]
     lat = np.linspace(lat0, lat1, s1).astype(np.float32)
@@ -97,8 +98,15 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
         tv.make_scale('time')
         latv.make_scale('lat')
         lonv.make_scale('lon')
+        lvlv = None
+        if levels is not None:
+            lvlv = f.create_dataset(
+                'level', data=np.asarray(levels, np.float32))
+            lvlv.make_scale('level')
         for feat in features:
-            arr = RANDOM_GENERATOR.random((t, s1, s2)).astype(np.float32)
+            full_shape = ((t, s1, s2) if levels is None
+                          else (t, len(levels), s1, s2))
+            arr = RANDOM_GENERATOR.random(full_shape).astype(np.float32)
             if scale_factor is not None:
                 stored = np.round(arr / scale_factor).astype(np.int16)
                 v = f.create_dataset(feat, data=stored)
@@ -106,9 +114,10 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
                 v.attrs['add_offset'] = np.float64(0.0)
             else:
                 v = f.create_dataset(feat, data=arr)
-            v.dims[0].attach_scale(tv)
-            v.dims[1].attach_scale(latv)
-            v.dims[2].attach_scale(lonv)
+            scales = ([tv, latv, lonv] if levels is None
+                      else [tv, lvlv, latv, lonv])
+            for i, sc in enumerate(scales):
+                v.dims[i].attach_scale(sc)
     return path
 
 
