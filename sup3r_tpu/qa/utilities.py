@@ -52,44 +52,85 @@ def tke_wavenumber_spectrum(u, v, x_range=None, axis=0):
     return k, 0.5 * (su + sv)
 
 
+def _finish_dist(diffs, bins, range, diff_max, percentile, interpolate):
+    """Shared tail of the distribution functions: percentile/diff_max
+    clipping, RMS normalization factor, histogram (reference:
+    qa/utilities.py:219-224)."""
+    diffs = np.asarray(diffs, dtype=np.float64)
+    diffs = diffs[np.isfinite(diffs)]
+    diff_max = diff_max or np.percentile(np.abs(diffs), percentile)
+    diffs = diffs[np.abs(diffs) < diff_max]
+    norm = float(np.sqrt(np.mean(diffs ** 2)))
+    counts, centers = continuous_dist(diffs, bins=bins, range=range,
+                                      interpolate=interpolate)
+    return centers, counts, norm
+
+
 def direct_dist(var, bins=40, range=None, diff_max=None, scale=1,
                 percentile=99.9, interpolate=False, period=None):
-    """Histogram of raw values (normalized counts)."""
-    var = np.asarray(var).ravel() / scale
-    if range is None:
-        bound = np.percentile(np.abs(var[np.isfinite(var)]), percentile)
-        range = (-bound, bound) if (var < 0).any() else (0, bound)
-    counts, edges = np.histogram(var[np.isfinite(var)], bins=bins,
-                                 range=range, density=True)
-    centers = 0.5 * (edges[:-1] + edges[1:])
-    return centers, counts, float(np.nanmean(var)), float(
-        np.nanstd(var))
+    """Distribution of raw values. With ``period`` (e.g. 360 for
+    winddirection) values are wrapped into [0, period) first. Returns
+    (bin centers, normalized counts, RMS normalization factor)
+    (reference: qa/utilities.py:170-224)."""
+    var = np.asarray(var, dtype=np.float64).ravel()
+    if period is not None:
+        var = (var + period) % period
+    return _finish_dist(var / scale, bins, range, diff_max, percentile,
+                        interpolate)
 
 
 def gradient_dist(var, bins=40, range=None, diff_max=None, scale=1,
                   percentile=99.9, interpolate=False, period=None):
-    """Histogram of spatial gradients (first spatial axis)."""
-    diffs = np.diff(np.asarray(var, dtype=np.float64), axis=0).ravel()
-    diffs = diffs / scale
-    if diff_max is not None:
-        diffs = diffs[np.abs(diffs) < diff_max]
-    return direct_dist(diffs, bins=bins, range=range,
-                       percentile=percentile)
+    """Distribution of west-east spatial gradients. With ``period``,
+    differences wrap to the shortest signed arc in
+    [-period/2, period/2) so e.g. 359->1 degrees is a +2 step
+    (reference: qa/utilities.py:227-279)."""
+    diffs = np.diff(np.asarray(var, dtype=np.float64), axis=1).ravel()
+    if period is not None:
+        diffs = (diffs + period / 2) % period - period / 2
+    return _finish_dist(diffs / scale, bins, range, diff_max,
+                        percentile, interpolate)
 
 
 def time_derivative_dist(var, bins=40, range=None, diff_max=None,
                          t_steps=1, scale=1, percentile=99.9,
                          interpolate=False, period=None):
-    """Histogram of temporal derivatives (last axis)."""
-    diffs = np.diff(np.asarray(var, dtype=np.float64), n=1,
-                    axis=-1)[..., ::t_steps].ravel() / scale
-    if diff_max is not None:
-        diffs = diffs[np.abs(diffs) < diff_max]
-    return direct_dist(diffs, bins=bins, range=range,
-                       percentile=percentile)
+    """Distribution of temporal derivatives over ``t_steps`` (last
+    axis), with the same circular-``period`` handling as
+    gradient_dist (reference: qa/utilities.py:282-342)."""
+    var = np.asarray(var, dtype=np.float64)
+    msg = (f'Received t_steps={t_steps} for time derivative but data '
+           f'only has {var.shape[-1]} time steps')
+    assert t_steps < var.shape[-1], msg
+    diffs = (var[..., t_steps:] - var[..., :-t_steps]).ravel()
+    if period is not None:
+        diffs = (diffs + period / 2) % period - period / 2
+    return _finish_dist(diffs / scale, bins, range, diff_max,
+                        percentile, interpolate)
 
 
-def continuous_dist(diffs, bins=None, range=None, interpolate=False,
-                    period=None):
-    """Simple continuous histogram wrapper."""
-    return direct_dist(np.asarray(diffs), bins=bins or 40, range=range)
+def continuous_dist(diffs, bins=None, range=None, interpolate=False):
+    """Histogram of ``diffs`` with sum-normalized counts. ``bins=None``
+    picks a bin count from the mean nonzero value spacing;
+    ``interpolate=True`` fills zero-count bins by interpolating
+    between surrounding nonzero bins (reference:
+    qa/utilities.py:345-387)."""
+    diffs = np.asarray(diffs, dtype=np.float64)
+    if bins is None:
+        dx = np.abs(np.diff(diffs))
+        dx = dx[dx > 0]
+        dx = np.mean(dx) if dx.size else 1.0
+        bins = max(int((np.max(diffs) - np.min(diffs)) / dx), 1)
+    counts, edges = np.histogram(diffs, bins=bins, range=range)
+    centers = edges[:-1] + np.diff(edges) / 2
+    if interpolate:
+        nz = np.where(counts > 0)[0]
+        if len(nz) > 1:
+            x, y = centers[nz], counts[nz]
+            filled = np.interp(centers, x, y)
+            # zero outside the support (interp1d fill_value=0)
+            filled[(centers < x[0]) | (centers > x[-1])] = 0.0
+            counts = filled
+    total = counts.sum()
+    counts = counts.astype(float) / (total if total else 1.0)
+    return counts, centers

@@ -172,9 +172,62 @@ def test_qa_metrics():
     assert len(k) == len(wspec)
     k2, tke = tke_wavenumber_spectrum(u[:, :, 0], v[:, :, 0])
     assert (tke > 0).all()
-    centers, counts, mean, std = direct_dist(u)
+    centers, counts, norm = direct_dist(u)
     assert len(centers) == len(counts) == 40
-    _, gcounts, _, _ = gradient_dist(u)
-    assert gcounts.sum() > 0
-    _, tcounts, _, _ = time_derivative_dist(u)
-    assert tcounts.sum() > 0
+    assert np.isclose(counts.sum(), 1.0)
+    assert norm > 0
+    _, gcounts, _ = gradient_dist(u)
+    assert np.isclose(gcounts.sum(), 1.0)
+    _, tcounts, _ = time_derivative_dist(u)
+    assert np.isclose(tcounts.sum(), 1.0)
+
+
+def test_circular_period_dists():
+    """Winddirection-style wrap: a field oscillating across 0/360 must
+    yield SMALL circular derivatives, where the naive diff sees ~360
+    jumps (reference: qa/utilities.py:271-272,334-335)."""
+    # direction alternates ~358, ~2, ... over time (jitter so the
+    # percentile clip, which is strict <, keeps most values)
+    wd = RANDOM_GENERATOR.random((4, 4, 20))
+    wd[..., ::2] += 357.0
+    wd[..., 1::2] += 1.0
+    centers, counts, _ = time_derivative_dist(wd, period=360,
+                                              percentile=100)
+    assert np.abs(centers).max() <= 10  # wrapped: |diff| ~ 4
+    centers_raw, _, _ = time_derivative_dist(wd, percentile=100)
+    assert np.abs(centers_raw).max() > 300  # naive: |diff| ~ 356
+
+    # spatial wrap along west_east
+    wd_s = RANDOM_GENERATOR.random((4, 6, 3))
+    wd_s[:, ::2] += 358.0
+    wd_s[:, 1::2] += 0.5
+    centers_s, _, _ = gradient_dist(wd_s, period=360, percentile=100)
+    assert np.abs(centers_s).max() <= 10
+
+    # direct dist wraps values into [0, period)
+    centers_d, _, _ = direct_dist(np.array([-5.0, 355.0, 5.0]),
+                                  period=360, percentile=100, bins=4)
+    assert centers_d.min() >= 0 and centers_d.max() <= 360
+
+
+def test_interpolate_fills_zero_bins():
+    """interpolate=True fills interior zero-count bins from their
+    nonzero neighbors (reference: qa/utilities.py:379-386)."""
+    from sup3r_tpu.qa.utilities import continuous_dist
+
+    # values only at 0 and 2 -> middle bin of 3 is empty
+    diffs = np.array([0.0] * 10 + [2.0] * 10)
+    counts_raw, centers = continuous_dist(diffs, bins=3, range=(0, 2))
+    assert counts_raw[1] == 0
+    counts_i, centers_i = continuous_dist(diffs, bins=3, range=(0, 2),
+                                          interpolate=True)
+    assert counts_i[1] > 0
+    assert np.isclose(counts_i.sum(), 1.0)
+
+
+def test_auto_bin_count():
+    from sup3r_tpu.qa.utilities import continuous_dist
+
+    diffs = np.linspace(0, 1, 11)  # spacing 0.1 -> ~10 bins
+    counts, centers = continuous_dist(diffs)
+    assert len(counts) == 10
