@@ -9,6 +9,7 @@ import itertools
 import json
 import logging
 import os
+import time
 
 import click
 
@@ -204,8 +205,10 @@ def pipeline(ctx, monitor, cancel):
         'data-collect': data_collect,
         'qa': qa,
     }
+    poll_interval = float(config.get('poll_interval', 10))
     for step in steps:
         (module, step_config_file), = step.items()
+        status.poll(module)  # pick up finished SLURM jobs first
         if status.module_successful(module):
             logger.info('Pipeline step "%s" already successful.',
                         module)
@@ -221,6 +224,25 @@ def pipeline(ctx, monitor, cancel):
             commands[module].invoke(step_ctx)
         if not monitor:
             break
+        # SLURM steps return after sbatch; poll until terminal so the
+        # next step only starts on success (reference: gaps Pipeline
+        # monitoring, sup3r/utilities/cli.py:214-267)
+        while True:
+            status.poll(module)
+            if status.module_successful(module):
+                break
+            if status.module_failed(module):
+                raise click.ClickException(
+                    f'Pipeline step "{module}" failed; see '
+                    f'{status.fp}')
+            pending = any(
+                j.get('job_status') in ('submitted', 'running')
+                for j in status.read().get(module, {}).values())
+            if not pending:
+                raise click.ClickException(
+                    f'Pipeline step "{module}" did not complete; see '
+                    f'{status.fp}')
+            time.sleep(poll_interval)
 
 
 @main.command()

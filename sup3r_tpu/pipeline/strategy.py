@@ -240,7 +240,14 @@ class ForwardPassStrategy:
                     data = HandlerClass(
                         self.file_paths, features=['mask'],
                         time_slice=slice(0, 1), **ihk).data
-                except Exception:
+                except (KeyError, RuntimeError):
+                    # no 'mask' variable in the source files — the only
+                    # expected miss. Anything else (IO errors, bad
+                    # kwargs) must propagate: silently disabling the
+                    # ocean-chunk skip turns a config error into a
+                    # 2-5x cost increase on production domains.
+                    logger.info('No "mask" variable in the input '
+                                'files; not skipping any chunks.')
                     data = self.input_handler.data
             if 'mask' in getattr(data, 'features', []):
                 mask_vals = data['mask']

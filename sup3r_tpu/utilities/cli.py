@@ -56,6 +56,87 @@ class Status:
         return bool(jobs) and all(
             j.get('job_status') == 'successful' for j in jobs.values())
 
+    def module_failed(self, module):
+        """True if any job of the module is failed."""
+        return any(j.get('job_status') == 'failed'
+                   for j in self.read().get(module, {}).values())
+
+    def poll(self, module=None, squeue_fn=None, sacct_fn=None):
+        """Transition submitted/running SLURM jobs to their real state
+        (reference tracks job transitions via gaps Status +
+        hardware queries, sup3r/utilities/cli.py:214-267).
+
+        Order of evidence per job: (1) the exit-code sentinel file the
+        sbatch script writes on completion (works on any shared
+        filesystem, no scheduler tools needed), (2) ``squeue`` for
+        PENDING/RUNNING, (3) ``sacct`` for terminal states. Jobs with
+        no evidence keep their current state. ``squeue_fn``/
+        ``sacct_fn`` are injectable ``job_id -> str | None`` hooks for
+        testing."""
+        squeue_fn = squeue_fn or _squeue_state
+        sacct_fn = sacct_fn or _sacct_state
+        status = self.read()
+        modules = [module] if module is not None else list(status)
+        for mod in modules:
+            for job_name, job in status.get(mod, {}).items():
+                state = job.get('job_status')
+                if state not in ('submitted', 'running'):
+                    continue
+                exit_fp = job.get('exit_file')
+                if exit_fp and os.path.exists(exit_fp):
+                    with open(exit_fp) as f:
+                        code = f.read().strip()
+                    new = ('successful' if code == '0' else 'failed')
+                    self.update(mod, job_name, job_status=new,
+                                exit_code=code)
+                    continue
+                job_id = job.get('job_id')
+                if not job_id:
+                    continue
+                q = squeue_fn(job_id)
+                if q is not None:
+                    new = 'running' if q == 'RUNNING' else 'submitted'
+                    if new != state:
+                        self.update(mod, job_name, job_status=new)
+                    continue
+                s = sacct_fn(job_id)
+                if s is None:
+                    continue
+                if s.startswith('COMPLETED'):
+                    self.update(mod, job_name, job_status='successful')
+                elif s.startswith(('FAILED', 'CANCELLED', 'TIMEOUT',
+                                   'OUT_OF_MEMORY', 'NODE_FAIL')):
+                    self.update(mod, job_name, job_status='failed',
+                                slurm_state=s)
+                elif s.startswith('RUNNING') and state != 'running':
+                    self.update(mod, job_name, job_status='running')
+        return self.read()
+
+
+def _squeue_state(job_id):
+    """PENDING/RUNNING/... from squeue, or None if not queued /
+    squeue unavailable."""
+    try:
+        out = subprocess.run(
+            ['squeue', '-j', str(job_id), '-h', '-o', '%T'],
+            capture_output=True, text=True, timeout=30)
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        return None
+    state = out.stdout.strip().split('\n')[0].strip()
+    return state or None
+
+
+def _sacct_state(job_id):
+    """Terminal state from sacct, or None if unavailable."""
+    try:
+        out = subprocess.run(
+            ['sacct', '-j', str(job_id), '-n', '-X', '-o', 'State'],
+            capture_output=True, text=True, timeout=30)
+    except (FileNotFoundError, subprocess.TimeoutExpired):
+        return None
+    state = out.stdout.strip().split('\n')[0].strip()
+    return state or None
+
 
 class BaseCLI:
     """Shared from_config flow for all module CLIs."""
@@ -82,9 +163,22 @@ class BaseCLI:
 
     @staticmethod
     def run_slurm(cmd, module, job_name, run_dir, alloc=None,
-                  walltime=4, memory=None, feature=None):
-        """Submit a node command via sbatch (pass-through)."""
+                  walltime=4, memory=None, feature=None,
+                  sbatch='sbatch'):
+        """Submit a node command via sbatch. The generated script
+        writes an exit-code sentinel on completion so Status.poll can
+        transition submitted -> successful/failed from any node with
+        the shared filesystem, even without squeue/sacct. ``sbatch``
+        is injectable for tests."""
         status = Status(run_dir)
+        if status.job_status(module, job_name) == 'successful':
+            logger.info('Job %s/%s already successful; skipping.',
+                        module, job_name)
+            return 0
+        exit_fp = os.path.abspath(
+            os.path.join(run_dir, f'.{job_name}.exit'))
+        if os.path.exists(exit_fp):
+            os.remove(exit_fp)
         script = (f'#!/bin/bash\n#SBATCH --job-name={job_name}\n'
                   f'#SBATCH --time={int(walltime * 60)}\n')
         if alloc:
@@ -93,16 +187,33 @@ class BaseCLI:
             script += f'#SBATCH --mem={memory}\n'
         if feature:
             script += f'#SBATCH {feature}\n'
-        script += cmd + '\n'
+        # subshell so the sentinel still writes if the command exits
+        # the shell (or the job script is killed mid-command by a
+        # signal bash forwards)
+        script += (f'(\n{cmd}\n)\nrc=$?\n'
+                   f'echo $rc > {shlex.quote(exit_fp)}\nexit $rc\n')
         fp = os.path.join(run_dir, f'{job_name}.sbatch')
         os.makedirs(run_dir, exist_ok=True)
         with open(fp, 'w') as f:
             f.write(script)
-        out = subprocess.run(['sbatch', fp], capture_output=True,
-                             text=True)
-        status.update(module, job_name, job_status='submitted',
-                      sbatch_out=out.stdout.strip())
-        return out.returncode
+        try:
+            out = subprocess.run([sbatch, fp], capture_output=True,
+                                 text=True)
+            rc, stdout, stderr = (out.returncode, out.stdout,
+                                  out.stderr)
+        except FileNotFoundError as e:
+            rc, stdout, stderr = 127, '', f'{sbatch}: {e}'
+        # "Submitted batch job <id>"
+        job_id = None
+        tokens = stdout.strip().split()
+        if tokens and tokens[-1].isdigit():
+            job_id = tokens[-1]
+        status.update(module, job_name,
+                      job_status='submitted' if rc == 0 else 'failed',
+                      job_id=job_id, exit_file=exit_fp,
+                      sbatch_out=stdout.strip(),
+                      stderr='' if rc == 0 else stderr[-2000:])
+        return rc
 
     @classmethod
     def kickoff_jobs(cls, module, cmds, config):
@@ -120,7 +231,7 @@ class BaseCLI:
             else:
                 kwargs = {k: v for k, v in exec_ctrl.items()
                           if k in ('alloc', 'walltime', 'memory',
-                                   'feature')}
+                                   'feature', 'sbatch')}
                 codes.append(cls.run_slurm(cmd, module, job_name,
                                            run_dir, **kwargs))
         return codes
