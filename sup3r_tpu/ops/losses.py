@@ -14,6 +14,7 @@ sup3r/models/abstract.py:461-541.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -246,26 +247,49 @@ class SlicedWassersteinLoss:
 
 
 class PerceptualLoss:
-    """Feature-map MSE with a fixed random multi-scale conv extractor.
+    """Feature-map MSE with a FIXED multi-scale conv extractor.
 
-    The reference uses pretrained VGG16 feature maps; ImageNet weights
-    are unavailable offline, so this uses frozen random conv filters —
-    random projections preserve feature-map geometry (Johnson-
-    Lindenstrauss) and are a standard offline stand-in. Reference parity
-    (API + shape handling): sup3r/utilities/loss_metrics.py:641-723.
+    The reference uses pretrained VGG16 feature maps (reference:
+    sup3r/utilities/loss_metrics.py:641-723); ImageNet weights are
+    unavailable offline, so this uses frozen random-projection conv
+    filters — random projections preserve feature-map geometry
+    (Johnson-Lindenstrauss) and are a standard offline stand-in.
+    NOTE: this is therefore a DIFFERENT loss surface than the
+    reference's VGG-based one; training runs that used PerceptualLoss
+    will not be numerically reproduced, only the API and the
+    multi-scale-feature-matching behavior.
+
+    Determinism: the default filters are a committed, versioned
+    checkpoint (``perceptual_v1.npz``) loaded from disk, so the loss
+    value is identical across processes, machines, and library
+    versions. Non-default ``n_filters``/``seed`` regenerate filters
+    with numpy's PCG64 (also cross-platform deterministic).
     """
+
+    WEIGHTS_V1 = os.path.join(os.path.dirname(__file__),
+                              'perceptual_v1.npz')
+
+    @staticmethod
+    def make_kernels(n_filters=(64, 128), seed=0):
+        """Generate the frozen extractor kernels (numpy PCG64 —
+        bit-stable across platforms and processes)."""
+        rng = np.random.default_rng(seed)
+        kernels, c_in = [], 3
+        for c_out in n_filters:
+            k = rng.standard_normal(
+                (3, 3, c_in, c_out)).astype(np.float32)
+            kernels.append(k / np.sqrt(9 * c_in).astype(np.float32))
+            c_in = c_out
+        return kernels
 
     def __init__(self, layer_names=None, n_filters=(64, 128), seed=0):
         self._n_filters = tuple(n_filters)
-        key = jax.random.PRNGKey(seed)
-        self._kernels = []
-        c_in = 3
-        for c_out in self._n_filters:
-            key, sub = jax.random.split(key)
-            k = jax.random.normal(sub, (3, 3, c_in, c_out)) / np.sqrt(
-                9 * c_in)
-            self._kernels.append(k)
-            c_in = c_out
+        default = self._n_filters == (64, 128) and seed == 0
+        if default and os.path.exists(self.WEIGHTS_V1):
+            with np.load(self.WEIGHTS_V1) as f:
+                self._kernels = [f[k] for k in sorted(f.files)]
+        else:
+            self._kernels = self.make_kernels(self._n_filters, seed)
 
     def _feature_maps(self, x):
         maps = []
