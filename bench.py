@@ -1,26 +1,55 @@
 """Benchmark: HR voxels/sec/chip for chunked forward-pass generation on
-the flagship spatiotemporal GAN (the BASELINE.md north-star metric).
+the flagship spatiotemporal GAN (the BASELINE.md north-star metric),
+plus train-step throughput and achieved TFLOP/s / MFU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "train_hr_voxels_per_sec": N, "train_vs_baseline": N,
+   "inference_tflops": N, "train_tflops": N, "mfu_pct_bf16_peak": N}
 
-Baseline: the reference runs TF conv kernels on CPU for inference
-(use_cpu=True default, reference: sup3r/pipeline/strategy.py:280).
-Measured in this image with raw-TF ops building the same 3x/4x ST-GAN
-architecture on the same (4, 12, 12, 12, 2) chunk batch:
-3.34e4 HR voxels/sec (single process, tf.function compiled).
-vs_baseline reports speedup over that measurement.
+Baselines (both measured in this image; the reference runs TF kernels
+on CPU for inference — use_cpu=True default, reference:
+sup3r/pipeline/strategy.py:280 — and TF on the available device for
+training):
+  - inference: raw-TF ops, same 3x/4x ST-GAN, same (4,12,12,12,2)
+    chunk batch: 3.34e4 HR voxels/sec.
+  - train step: raw-TF ops, same generator+disc, full GAN step (gen
+    fwd/bwd + disc fwd/bwd + both Adam updates) on CPU
+    (scripts/baseline_tf_train.py): see TRAIN_BASELINE below.
 
 Timing note: on the axon-tunneled TPU, ``block_until_ready`` does not
 reliably wait for remote execution, so each timed repetition ends with
-a jitted scalar reduction whose VALUE is fetched to the host — the
-fetch cannot complete before the device finishes the queued work.
+a host VALUE fetch (a jitted scalar reduction for inference; the loss
+scalars for the train step) — the fetch cannot complete before the
+device finishes the queued work.
+
+MFU is reported against the v5e bf16 matmul peak (197 TFLOP/s); the
+inference path runs fp32 convs (which this platform's conv emitter
+internally evaluates with bf16-rounded inputs, see CLAUDE.md), so the
+fp32-conv practical ceiling is lower (~67 TFLOP/s measured).
 """
 
 import json
 import time
 
 import numpy as np
+
+INFER_BASELINE = 3.34e4   # TF-CPU HR voxels/s, inference (docstring)
+TRAIN_BASELINE = 9.05e3   # TF-CPU HR voxels/s, full GAN train step
+                          # (scripts/baseline_tf_train.py, batch 4:
+                          # 27.5 s/step measured in this image)
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _flops(fn, *args):
+    """Conv+matmul FLOPs of one call, from the traced jaxpr (the axon
+    backend returns None from XLA cost_analysis)."""
+    from sup3r_tpu.utilities.flops import estimate_flops
+
+    try:
+        return float(estimate_flops(fn, *args)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -32,10 +61,14 @@ def main():
 
     # flagship: 3x spatial / 4x temporal 2-feature ST GAN
     model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
-                     get_config('spatiotemporal/disc_test'))
+                     get_config('spatiotemporal/disc_test'),
+                     learning_rate=1e-4)
     # production-like device batch of padded lr chunks
     chunk = (8, 20, 20, 24, 2)   # (chunks, s1, s2, t, f)
-    model.init_weights((1, *chunk[1:]), (1, 60, 60, 96, 2))
+    # init at the TRAIN shapes (the disc has Dense layers so its input
+    # shape is fixed); the generator is fully convolutional so
+    # inference below still runs on the larger chunk batch
+    model.init_weights((1, 12, 12, 12, 2), (1, 36, 36, 48, 2))
     # the production inference path: pad/conv/crop blocks fused to
     # reflect-pad-1 + valid conv (bit-identical, ~1.5x; default in
     # Sup3rGan.generate)
@@ -47,6 +80,7 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).random(chunk), dtype=jnp.float32)
 
+    infer_flops = _flops(fwd, params, x)
     out = fwd(params, x)
     float(ssum(out))  # warm both compiles + full sync
     n_iters = 4
@@ -60,13 +94,67 @@ def main():
 
     hr_voxels = int(np.prod(out.shape[:-1]))
     voxels_per_sec = hr_voxels / best
-    baseline = 3.34e4  # measured TF-CPU, HR voxels/sec (see docstring)
-    print(json.dumps({
+    infer_tflops = (infer_flops / best / 1e12) if infer_flops else None
+
+    # ---- train step: full fused GAN step (gen fwd/bwd + disc fwd/bwd
+    # + both optimizer updates in ONE XLA program) ----
+    tb, tlr, thr = 16, (12, 12, 12), (36, 36, 48)
+    rng = np.random.default_rng(1)
+    # place the batch on device ONCE: re-uploading the 8 MB HR batch
+    # through the tunnel every step would time the link, not the chip
+    lr_b = jax.device_put(
+        rng.random((tb, *tlr, 2)).astype(np.float32))
+    hr_b = jax.device_put(
+        rng.random((tb, *thr, 2)).astype(np.float32))
+    train_flops = None
+    try:
+        _ = model.train_step_fn  # build (sets _raw_step)
+        train_flops = _flops(
+            model._raw_step,
+            model.gen_params, model.disc_params,
+            model._gen_opt_state, model._disc_opt_state,
+            lr_b, hr_b, jnp.float32(1e-3), jnp.bool_(True),
+            jnp.bool_(True), jax.random.PRNGKey(0))
+    except Exception:
+        pass
+    # drive the jitted step directly, feeding donated state back in;
+    # ONE loss-value fetch per timed block (not per step: each host
+    # fetch is a full tunnel round trip)
+    step = model.train_step_fn
+    state = (model.gen_params, model.disc_params,
+             model._gen_opt_state, model._disc_opt_state)
+    w_adv = jnp.float32(1e-3)
+    tt = jnp.bool_(True)
+    key = jax.random.PRNGKey(0)
+    *state, det = step(*state, lr_b, hr_b, w_adv, tt, tt, key)
+    float(det['loss_gen'])  # warm compile + full sync
+    n_train = 4
+    t_best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_train):
+            *state, det = step(*state, lr_b, hr_b, w_adv, tt, tt, key)
+        float(det['loss_gen'])  # host value fetch = device completion
+        t_best = min(t_best, (time.perf_counter() - t0) / n_train)
+    train_voxels = int(tb * np.prod(thr))
+    train_vps = train_voxels / t_best
+    train_tflops = (train_flops / t_best / 1e12) if train_flops else None
+
+    rec = {
         'metric': 'forward_pass_hr_voxels_per_sec_per_chip',
         'value': round(voxels_per_sec, 1),
         'unit': 'voxels/s',
-        'vs_baseline': round(voxels_per_sec / baseline, 2),
-    }))
+        'vs_baseline': round(voxels_per_sec / INFER_BASELINE, 2),
+        'train_hr_voxels_per_sec': round(train_vps, 1),
+        'train_vs_baseline': round(train_vps / TRAIN_BASELINE, 2),
+    }
+    if infer_tflops is not None:
+        rec['inference_tflops'] = round(infer_tflops, 2)
+        rec['mfu_pct_bf16_peak'] = round(
+            100.0 * infer_tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    if train_tflops is not None:
+        rec['train_tflops'] = round(train_tflops, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == '__main__':

@@ -8,7 +8,9 @@ nc.py:25-141 (CollectorNC combine-by-coords).
 import logging
 import os
 import re
+from concurrent.futures import ThreadPoolExecutor
 from glob import glob
+from warnings import warn as _warn
 
 import h5py
 import numpy as np
@@ -30,43 +32,85 @@ def get_chunk_indices(file):
     return int(m.group(1)), int(m.group(2))
 
 
+def get_unique_chunk_files(file_paths):
+    """Drop duplicate chunk files: if two files carry the same
+    ``_tttttt_ssssss`` suffix (e.g. the same chunk written under two
+    job names), keep the first (reference: collectors/h5.py:235-264)."""
+    seen, unique = set(), []
+    for fp in sorted(file_paths, key=get_chunk_indices):
+        key = get_chunk_indices(fp)
+        if key in seen:
+            logger.warning('Skipping duplicate chunk file %s '
+                           '(chunk id %s already collected)', fp, key)
+            continue
+        seen.add(key)
+        unique.append(fp)
+    return unique
+
+
 class CollectorH5:
     """Stitch flattened-H5 chunk files into one H5 by gid + time
-    alignment."""
+    alignment.
+
+    Scale machinery mirroring the reference collector
+    (collectors/h5.py:83-833): threaded per-file reads honoring
+    ``max_workers``, ``n_writes`` memory-bounded write groups of
+    temporal chunks, KDTree threshold masking against a target meta,
+    per-file scale-factor harmonization, and duplicate-chunk-file
+    dedup."""
 
     def __init__(self, file_paths):
         if isinstance(file_paths, str):
             file_paths = sorted(glob(file_paths))
-        self.flist = sorted(file_paths, key=get_chunk_indices)
+        self.flist = get_unique_chunk_files(file_paths)
         assert self.flist, 'No chunk files to collect'
 
     @classmethod
     def collect(cls, file_paths, out_file, features='all',
                 max_workers=None, n_writes=None, target_meta_file=None,
-                join_times=False):
-        """Collect chunk files into ``out_file``. ``n_writes`` bounds
-        memory by splitting each feature's collection into that many
-        temporal slabs (reference: collectors/h5.py:590-718)."""
+                threshold=1e-4, join_times=False):
+        """Collect chunk files into ``out_file``.
+
+        ``n_writes`` bounds memory by splitting each feature's
+        collection into that many groups of temporal chunks — each
+        group is gathered into one in-memory slab (threaded reads)
+        then written in a single H5 write (reference:
+        collectors/h5.py:590-718). ``max_workers`` bounds the read
+        thread pool (1 = serial). ``target_meta_file`` masks the
+        output meta to coordinates within ``threshold`` degrees of the
+        target coordinates (reference: collectors/h5.py:83-104)."""
         collector = cls(file_paths)
         collector._collect(out_file, features=features,
                            target_meta_file=target_meta_file,
-                           n_writes=n_writes)
+                           n_writes=n_writes, max_workers=max_workers,
+                           threshold=threshold)
         return out_file
 
-    def _read_meta(self):
-        """Union meta (sorted by gid) + union time index."""
-        gids, lats, lons = [], [], []
-        times = []
-        for fp in self.flist:
-            with h5py.File(fp, 'r') as f:
-                meta = f['meta'][:]
-                gid = (meta['gid'] if 'gid' in meta.dtype.names
-                       else np.arange(len(meta)))
-                gids.append(gid)
-                lats.append(meta['latitude'])
-                lons.append(meta['longitude'])
-                times.append(pd.DatetimeIndex(
-                    [t.decode()[:26] for t in f['time_index'][:]]))
+    @staticmethod
+    def _file_attrs(fp):
+        """(gids, lat, lon, time_index) for one chunk file."""
+        with h5py.File(fp, 'r') as f:
+            meta = f['meta'][:]
+            gid = (meta['gid'] if 'gid' in meta.dtype.names
+                   else np.arange(len(meta)))
+            times = pd.DatetimeIndex(
+                [t.decode()[:26] for t in f['time_index'][:]])
+            return (np.asarray(gid), np.asarray(meta['latitude']),
+                    np.asarray(meta['longitude']), times)
+
+    def _read_meta(self, max_workers=None):
+        """Union meta (sorted by gid) + union time index, gathering
+        per-file attributes in a thread pool (reference:
+        collectors/h5.py:266-305)."""
+        if max_workers == 1:
+            results = [self._file_attrs(fp) for fp in self.flist]
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                results = list(pool.map(self._file_attrs, self.flist))
+        gids = [r[0] for r in results]
+        lats = [r[1] for r in results]
+        lons = [r[2] for r in results]
+        times = [r[3] for r in results]
         all_gids = np.concatenate(gids)
         order = np.argsort(all_gids)
         uniq, first = np.unique(all_gids[order], return_index=True)
@@ -76,18 +120,84 @@ class CollectorH5:
             np.unique(np.concatenate([t.values for t in times])))
         return uniq, lat, lon, all_times
 
-    def _collect(self, out_file, features='all', target_meta_file=None,
-                 n_writes=None):
-        gids, lat, lon, times = self._read_meta()
-        if target_meta_file is not None:
-            target = pd.read_csv(target_meta_file)
-            # mask to target coordinates by nearest match
-            from scipy.spatial import cKDTree
+    @staticmethod
+    def get_coordinate_indices(target_meta, lat, lon, threshold=1e-4):
+        """Indices in (lat, lon) within ``threshold`` of any target
+        coordinate (reference: collectors/h5.py:83-104)."""
+        from scipy.spatial import cKDTree
 
-            tree = cKDTree(np.column_stack([lat, lon]))
-            _, idx = tree.query(
-                target[['latitude', 'longitude']].values)
-            keep = np.unique(idx)
+        tree = cKDTree(np.column_stack([lat, lon]))
+        dist, idx = tree.query(
+            target_meta[['latitude', 'longitude']].values,
+            distance_upper_bound=threshold)
+        return np.unique(idx[idx < len(lat)])
+
+    def get_flist_chunks(self, n_writes=None):
+        """Group chunk files by temporal chunk index, combined into at
+        most ``n_writes`` write groups (reference:
+        collectors/h5.py:590-633)."""
+        by_t = {}
+        for fp in self.flist:
+            t_chunk, _ = get_chunk_indices(fp)
+            by_t.setdefault(t_chunk, []).append(fp)
+        t_ids = sorted(by_t)
+        if n_writes is not None and n_writes > len(t_ids):
+            logger.info('n_writes (%s) too big; using the number of '
+                        'temporal chunks (%s).', n_writes, len(t_ids))
+        n_groups = min(n_writes or 1, len(t_ids))
+        groups = np.array_split(np.asarray(t_ids), n_groups)
+        return [[fp for t in g for fp in by_t[int(t)]] for g in groups]
+
+    def _read_file_block(self, fp, feat, gid_pos, time_pos,
+                         dest_scale, dest_dtype):
+        """Read one chunk file's feature block, harmonizing its scale
+        factor to the destination's (reference: collectors/h5.py:106-
+        200). Returns (r0, cols, block) or None if no kept columns."""
+        with h5py.File(fp, 'r') as f:
+            fmeta = f['meta'][:]
+            fgids = (fmeta['gid'] if 'gid' in fmeta.dtype.names
+                     else np.arange(len(fmeta)))
+            ftimes = pd.DatetimeIndex(
+                [t.decode()[:26] for t in f['time_index'][:]])
+            keep_cols = np.array([i for i, g in enumerate(fgids)
+                                  if g in gid_pos], dtype=int)
+            if keep_cols.size == 0:
+                msg = (f'No target coordinates found in masked meta; '
+                       f'skipping collection for {fp}.')
+                logger.warning(msg)
+                _warn(msg)
+                return None
+            cols = np.array([gid_pos[g] for g in fgids[keep_cols]])
+            rows = np.array([time_pos[t] for t in ftimes])
+            r0, r1 = rows.min(), rows.max() + 1
+            if not np.array_equal(rows, np.arange(r0, r1)):
+                raise ValueError(
+                    f'Non-contiguous time rows in chunk file {fp}')
+            src_scale = dict(f[feat].attrs).get('scale_factor',
+                                                dest_scale)
+            block = f[feat][:][:, keep_cols]
+        if src_scale != dest_scale:
+            block = block.astype(np.float32)
+            block *= dest_scale / src_scale
+            if np.issubdtype(np.dtype(dest_dtype), np.integer):
+                block = np.round(block)
+            block = block.astype(dest_dtype)
+        return r0, cols, block
+
+    def _collect(self, out_file, features='all', target_meta_file=None,
+                 n_writes=None, max_workers=None, threshold=1e-4):
+        gids, lat, lon, times = self._read_meta(max_workers=max_workers)
+        if target_meta_file is not None:
+            target = (pd.read_csv(target_meta_file)
+                      if isinstance(target_meta_file, str)
+                      else target_meta_file)
+            keep = self.get_coordinate_indices(target, lat, lon,
+                                               threshold=threshold)
+            if keep.size == 0:
+                raise RuntimeError(
+                    'No target coordinates found within threshold '
+                    f'{threshold} of the collected meta '
+                    f'({target_meta_file})')
             gids, lat, lon = gids[keep], lat[keep], lon[keep]
 
         gid_pos = {g: i for i, g in enumerate(gids)}
@@ -99,6 +209,7 @@ class CollectorH5:
                             if k not in ('meta', 'time_index')]
             attrs = dict(f.attrs)
 
+        flist_chunks = self.get_flist_chunks(n_writes)
         tmp = out_file + '.tmp'
         os.makedirs(os.path.dirname(os.path.abspath(out_file)),
                     exist_ok=True)
@@ -114,46 +225,40 @@ class CollectorH5:
                 [str(t).encode() for t in times]))
             for k, v in attrs.items():
                 out.attrs[k] = v
-            # memory-bounded: process chunk files in n_writes groups of
-            # temporal ids (each group's rows are written then freed)
-            t_ids = sorted({get_chunk_indices(fp)[0]
-                            for fp in self.flist})
-            n_groups = min(n_writes or 1, len(t_ids))
-            t_groups = np.array_split(np.asarray(t_ids), n_groups)
             for feat in features:
                 dset_attrs, dtype = get_dset_attrs(feat)
+                dest_scale = dset_attrs.get('scale_factor', 1)
                 full = out.create_dataset(
                     feat, shape=(len(times), len(gids)), dtype=dtype)
                 for key, val in dset_attrs.items():
                     full.attrs[key] = val
-                for group in t_groups:
-                    group = set(int(g) for g in group)
-                    fps = [fp for fp in self.flist
-                           if get_chunk_indices(fp)[0] in group]
-                    for fp in fps:
-                        with h5py.File(fp, 'r') as f:
-                            fmeta = f['meta'][:]
-                            fgids = (fmeta['gid']
-                                     if 'gid' in fmeta.dtype.names
-                                     else np.arange(len(fmeta)))
-                            ftimes = pd.DatetimeIndex(
-                                [t.decode()[:26]
-                                 for t in f['time_index'][:]])
-                            rows = np.array(
-                                [time_pos[t] for t in ftimes])
-                            cols = np.array(
-                                [gid_pos[g] for g in fgids
-                                 if g in gid_pos])
-                            keep_cols = np.array(
-                                [i for i, g in enumerate(fgids)
-                                 if g in gid_pos])
-                            block = f[feat][:][:, keep_cols]
-                            r0, r1 = rows.min(), rows.max() + 1
-                            assert np.array_equal(
-                                rows, np.arange(r0, r1)), (
-                                'Non-contiguous time rows in chunk '
-                                'file')
-                            full[r0:r1, cols] = block
+                for fps in flist_chunks:
+                    # gather this write group into one in-memory slab
+                    # (threaded reads), then write it in one H5 call
+                    if max_workers == 1:
+                        blocks = [self._read_file_block(
+                            fp, feat, gid_pos, time_pos, dest_scale,
+                            dtype) for fp in fps]
+                    else:
+                        with ThreadPoolExecutor(
+                                max_workers=max_workers) as pool:
+                            blocks = list(pool.map(
+                                lambda fp: self._read_file_block(
+                                    fp, feat, gid_pos, time_pos,
+                                    dest_scale, dtype), fps))
+                    blocks = [b for b in blocks if b is not None]
+                    if not blocks:
+                        continue
+                    g0 = min(b[0] for b in blocks)
+                    g1 = max(b[0] + len(b[2]) for b in blocks)
+                    slab = np.zeros((g1 - g0, len(gids)), dtype=dtype)
+                    for r0, cols, block in blocks:
+                        slab[r0 - g0:r0 - g0 + len(block), cols] = block
+                    logger.debug(
+                        'Writing "%s" rows [%d:%d) (%.1f MB slab, %d '
+                        'files)', feat, g0, g1, slab.nbytes / 1e6,
+                        len(fps))
+                    full[g0:g1, :] = slab
         os.replace(tmp, out_file)
         logger.info('Collected %d chunk files into %s', len(self.flist),
                     out_file)

@@ -98,23 +98,24 @@ def decode_cf_time(values, units, calendar='standard'):
 
     if calendar in ('noleap', '365_day', '360_day'):
         dpy = 360 if calendar == '360_day' else 365
-        days = values * seconds_per / 86400.0
-        years = y + (days // dpy).astype(int)
-        doy = days % dpy
-        # map day-of-year through a fixed no-leap month table
+        # map through a fixed no-leap month table, folding the origin's
+        # month AND day into a calendar day count so origins like
+        # '2020-02-28' decode correctly
         if calendar == '360_day':
             month_len = [30] * 12
         else:
             month_len = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
         cum = np.cumsum([0, *month_len])
+        days = values * seconds_per / 86400.0 + cum[m - 1] + (d - 1)
+        years = y + (days // dpy).astype(int)
+        doy = days % dpy
         out = []
         for yr, dy in zip(years, doy):
             mi = int(np.searchsorted(cum, dy, side='right')) - 1
             mi = min(mi, 11)
             day = int(dy - cum[mi]) + 1
             frac = dy - int(dy)
-            ts = pd.Timestamp(year=int(yr + (m - 1 + mi) // 12),
-                              month=(m - 1 + mi) % 12 + 1,
+            ts = pd.Timestamp(year=int(yr), month=mi + 1,
                               day=min(day, month_len[mi]))
             out.append(ts + pd.Timedelta(seconds=round(frac * 86400)))
         return pd.DatetimeIndex(out)
@@ -149,11 +150,14 @@ class _LazyNCVar:
         self.dtype = np.float32
 
     def _decode(self, values):
-        values = np.asarray(values, dtype=np.float32)
+        raw = np.asarray(values)
+        values = raw.astype(np.float32)
+        # fill comparison happens in PACKED space (before scale/offset)
+        if self._fill is not None and not np.isnan(self._fill):
+            values = np.where(raw == np.asarray(self._fill).astype(
+                raw.dtype), np.nan, values)
         if self._scale != 1.0 or self._offset != 0.0:
             values = values * self._scale + self._offset
-        if self._fill is not None and not np.isnan(self._fill):
-            values = np.where(values == self._fill, np.nan, values)
         return values
 
     def isel(self, sel):
@@ -436,6 +440,10 @@ class LoaderNC:
             lon2d, lat2d = np.meshgrid(lon_vals, lat_vals)
         else:
             lat2d, lon2d = lat_vals, lon_vals
+        if (lon2d > 180.0).any():
+            # standardize 0-360 longitudes to [-180, 180] (reference:
+            # loaders/utilities.py:28)
+            lon2d = (lon2d + 180.0) % 360.0 - 180.0
 
         time_index = None
         if time is not None:
@@ -498,6 +506,13 @@ class LoaderNC:
                 sf = float(np.asarray(attrs['scale_factor']).ravel()[0])
                 off = float(np.asarray(attrs.get('add_offset', 0)
                                        ).ravel()[0])
+            units = attrs.get('units')
+            if isinstance(units, bytes):
+                units = units.decode()
+            if str(units) == 'K':
+                # standardize temperatures to Celsius (reference:
+                # loaders/utilities.py:23-25)
+                off -= 273.15
             fill = attrs.get('_FillValue', attrs.get('missing_value'))
             fv = (float(np.asarray(fill).ravel()[0])
                   if fill is not None else None)
@@ -506,11 +521,15 @@ class LoaderNC:
                 values = _LazyNCVar(arr, cdims, canon, scale=sf,
                                     offset=off, fill=fv)
             else:
-                values = np.asarray(arr[:], dtype=np.float32)
+                raw = np.asarray(arr[:])
+                values = raw.astype(np.float32)
+                # fill comparison happens in PACKED space
+                if fv is not None and not np.isnan(fv):
+                    values = np.where(
+                        raw == np.asarray(fv).astype(raw.dtype),
+                        np.nan, values)
                 if sf != 1.0 or off != 0.0:
                     values = values * sf + off
-                if fv is not None and not np.isnan(fv):
-                    values = np.where(values == fv, np.nan, values)
                 order = [cdims.index(d) for d in target_order
                          if d in cdims]
                 values = np.transpose(values, order)

@@ -74,28 +74,43 @@ def make_fake_nc_file(path, shape, features, start='2023-01-01',
 def make_fake_nc4_file(path, shape, features, start='2023-01-01',
                        freq='h', ascending_lats=False, scale_factor=None,
                        lat_range=(40.0, 39.0),
-                       lon_range=(-105.5, -104.3), levels=None):
+                       lon_range=(-105.5, -104.3), levels=None,
+                       include_time=True, var_attrs=None,
+                       calendar='standard', fill_value=None):
     """Write an HDF5-backed NetCDF4-style file via h5py (dimension
     scales attached so DIMENSION_LIST resolves) — exercises the lazy
     windowed-read loader path, which needs an h5py backend. With
-    ``levels``, variables get a (time, level, lat, lon) shape."""
+    ``levels``, variables get a (time, level, lat, lon) shape.
+    ``var_attrs`` maps feature -> extra dataset attrs (e.g. units);
+    ``include_time=False`` writes a time-independent file (e.g. a
+    static topography raster); ``fill_value`` stamps that PACKED value
+    into the first element of each variable plus a ``_FillValue``
+    attr."""
     s1, s2, t = shape
     lat0, lat1 = lat_range if not ascending_lats else lat_range[::-1]
     lat = np.linspace(lat0, lat1, s1).astype(np.float32)
     lon = np.linspace(*lon_range, s2).astype(np.float32)
     time_index = pd.date_range(start, periods=t, freq=freq)
-    hours = ((time_index - pd.Timestamp('1900-01-01'))
-             .total_seconds() / 3600).astype('float64')
+    if calendar in ('noleap', '365_day'):
+        days = np.arange(t, dtype='float64') / 24.0
+        hours = days * 24.0
+    else:
+        hours = ((time_index - pd.Timestamp('1900-01-01'))
+                 .total_seconds() / 3600).astype('float64')
 
     import h5py
 
     with h5py.File(path, 'w') as f:
-        tv = f.create_dataset('time', data=hours)
-        tv.attrs['units'] = np.bytes_('hours since 1900-01-01')
-        tv.attrs['calendar'] = np.bytes_('standard')
+        tv = None
+        if include_time:
+            tv = f.create_dataset('time', data=hours)
+            tv.attrs['units'] = np.bytes_(
+                'hours since 1900-01-01' if calendar == 'standard'
+                else f'hours since {start}')
+            tv.attrs['calendar'] = np.bytes_(calendar)
+            tv.make_scale('time')
         latv = f.create_dataset('lat', data=lat)
         lonv = f.create_dataset('lon', data=lon)
-        tv.make_scale('time')
         latv.make_scale('lat')
         lonv.make_scale('lon')
         lvlv = None
@@ -104,18 +119,31 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
                 'level', data=np.asarray(levels, np.float32))
             lvlv.make_scale('level')
         for feat in features:
-            full_shape = ((t, s1, s2) if levels is None
-                          else (t, len(levels), s1, s2))
+            full_shape = (s1, s2)
+            if levels is not None:
+                full_shape = (len(levels), *full_shape)
+            if include_time:
+                full_shape = (t, *full_shape)
             arr = RANDOM_GENERATOR.random(full_shape).astype(np.float32)
             if scale_factor is not None:
                 stored = np.round(arr / scale_factor).astype(np.int16)
+                if fill_value is not None:
+                    stored.flat[0] = fill_value
                 v = f.create_dataset(feat, data=stored)
                 v.attrs['scale_factor'] = np.float64(scale_factor)
                 v.attrs['add_offset'] = np.float64(0.0)
             else:
+                if fill_value is not None:
+                    arr.flat[0] = fill_value
                 v = f.create_dataset(feat, data=arr)
-            scales = ([tv, latv, lonv] if levels is None
-                      else [tv, lvlv, latv, lonv])
+            if fill_value is not None:
+                v.attrs['_FillValue'] = (
+                    np.int16(fill_value) if scale_factor is not None
+                    else np.float32(fill_value))
+            for k, val in (var_attrs or {}).get(feat, {}).items():
+                v.attrs[k] = val
+            scales = [sc for sc in (tv, lvlv, latv, lonv)
+                      if sc is not None]
             for i, sc in enumerate(scales):
                 v.dims[i].attach_scale(sc)
     return path
