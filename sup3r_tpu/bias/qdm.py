@@ -127,31 +127,141 @@ class QuantileDeltaMappingCorrection(FillAndSmoothMixin,
                         np.float32))[nt] = v
         return out
 
+    def _window_index_matrix(self, ti):
+        """(NT, L) time-index matrix + validity mask padding each
+        day-of-year window to the longest window's length (static
+        shapes, so the device path compiles ONE program)."""
+        from sup3r_tpu.bias.transforms import window_mask
+
+        masks = [window_mask(ti.dayofyear, d0, self.window_size)
+                 for d0 in self.time_window_center]
+        length = max((int(m.sum()) for m in masks), default=0)
+        length = max(length, 1)
+        idx = np.zeros((len(masks), length), dtype=np.int64)
+        valid = np.zeros((len(masks), length), dtype=bool)
+        for i, m in enumerate(masks):
+            w = np.flatnonzero(m)
+            idx[i, :len(w)] = w
+            valid[i, :len(w)] = True
+        return idx, valid
+
+    def _windowed_params_raster(self, arr, ti, use_device=False):
+        """Windowed CDF params for ALL gids at once: (s1, s2, NT, NQ).
+
+        Replaces the reference's per-gid ProcessPoolExecutor fan-out
+        (reference: bias_calc.py:191-255) with a batched percentile
+        over the full raster — the SURVEY §2.7 'vmap over gid batches
+        on device' design. ``use_device=True`` pads every day-of-year
+        window to a static length and evaluates one jitted
+        ``jnp.nanpercentile`` dispatch; the host path loops windows
+        with numpy (float64, bit-matching the per-gid reference
+        math)."""
+        quantiles = sampled_quantiles(self.n_quantiles, self.sampling,
+                                      self.log_base) * 100
+        arr = np.asarray(arr, dtype=np.float32)
+        if self.decimals is not None:
+            arr = np.round(arr, self.decimals)
+        s1, s2 = arr.shape[:2]
+        out = np.full((s1, s2, self.n_time_steps, self.n_quantiles),
+                      np.nan, np.float32)
+        idx, valid = self._window_index_matrix(ti)
+        if use_device:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def _pcts(vals, valid):
+                vals = jnp.where(valid[None, None], vals, jnp.nan)
+                # (NQ, s1, s2, NT) percentiles over the window axis
+                return jnp.nanpercentile(vals, jnp.asarray(
+                    quantiles, dtype=jnp.float32), axis=-1)
+
+            vals = arr[:, :, idx]              # (s1, s2, NT, L)
+            res = np.asarray(_pcts(jax.device_put(vals),
+                                   jax.device_put(valid)))
+            out = np.transpose(res, (1, 2, 3, 0)).astype(np.float32)
+            out[:, :, ~valid.any(axis=1), :] = np.nan
+            return out
+        for nt in range(self.n_time_steps):
+            w = idx[nt][valid[nt]]
+            if not len(w):
+                continue
+            # vectorized over every gid in one percentile call
+            res = np.nanpercentile(arr[:, :, w], quantiles, axis=-1)
+            out[:, :, nt, :] = np.transpose(res, (1, 2, 0))
+        return out
+
     def run(self, fp_out=None, max_workers=1, daily_reduction='avg',
-            fill_extend=True, smooth_extend=0, smooth_interior=0):
-        """Compute QDM parameter rasters for every gid; write to H5."""
+            fill_extend=True, smooth_extend=0, smooth_interior=0,
+            use_device=False):
+        """Compute QDM parameter rasters for every gid; write to H5.
+
+        The bias / bias_fut windowed CDFs are computed for all gids in
+        batched percentile calls (``use_device=True`` runs them as one
+        jitted dispatch on the accelerator); only the baseline series
+        — irregular per-gid neighbor aggregations — runs in the
+        threaded gid loop (reference: bias_calc.py:191-255)."""
+        from sup3r_tpu.bias.transforms import window_mask
+
         out = self._init_out()
+        quantiles = sampled_quantiles(self.n_quantiles, self.sampling,
+                                      self.log_base) * 100
+        base_tis = {}
 
         def one_gid(bias_gid):
             base_data, base_ti = self.get_base_data(
                 bias_gid, daily_reduction=daily_reduction)
             if base_data is None:
-                return bias_gid, None
-            bias_data = self.get_bias_data(bias_gid)
-            fut_data = self.get_bias_fut_data(bias_gid)
-            return bias_gid, self._windowed_params(
-                bias_data, fut_data, base_data, self.bias_time_index,
-                self.bias_fut_dh.time_index, base_ti)
+                return bias_gid, None, None
+            rows = np.full((self.n_time_steps, self.n_quantiles),
+                           np.nan, np.float32)
+            for nt, d0 in enumerate(self.time_window_center):
+                mask = window_mask(base_ti.dayofyear, d0,
+                                   self.window_size)
+                if mask.any():
+                    rows[nt] = np.nanpercentile(base_data[mask],
+                                                quantiles)
+            return bias_gid, rows, base_ti
 
+        base_key = f'base_{self.base_dset}_params'
+        valid_gids = np.zeros(self.bias_gid_raster.size, dtype=bool)
         results = _run_gid_loop(one_gid, self.bias_gid_raster.size,
                                 max_workers)
-        for bias_gid, single in results:
-            if single is None:
+        for bias_gid, rows, base_ti in results:
+            if rows is None:
                 continue
+            valid_gids[bias_gid] = True
+            base_tis.setdefault('ti', base_ti)
             row, col = np.unravel_index(bias_gid,
                                         self.bias_gid_raster.shape)
-            for k, v in single.items():
-                out[k][row, col] = v
+            out[base_key][row, col] = rows
+
+        bias_key = f'bias_{self.bias_feature}_params'
+        fut_key = f'bias_fut_{self.bias_feature}_params'
+        out[bias_key] = self._windowed_params_raster(
+            self.bias_dh.data[self.bias_feature],
+            self.bias_time_index, use_device=use_device)
+        out[fut_key] = self._windowed_params_raster(
+            self.bias_fut_dh.data[self.bias_feature],
+            self.bias_fut_dh.time_index, use_device=use_device)
+        # reference semantics (qdm.py:415-430): a window's params only
+        # exist when base AND bias AND fut all have samples in it
+        if 'ti' in base_tis:
+            window_ok = np.array([
+                window_mask(base_tis['ti'].dayofyear, d0,
+                            self.window_size).any()
+                and window_mask(self.bias_time_index.dayofyear, d0,
+                                self.window_size).any()
+                and window_mask(self.bias_fut_dh.time_index.dayofyear,
+                                d0, self.window_size).any()
+                for d0 in self.time_window_center])
+            for k in (base_key, bias_key, fut_key):
+                out[k][:, :, ~window_ok, :] = np.nan
+        # gids with no mapped baseline stay NaN everywhere (matching
+        # the per-gid reference behavior) and are later filled/smoothed
+        invalid = ~valid_gids.reshape(self.bias_gid_raster.shape)
+        out[bias_key][invalid] = np.nan
+        out[fut_key][invalid] = np.nan
         # fill/smooth over the leading spatial dims of 4D param arrays
         flat = {k: v.reshape(*v.shape[:2], -1) for k, v in out.items()}
         flat = self.fill_and_smooth(flat, fill_extend, smooth_extend,
