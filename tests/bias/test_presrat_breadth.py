@@ -1,0 +1,194 @@
+"""PresRat invariants (mirrors reference
+tests/bias/test_presrat_bias_correction.py:426-740): zero-rate edge
+cases, output ranges, threshold extremes, dry-day preservation through
+the runtime transform, no-trend identity, and QDM-vs-PresRat
+divergence on precipitation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.bias import (
+    PresRat,
+    QuantileDeltaMappingCorrection,
+    local_presrat_bc,
+    local_qdm_bc,
+)
+from sup3r_tpu.bias.presrat import zero_precipitation_rate
+from sup3r_tpu.bias.transforms import get_date_range_kwargs
+from sup3r_tpu.utilities.test_helpers import (
+    make_fake_h5_file,
+    make_fake_nc_file,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def test_zero_precipitation_rate():
+    arr = np.array([0.0, 0.0, 1.0, 2.0])
+    assert zero_precipitation_rate(arr, threshold=0.5) == 0.5
+
+
+def test_zero_precipitation_rate_extremes():
+    arr = np.arange(10, dtype=float)
+    assert zero_precipitation_rate(arr, threshold=-1) == 0
+    assert zero_precipitation_rate(arr, threshold=0.5) == 0.1
+    assert zero_precipitation_rate(arr, threshold=100) == 1
+    assert zero_precipitation_rate(arr, threshold=9.5) == 1
+
+
+def test_zero_precipitation_rate_nanonly():
+    assert np.isnan(zero_precipitation_rate(
+        np.full(5, np.nan), threshold=1))
+
+
+def test_zero_precipitation_rate_nan_robust():
+    """NaNs are ignored, not counted."""
+    arr = np.arange(10, dtype=float)
+    with_nan = np.concatenate([arr, [np.nan, np.nan]])
+    r1 = zero_precipitation_rate(arr, threshold=5)
+    r2 = zero_precipitation_rate(with_nan, threshold=5)
+    assert r1 == r2
+
+
+@pytest.fixture
+def presrat_files(tmp_path):
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (10, 10, 24 * 200), ['pr'],
+        freq='h', value_range=(0, 5e-4), scale_factor=1e7,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist.nc'), (5, 5, 200), ['pr'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    fut_fp = make_fake_nc_file(
+        str(tmp_path / 'fut.nc'), (5, 5, 200), ['pr'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    return base_fp, bias_fp, fut_fp
+
+
+def test_presrat_output_ranges(presrat_files, tmp_path):
+    """Every PresRat output exists, is finite after fill, zero rates
+    live in [0, 1], K factors are positive (reference:
+    test_presrat_bias_correction.py:481-520)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr',
+                   n_quantiles=11, n_time_steps=2,
+                   zero_rate_threshold=1e-5)
+    out = calc.run()
+    expected = ['base_pr_params', 'bias_pr_params',
+                'bias_fut_pr_params', 'pr_tau_fut', 'pr_k_factor',
+                'pr_zero_rate']
+    for v in expected:
+        assert v in out, f'Missing {v}'
+        assert np.all(np.isfinite(out[v])), f'Non-finite {v}'
+    zr = out['pr_zero_rate']
+    assert np.all((zr >= 0) & (zr <= 1))
+    assert np.all(out['pr_k_factor'] > 0)
+
+
+def test_presrat_threaded_matches_serial(presrat_files):
+    """max_workers=4 produces the same rasters as serial (reference:
+    test_presrat_bias_correction.py:523-557)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    kw = dict(n_quantiles=11, n_time_steps=2,
+              zero_rate_threshold=1e-5)
+    out_s = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw).run(
+        max_workers=1, fill_extend=False)
+    out_p = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw).run(
+        max_workers=4, fill_extend=False)
+    for k in out_s:
+        np.testing.assert_allclose(out_p[k], out_s[k], equal_nan=True)
+
+
+def test_presrat_zero_rate_thresholds(presrat_files):
+    """threshold=0 -> rate 0 everywhere (nothing strictly below 0);
+    huge threshold -> rate 1 (reference:
+    test_presrat_bias_correction.py:562-594)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    kw = dict(n_quantiles=11, n_time_steps=2)
+    out0 = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr',
+                   zero_rate_threshold=0.0, **kw).run(
+        fill_extend=False)
+    assert np.all(out0['pr_zero_rate'][np.isfinite(
+        out0['pr_zero_rate'])] == 0)
+    out1 = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr',
+                   zero_rate_threshold=1e4, **kw).run(
+        fill_extend=False)
+    assert np.all(out1['pr_zero_rate'][np.isfinite(
+        out1['pr_zero_rate'])] == 1)
+
+
+def test_presrat_transform_dry_days(presrat_files, tmp_path):
+    """The runtime transform changes the data and never DECREASES the
+    number of dry values (tau thresholding zeroes the drizzle;
+    reference: test_presrat_bias_correction.py:600-631)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr',
+                   n_quantiles=11, n_time_steps=2,
+                   zero_rate_threshold=1e-5)
+    fp_out = str(tmp_path / 'presrat.h5')
+    calc.run(fp_out=fp_out)
+
+    lat = np.linspace(40.0, 39.0, 5)
+    lon = np.linspace(-105.5, -104.3, 5)
+    lat_lon = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    data = (5e-4 * RNG.random((5, 5, 60))).astype(np.float32)
+    ti = pd.date_range('2050-01-01', periods=60, freq='D')
+    corrected = local_presrat_bc(
+        data, lat_lon, 'pr', 'pr', fp_out, get_date_range_kwargs(ti))
+    assert np.isfinite(corrected).any()
+    assert not np.allclose(data, corrected)
+    n_zero_in = int((data <= 1e-5).sum())
+    n_zero_out = int((corrected <= 1e-5).sum())
+    assert n_zero_out >= n_zero_in
+
+
+def test_presrat_no_trend_is_nearly_identity(tmp_path):
+    """When historical and future biased data share the distribution
+    of the baseline, the correction is close to identity (reference
+    'nochanges' case, test_presrat_bias_correction.py:633-667)."""
+    # one shared distribution for base/bias/fut
+    vals = (1e-3 * RNG.random((12, 12, 24 * 200))).astype(np.float32)
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (12, 12, 24 * 200), ['pr'],
+        freq='h', value_range=(0, 1e-3), scale_factor=1e7,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist.nc'), (6, 6, 400), ['pr'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    # future == historical file (identical distribution, no trend)
+    calc = PresRat(base_fp, bias_fp, bias_fp, 'pr', 'pr',
+                   n_quantiles=21, n_time_steps=2,
+                   zero_rate_threshold=0.0)
+    out = calc.run(fill_extend=False)
+    k = out['pr_k_factor']
+    finite = k[np.isfinite(k)]
+    # no trend: K factors near 1
+    np.testing.assert_allclose(finite, 1.0, atol=0.2)
+    # hist == fut: the mh and mf CDFs are identical
+    np.testing.assert_allclose(
+        out['bias_pr_params'], out['bias_fut_pr_params'],
+        equal_nan=True, rtol=1e-6)
+
+
+def test_qdm_vs_presrat_differ(presrat_files, tmp_path):
+    """PresRat (tau + K) must diverge from plain QDM on the same data
+    (reference: test_presrat_bias_correction.py:701-737)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    qdm_fp = str(tmp_path / 'qdm.h5')
+    pr_fp = str(tmp_path / 'presrat.h5')
+    QuantileDeltaMappingCorrection(
+        base_fp, bias_fp, fut_fp, 'pr', 'pr', n_quantiles=11,
+        n_time_steps=2).run(fp_out=qdm_fp)
+    PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', n_quantiles=11,
+            n_time_steps=2, zero_rate_threshold=1e-5).run(fp_out=pr_fp)
+
+    lat = np.linspace(40.0, 39.0, 5)
+    lon = np.linspace(-105.5, -104.3, 5)
+    lat_lon = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    data = (5e-4 * RNG.random((5, 5, 60))).astype(np.float32)
+    ti = pd.date_range('2050-01-01', periods=60, freq='D')
+    kwargs = get_date_range_kwargs(ti)
+    a = local_qdm_bc(data, lat_lon, 'pr', 'pr', qdm_fp, kwargs)
+    b = local_presrat_bc(data, lat_lon, 'pr', 'pr', pr_fp, kwargs)
+    assert not np.allclose(a, b)
