@@ -177,6 +177,17 @@ class SingleBatchQueue(AbstractBatchQueue):
         self.hr_features_ind = s.hr_features_ind
         self.sample_shape = s.sample_shape
         self._is_4d = self.sample_shape[2] == 1 and self.t_enhance == 1
+        # fail at construction, not in the producer thread (reference:
+        # batch_queues/abstract.py preflight asserts)
+        assert self.sample_shape[0] % self.s_enhance == 0 and (
+            self.sample_shape[1] % self.s_enhance == 0), (
+            f's_enhance={self.s_enhance} must evenly divide the '
+            f'spatial sample shape {self.sample_shape[:2]}')
+        assert self._is_4d or (
+            self.t_enhance <= self.sample_shape[2]
+            and self.sample_shape[2] % self.t_enhance == 0), (
+            f't_enhance={self.t_enhance} must evenly divide the '
+            f'temporal sample shape {self.sample_shape[2]}')
 
     @property
     def lr_shape(self):
