@@ -219,9 +219,15 @@ class ExoRasterizer:
         coords, values = self.get_source_data()
         grid = self.hr_lat_lon.reshape(-1, 2)
         tree = cKDTree(grid)
-        dist, idx = tree.query(
-            coords, distance_upper_bound=self.get_distance_upper_bound())
+        bound = self.get_distance_upper_bound()
+        dist, idx = tree.query(coords, distance_upper_bound=bound)
         valid = np.isfinite(dist)
+        if not valid.any():
+            raise RuntimeError(
+                f'No "{self.feature}" source points from '
+                f'{self.source_file} mapped onto the target grid '
+                f'within distance {bound}; check the source extent / '
+                'distance_upper_bound')
         sums = np.bincount(idx[valid], weights=values[valid],
                            minlength=len(grid) + 1)[:len(grid)]
         counts = np.bincount(idx[valid],
