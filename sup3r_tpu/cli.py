@@ -214,14 +214,25 @@ def pipeline(ctx, monitor, cancel):
                         module)
             continue
         logger.info('Running pipeline step "%s"', module)
+        status.clear_failed(module)  # retry failed jobs of this step
         step_ctx = click.Context(commands[module],
                                  obj={'CONFIG_FILE': os.path.join(
                                      run_dir, step_config_file)
                                      if not os.path.isabs(
                                          step_config_file)
                                      else step_config_file})
-        with step_ctx:
-            commands[module].invoke(step_ctx)
+        try:
+            with step_ctx:
+                commands[module].invoke(step_ctx)
+        except Exception as e:
+            # setup failures (bad config, missing model dir) happen
+            # before any node job records status — record them so
+            # `.status.json` always explains why the pipeline stopped
+            status.update(module, f'{module}_setup',
+                          job_status='failed', stderr=str(e)[-2000:])
+            raise click.ClickException(
+                f'Pipeline step "{module}" failed during setup: '
+                f'{e}') from e
         if not monitor:
             break
         # SLURM steps return after sbatch; poll until terminal so the
@@ -268,7 +279,11 @@ def batch(ctx, dry_run):
                        else os.path.join(run_dir, fp))
                 with open(src) as f:
                     cfg = json.load(f)
-                cfg.update(dict(zip(keys, combo)))
+                # only replace keys the config actually has (gaps
+                # BatchJob semantics) — a fwp-only arg must not leak
+                # into the collect config as an unexpected kwarg
+                cfg.update({k: v for k, v in zip(keys, combo)
+                            if k in cfg})
                 with open(os.path.join(job_dir,
                                        os.path.basename(fp)),
                           'w') as f:
@@ -280,9 +295,10 @@ def batch(ctx, dry_run):
                 if os.path.exists(pipeline_fp):
                     step_ctx = click.Context(
                         pipeline, obj={'CONFIG_FILE': pipeline_fp})
+                    step_ctx.params = {'monitor': True,
+                                       'cancel': False}
                     with step_ctx:
-                        pipeline.invoke(step_ctx, monitor=True,
-                                        cancel=False)
+                        pipeline.invoke(step_ctx)
 
 
 if __name__ == '__main__':

@@ -45,6 +45,24 @@ class Status:
             json.dump(status, f, indent=2)
         os.replace(tmp, self.fp)
 
+    def clear_failed(self, module):
+        """Drop a module's failed job records so a retry re-runs them
+        (mirrors gaps' resubmit behavior; successful jobs keep their
+        skip-on-rerun records)."""
+        status = self.read()
+        jobs = status.get(module, {})
+        failed = [k for k, j in jobs.items()
+                  if j.get('job_status') == 'failed']
+        if not failed:
+            return
+        for k in failed:
+            del jobs[k]
+        os.makedirs(self.run_dir, exist_ok=True)
+        tmp = self.fp + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(status, f, indent=2)
+        os.replace(tmp, self.fp)
+
     def job_status(self, module, job_name):
         """'successful' | 'failed' | 'running' | None."""
         return self.read().get(module, {}).get(job_name, {}).get(
@@ -150,8 +168,10 @@ class BaseCLI:
                         module, job_name)
             return 0
         status.update(module, job_name, job_status='running')
+        # run in the project dir so config-relative paths resolve
+        # against it (gaps runs jobs from the project directory)
         result = subprocess.run(cmd, shell=True, capture_output=True,
-                                text=True)
+                                text=True, cwd=run_dir or None)
         ok = result.returncode == 0
         status.update(module, job_name,
                       job_status='successful' if ok else 'failed',
@@ -187,6 +207,9 @@ class BaseCLI:
             script += f'#SBATCH --mem={memory}\n'
         if feature:
             script += f'#SBATCH {feature}\n'
+        # run from the project dir so config-relative paths resolve
+        # against it (gaps runs jobs from the project directory)
+        script += f'cd {shlex.quote(os.path.abspath(run_dir))}\n'
         # subshell so the sentinel still writes if the command exits
         # the shell (or the job script is killed mid-command by a
         # signal bash forwards)
