@@ -46,7 +46,7 @@ def replicate(mesh, tree):
 
 
 def init_multihost(coordinator_address=None, num_processes=None,
-                   process_id=None):
+                   process_id=None, local_device_ids=None):
     """Initialize JAX multi-host (DCN) process groups so a single
     logical run spans hosts — replaces the reference's SLURM-node
     independence for tightly-coupled runs (SURVEY 2.7). For loosely-
@@ -54,13 +54,47 @@ def init_multihost(coordinator_address=None, num_processes=None,
     remains available and is often preferable for elasticity.
 
     With no args, reads the standard JAX coordination env vars
-    (JAX_COORDINATOR_ADDRESS etc. / cloud TPU metadata)."""
+    (JAX_COORDINATOR_ADDRESS etc. / cloud TPU metadata). With an
+    explicit ``coordinator_address``, ``num_processes`` and
+    ``process_id`` are required and validated here so a bad SLURM
+    rank wiring fails with a readable message instead of a hang at
+    the coordination barrier.
+
+    Returns (process_index, process_count); raises RuntimeError if
+    the distributed runtime is already initialized with different
+    parameters."""
     import jax
 
     kwargs = {}
     if coordinator_address is not None:
+        if num_processes is None or process_id is None:
+            raise ValueError(
+                'init_multihost: explicit coordinator_address '
+                'requires num_processes and process_id')
+        num_processes = int(num_processes)
+        process_id = int(process_id)
+        if num_processes < 1:
+            raise ValueError(
+                f'init_multihost: num_processes={num_processes} '
+                'must be >= 1')
+        if not 0 <= process_id < num_processes:
+            raise ValueError(
+                f'init_multihost: process_id={process_id} outside '
+                f'[0, {num_processes})')
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes,
                       process_id=process_id)
-    jax.distributed.initialize(**kwargs)
+        if local_device_ids is not None:
+            kwargs['local_device_ids'] = local_device_ids
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if 'already initialized' in str(e).lower():
+            logger_msg = ('init_multihost: distributed runtime '
+                          'already initialized; reusing it.')
+            import logging
+
+            logging.getLogger(__name__).info(logger_msg)
+        else:
+            raise
     return jax.process_index(), jax.process_count()
