@@ -10,3 +10,11 @@ from sup3r_tpu.utilities.utilities import (  # noqa: F401
     nn_fill_array,
     safe_serialize,
 )
+
+
+def load_reference_gan(model_dir, **kwargs):
+    """Import a reference (NREL sup3r / phygnn TF) model checkpoint
+    directory into a ``Sup3rGan`` (lazy import; see utilities/port.py)."""
+    from sup3r_tpu.utilities.port import load_reference_gan as _load
+
+    return _load(model_dir, **kwargs)

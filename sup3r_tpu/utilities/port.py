@@ -1,0 +1,189 @@
+"""Import reference (NREL sup3r / phygnn TensorFlow) model checkpoints.
+
+The reference distributes trained GANs as a directory of
+``model_params.json`` + ``model_gen.pkl`` / ``model_disc.pkl``, where
+the pickles are phygnn ``CustomNetwork.model_params`` dicts holding the
+``hidden_layers`` JSON config and a flat list of numpy weight arrays in
+TF ``layer.get_weights()`` order (reference: sup3r/models/base.py:133-
+197, phygnn CustomNetwork.save). This module unpickles those without
+phygnn/TF installed (unknown classes are stubbed), converts the TF
+weight layouts to ours, and returns a ready ``Sup3rGan``.
+
+Weight-layout recipe (validated in tests/parity/test_tf_parity.py):
+  - Conv2D/Conv3D/Dense kernels: identical layout (HWIO / in,out).
+  - Conv*Transpose: TF stores (..., out, in) — flip the spatial dims
+    and swap the last two axes.
+"""
+
+import io
+import json
+import logging
+import os
+import pickle
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['load_phygnn_pickle', 'import_phygnn_network',
+           'load_reference_gan']
+
+
+class _Stub:
+    """Placeholder for unpicklable foreign classes (phygnn/TF/keras
+    objects); captures state so weights nested inside still surface."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        else:
+            self.__dict__['state'] = state
+
+    def __reduce__(self):  # pragma: no cover
+        return (_Stub, ())
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    _FOREIGN = ('phygnn', 'tensorflow', 'keras', 'tf_keras')
+
+    def find_class(self, module, name):
+        root = module.split('.')[0]
+        if root in self._FOREIGN:
+            return type(name, (_Stub,), {})
+        return super().find_class(module, name)
+
+
+def _find_weights(obj, out):
+    """Recursively collect numpy arrays from a stubbed object tree in
+    traversal order."""
+    if isinstance(obj, np.ndarray):
+        out.append(obj)
+    elif isinstance(obj, (list, tuple)):
+        for x in obj:
+            _find_weights(x, out)
+    elif isinstance(obj, dict):
+        for x in obj.values():
+            _find_weights(x, out)
+    elif isinstance(obj, _Stub):
+        _find_weights(obj.__dict__, out)
+
+
+def load_phygnn_pickle(fp):
+    """(hidden_layers_config, weights_list) from a phygnn
+    CustomNetwork pickle. Raises with a clear message when the pickle
+    doesn't carry a recognizable network."""
+    with open(fp, 'rb') as f:
+        obj = _TolerantUnpickler(f).load()
+    if not isinstance(obj, dict):
+        raise ValueError(
+            f'{fp}: expected a phygnn model_params dict, got '
+            f'{type(obj).__name__}')
+    config = obj.get('hidden_layers')
+    if config is None:
+        raise ValueError(
+            f'{fp}: no "hidden_layers" entry — not a phygnn '
+            f'CustomNetwork pickle (keys: {sorted(obj)})')
+    weights = obj.get('weights')
+    if weights is None:
+        found = []
+        _find_weights(obj, found)
+        weights = found
+    weights = [np.asarray(w) for w in weights]
+    if not weights:
+        raise ValueError(f'{fp}: no weight arrays found')
+    return list(config), weights
+
+
+def import_phygnn_network(config, weights, in_shape):
+    """Build a ``Network`` from a reference hidden_layers config and a
+    flat TF-ordered weights list; returns (network, params)."""
+    import jax
+
+    from sup3r_tpu.models.network import Network
+
+    net = Network(config)
+    params, _ = net.init(jax.random.PRNGKey(0), tuple(in_shape))
+    queue = list(weights)
+    for idx, (p, lyr) in enumerate(zip(params, net.layers)):
+        if not (isinstance(p, dict) and 'kernel' in p):
+            continue
+        if len(queue) < 2:
+            raise ValueError(
+                'Ran out of weight arrays while importing layer '
+                f'#{idx} ({type(lyr).__name__}); the config and the '
+                'pickle disagree')
+        kernel = np.asarray(queue.pop(0), dtype=np.float32)
+        bias = np.asarray(queue.pop(0), dtype=np.float32)
+        if type(lyr).__name__ in ('Conv2DTranspose', 'Conv3DTranspose'):
+            # TF convT kernels are (..., out, in): flip spatial dims
+            # and swap io (tests/parity/test_tf_parity.py:67-82)
+            spatial = tuple(range(kernel.ndim - 2))
+            kernel = np.flip(kernel, spatial)
+            kernel = np.swapaxes(kernel, -1, -2)
+        expected = np.asarray(p['kernel']).shape
+        if kernel.shape != expected:
+            raise ValueError(
+                f'Layer #{idx} ({type(lyr).__name__}): imported '
+                f'kernel shape {kernel.shape} != expected {expected}')
+        import jax.numpy as jnp
+
+        params[idx] = {'kernel': jnp.asarray(kernel),
+                       'bias': jnp.asarray(bias)}
+    if queue:
+        logger.warning(
+            'Import left %d unconsumed weight arrays (batch-norm or '
+            'non-conv layers are not ported)', len(queue))
+    return net, params
+
+
+def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
+    """Load a reference-trained Sup3rGan directory (model_params.json
+    + model_gen.pkl [+ model_disc.pkl]) into a sup3r_tpu Sup3rGan.
+
+    ``lr_shape``/``hr_shape``: one-sample input shapes used to resolve
+    conv channel counts ((1, s1, s2, [t,] n_features) — inferred from
+    the meta when omitted)."""
+    from sup3r_tpu.models import Sup3rGan
+
+    fp_params = os.path.join(model_dir, 'model_params.json')
+    with open(fp_params) as f:
+        saved = json.load(f)
+    meta = saved.get('meta', {})
+
+    gen_cfg, gen_w = load_phygnn_pickle(
+        os.path.join(model_dir, 'model_gen.pkl'))
+    fp_disc = os.path.join(model_dir, 'model_disc.pkl')
+    disc_cfg, disc_w = (load_phygnn_pickle(fp_disc)
+                        if os.path.exists(fp_disc) else (None, None))
+
+    model = Sup3rGan(gen_cfg, disc_cfg or [
+        {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}])
+    model.meta.update(meta)
+
+    n_feats = len(meta.get('lr_features') or []) or 2
+    is_5d = model.generator.is_5d
+    if lr_shape is None:
+        lr_shape = ((1, 8, 8, 8, n_feats) if is_5d
+                    else (1, 8, 8, n_feats))
+    _, gen_params = import_phygnn_network(gen_cfg, gen_w, lr_shape)
+    model.gen_params = gen_params
+    if disc_cfg is not None:
+        if hr_shape is None:
+            s = model.s_enhance
+            t = model.t_enhance
+            n_out = len(meta.get('hr_out_features') or []) or n_feats
+            hr_shape = ((1, lr_shape[1] * s, lr_shape[2] * s,
+                         lr_shape[3] * t, n_out) if is_5d
+                        else (1, lr_shape[1] * s, lr_shape[2] * s,
+                              n_out))
+        _, disc_params = import_phygnn_network(disc_cfg, disc_w,
+                                               hr_shape)
+        model.disc_params = disc_params
+    means = saved.get('means')
+    stdevs = saved.get('stdevs')
+    if means and stdevs:
+        model.set_norm_stats(means, stdevs)
+    logger.info('Imported reference model from %s (%d gen + %d disc '
+                'weight arrays)', model_dir, len(gen_w),
+                len(disc_w or []))
+    return model
