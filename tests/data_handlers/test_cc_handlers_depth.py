@@ -1,0 +1,122 @@
+"""Climate-change data handler depth (mirrors reference
+tests/data_handlers/test_dh_nc_cc.py:24-254 + test_dh_h5_cc.py):
+NSRDB clearsky regrid aggregation/scaling knobs, daily csr totals
+semantics, and daily min/max/total column handling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.preprocessing.data_handlers import (
+    DataHandlerH5SolarCC,
+    DataHandlerH5WindCC,
+    DataHandlerNCforCC,
+)
+from sup3r_tpu.utilities.test_helpers import (
+    make_fake_h5_file,
+    make_fake_nc_file,
+)
+from tests.solar_qa.test_solar_qa import _make_fake_nsrdb
+
+
+@pytest.fixture
+def gcm_and_nsrdb(tmp_path):
+    gcm_fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (6, 6, 4),
+                               ['rsds'], freq='D')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (12, 12, 96), start='2023-01-01')
+    return gcm_fp, nsrdb_fp
+
+
+def test_clearsky_ghi_rsds_max_scaling(gcm_and_nsrdb):
+    """Regridded clearsky_ghi is scaled so its max matches the rsds
+    max (reference: nc_cc.py:233-241)."""
+    gcm_fp, nsrdb_fp = gcm_and_nsrdb
+    dh = DataHandlerNCforCC(gcm_fp,
+                            features=['clearsky_ratio'],
+                            nsrdb_source_fp=nsrdb_fp)
+    cs = np.asarray(dh.rasterizer.data['clearsky_ghi'])
+    rsds = np.asarray(dh.rasterizer.data['rsds'])
+    np.testing.assert_allclose(np.nanmax(cs), np.nanmax(rsds),
+                               rtol=1e-4)
+    csr = np.asarray(dh.data['clearsky_ratio'])
+    assert (csr[np.isfinite(csr)] >= 0).all()
+    assert (csr[np.isfinite(csr)] <= 1).all()
+
+
+def test_clearsky_scale_override(gcm_and_nsrdb):
+    """An explicit clearsky_scale (the chunked_io domain factor)
+    overrides the window-local max ratio."""
+    gcm_fp, nsrdb_fp = gcm_and_nsrdb
+    dh1 = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
+                             nsrdb_source_fp=nsrdb_fp)
+    cs1 = np.asarray(dh1.rasterizer.data['clearsky_ghi'])
+    dh2 = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
+                             nsrdb_source_fp=nsrdb_fp,
+                             clearsky_scale=2.0)
+    cs2 = np.asarray(dh2.rasterizer.data['clearsky_ghi'])
+    # same unscaled regrid, different factor
+    ratio = cs2 / np.where(cs1 == 0, np.nan, cs1)
+    finite = ratio[np.isfinite(ratio)]
+    rsds_max = np.nanmax(np.asarray(dh1.rasterizer.data['rsds']))
+    unscaled_max = np.nanmax(cs1) / (rsds_max / np.nanmax(cs1))
+    assert np.allclose(finite, finite.flat[0], rtol=1e-4)
+
+
+def test_nsrdb_agg_changes_regrid(gcm_and_nsrdb):
+    """nsrdb_agg > 1 averages more neighbors -> different raster."""
+    gcm_fp, nsrdb_fp = gcm_and_nsrdb
+    cs1 = DataHandlerNCforCC._regrid_clearsky(
+        nsrdb_fp, 1, np.array([[39.5, -105.0], [39.6, -104.8]]),
+        pd.date_range('2023-01-01', periods=4, freq='D'))
+    cs4 = DataHandlerNCforCC._regrid_clearsky(
+        nsrdb_fp, 4, np.array([[39.5, -105.0], [39.6, -104.8]]),
+        pd.date_range('2023-01-01', periods=4, freq='D'))
+    assert cs1.shape == cs4.shape == (4, 2)
+    assert not np.allclose(cs1, cs4)
+
+
+def test_missing_nsrdb_source_keeps_features(gcm_and_nsrdb):
+    """Without an nsrdb_source_fp, clearsky_ghi is not injected and
+    requesting clearsky_ratio fails loudly."""
+    gcm_fp, _ = gcm_and_nsrdb
+    with pytest.raises(Exception):
+        DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'])
+
+
+def test_daily_handler_reductions(tmp_path):
+    """DailyDataHandler: plain features daily-mean; *_max/*_min/total
+    features use their own reductions (reference:
+    data_handlers/base.py:265-341)."""
+    fp = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (5, 5, 72),
+        ['temperature_2m'], value_range=(-10, 30))
+    dh = DataHandlerH5WindCC(fp, features=['temperature_2m',
+                                           'temperature_max_2m',
+                                           'temperature_min_2m'])
+    hourly = np.asarray(dh.hourly['temperature_2m'])
+    daily_mean = np.asarray(dh.daily['temperature_2m'])
+    daily_max = np.asarray(dh.daily['temperature_max_2m'])
+    daily_min = np.asarray(dh.daily['temperature_min_2m'])
+    assert daily_mean.shape[-1] == 3  # 72 h -> 3 days
+    blocks = hourly.reshape(5, 5, 3, 24)
+    np.testing.assert_allclose(daily_mean, blocks.mean(-1), atol=1e-4)
+    np.testing.assert_allclose(daily_max, blocks.max(-1), atol=1e-4)
+    np.testing.assert_allclose(daily_min, blocks.min(-1), atol=1e-4)
+    assert (daily_max >= daily_mean - 1e-4).all()
+    assert (daily_min <= daily_mean + 1e-4).all()
+
+
+def test_solar_cc_daily_csr_is_total_ratio(tmp_path):
+    """Daily clearsky_ratio = sum(ghi)/sum(cs_ghi), NOT the mean of
+    hourly ratios (reference: data_handlers/base.py:341)."""
+    fp = make_fake_h5_file(
+        str(tmp_path / 'nsrdb.h5'), (6, 6, 48),
+        ['ghi', 'clearsky_ghi'], start='2023-06-01', freq='h',
+        scale_factor=1.0, value_range=(0, 1000))
+    dh = DataHandlerH5SolarCC(fp, features=['clearsky_ratio'])
+    ghi = np.asarray(dh.daily['ghi'])
+    cs = np.asarray(dh.daily['clearsky_ghi'])
+    csr = np.asarray(dh.daily['clearsky_ratio'])
+    expect = np.where(cs > 0, ghi / cs, np.nan)
+    np.testing.assert_allclose(csr, expect, rtol=1e-5, equal_nan=True)
