@@ -140,3 +140,43 @@ def test_train_cc_with_topo_exo(tmp_path):
     assert model.hr_exo_features == ['topography']
     assert model.hr_out_features == ['u_100m', 'v_100m']
     assert np.isfinite(model.history['train_loss_gen'].values).all()
+
+
+def test_dual_sampler_cc_lr_matches_daily_mean():
+    """Non-solar t_enhance=24: the LR sample equals the day-mean of
+    the HR sample (lr comes from the daily member, hr from the hourly
+    member, same window; reference: tests/samplers/test_cc.py:38-103)."""
+    paired = _daily_hourly(solar=False)
+    sampler = DualSamplerCC(paired, sample_shape=(8, 8, 48),
+                            s_enhance=1, t_enhance=24)
+    for _ in range(4):
+        lr, hr = next(sampler)
+        day_mean = hr.reshape(8, 8, 2, 24, 2).mean(axis=3)
+        np.testing.assert_allclose(lr, day_mean, atol=1e-5)
+
+
+def test_dual_sampler_cc_wind_features_not_reduced():
+    """With wind features alongside csr, only the csr channel drives
+    the daylight-window reduction; wind values keep their hourly
+    magnitudes (reference: tests/samplers/test_cc.py:148-193)."""
+    paired = _daily_hourly(solar=True)
+    sampler = DualSamplerCC(paired, sample_shape=(8, 8, 8),
+                            s_enhance=1, t_enhance=8)
+    lr, hr = next(sampler)
+    # csr channel: all finite (daylight window); u channel untouched
+    assert not np.isnan(hr[..., 0]).any()
+    assert not np.isnan(hr[..., 1]).any()
+    assert hr.shape == (8, 8, 8, 2)
+    # the daylight window selects hours whose csr is finite in the
+    # source, i.e. hours 8-16
+    assert lr.shape == (8, 8, 1, 2)
+
+
+def test_nsrdb_reduce_daily_keeps_center_of_daylight():
+    """The reduced window is centered on the daylight (finite-csr)
+    hours (reference: samplers/utilities.py nsrdb_reduce_daily_data)."""
+    data = np.full((1, 4, 4, 24, 1), np.nan, np.float32)
+    data[..., 9:17, 0] = 1.0  # daylight 9-17
+    out = nsrdb_reduce_daily_data(data, 8, csr_ind=0)
+    assert out.shape == (1, 4, 4, 8, 1)
+    np.testing.assert_allclose(out[..., 0], 1.0)
