@@ -1,0 +1,94 @@
+"""Sup3rQa depth (mirrors reference tests/output/test_qa.py): H5
+flattened outputs, windspeed derived from u/v sources, subsample
+temporal method, and bias-corrected source inputs."""
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+from sup3r_tpu.ops import (
+    invert_uv,
+    spatial_simple_enhancing,
+    temporal_simple_enhancing,
+)
+from sup3r_tpu.postprocessing.writers import OutputHandlerH5
+from sup3r_tpu.preprocessing.loaders import LoaderNC
+from sup3r_tpu.qa import Sup3rQa
+from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+
+
+def _enhanced(src_arr, s, t, mode='constant'):
+    return temporal_simple_enhancing(
+        spatial_simple_enhancing(src_arr[None, ..., None], s),
+        t, mode)[0, ..., 0]
+
+
+@pytest.fixture
+def h5_qa_setup(tmp_path):
+    """Source nc + perfect-enhancement H5 output (u/v written through
+    the production writer, which stores ws/wd)."""
+    src_fp = make_fake_nc_file(str(tmp_path / 'src.nc'), (6, 6, 8),
+                               ['u100', 'v100'])
+    src = LoaderNC(src_fp).data
+    hr_u = _enhanced(np.asarray(src['u_100m']), 2, 2)
+    hr_v = _enhanced(np.asarray(src['v_100m']), 2, 2)
+    lat = np.linspace(40.0, 39.0, 12)
+    lon = np.linspace(-105.5, -104.3, 12)
+    lat_lon = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    times = pd.date_range('2023-01-01', periods=16, freq='30min')
+    out_fp = str(tmp_path / 'out_000000_000000.h5')
+    OutputHandlerH5._write_output(
+        np.stack([hr_u, hr_v], axis=-1).astype(np.float32),
+        ['u_100m', 'v_100m'], lat_lon, times, out_fp)
+    return src_fp, out_fp, tmp_path
+
+
+def test_qa_h5_windspeed_from_uv(h5_qa_setup):
+    """H5 QA: the stored windspeed re-coarsens onto the ws derived
+    from the u/v source (reference: qa.py:282 feature mapping)."""
+    src_fp, out_fp, tmp_path = h5_qa_setup
+    qa = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                 temporal_coarsening_method='average',
+                 features=['windspeed_100m'],
+                 qa_fp=str(tmp_path / 'qa.h5'))
+    errors = qa.run()
+    # constant-enhanced ws re-coarsens exactly; quantization only
+    assert abs(errors['windspeed_100m_error']).max() < 0.05
+    with h5py.File(str(tmp_path / 'qa.h5'), 'r') as f:
+        assert 'windspeed_100m_error' in f
+
+
+def test_qa_subsample_method(h5_qa_setup):
+    """subsample temporal coarsening picks every t_enhance-th step —
+    for constant temporal enhancement this is also exact."""
+    src_fp, out_fp, tmp_path = h5_qa_setup
+    qa = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                 temporal_coarsening_method='subsample',
+                 features=['windspeed_100m'])
+    errors = qa.run()
+    assert abs(errors['windspeed_100m_error']).max() < 0.05
+
+
+def test_qa_bias_corrected_source(h5_qa_setup):
+    """bias_correct_method rewrites the SOURCE before comparison: a
+    global x2 scalar on u/v doubles the source ws, so the error
+    becomes ~-ws (reference: qa.py:60-71 option)."""
+    src_fp, out_fp, tmp_path = h5_qa_setup
+    kwargs = {
+        'u_100m': {'scalar': 2.0, 'adder': 0.0},
+        'v_100m': {'scalar': 2.0, 'adder': 0.0},
+    }
+    qa_plain = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                       features=['windspeed_100m'])
+    base = qa_plain.run()['windspeed_100m_error']
+    qa_bc = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                    features=['windspeed_100m'],
+                    bias_correct_method='global_linear_bc',
+                    bias_correct_kwargs=kwargs)
+    bc = qa_bc.run()['windspeed_100m_error']
+    # doubling u/v doubles source ws: error = coarse - 2*ws
+    src = LoaderNC(src_fp).data
+    ws, _ = invert_uv(np.asarray(src['u_100m']),
+                      np.asarray(src['v_100m']), src.lat_lon)
+    np.testing.assert_allclose(bc, base - ws, atol=0.05)
