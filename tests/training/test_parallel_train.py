@@ -132,3 +132,33 @@ def test_dual_pipeline_from_files(tmp_path):
                                            'temporal': '60min'},
                 n_epoch=1, out_dir=None)
     assert np.isfinite(model.history['train_loss_gen'].values[-1])
+
+
+def test_mesh_step_matches_single_device():
+    """ONE train step on an 8-device mesh (sharded batch, replicated
+    params, ICI all-reduce) produces the SAME losses and parameters as
+    the identical step on one device — XLA's inserted collectives must
+    be numerically transparent."""
+    features = ['u_100m', 'v_100m']
+    rng = np.random.default_rng(0)
+    lr = rng.random((8, 4, 4, 2)).astype(np.float32)
+    hr = rng.random((8, 8, 8, 2)).astype(np.float32)
+
+    def one_step(use_mesh):
+        model = Sup3rGan(_small_gen_s(), _small_disc(),
+                         learning_rate=1e-3)
+        model.init_weights((1, 4, 4, 2), (1, 8, 8, 2), seed=3)
+        if use_mesh:
+            model.attach_mesh(get_mesh(8))
+        details = model.run_gradient_descent(
+            lr, hr, train_gen=True, train_disc=True)
+        return details, jax.tree.map(np.asarray, model.gen_params)
+
+    d1, p1 = one_step(False)
+    d8, p8 = one_step(True)
+    for k in d1:
+        np.testing.assert_allclose(d8[k], d1[k], rtol=2e-4, atol=1e-6)
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
