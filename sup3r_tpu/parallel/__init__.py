@@ -2,6 +2,8 @@
 
 from sup3r_tpu.parallel.mesh import (  # noqa: F401
     get_mesh,
+    init_multihost,
     replicate,
     shard_batch,
+    shard_spatial,
 )

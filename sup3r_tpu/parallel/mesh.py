@@ -45,6 +45,28 @@ def replicate(mesh, tree):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def shard_spatial(mesh, array, axis='data', dim=1):
+    """Place an (n, s1, s2, ...) array with spatial dim ``dim``
+    sharded over the mesh — SPATIAL domain decomposition of ONE chunk
+    across chips. The generator's convs then run SPMD: XLA's
+    partitioner inserts the halo exchanges over ICI automatically, so
+    a chunk too large for one chip's HBM spans the mesh with no
+    manual ppermute choreography (the scaling-book recipe: annotate
+    shardings, let XLA insert collectives).
+
+    ``array.shape[dim]`` must be divisible by the mesh size — an
+    uneven split would silently change each shard's halo geometry."""
+    n = mesh.devices.size
+    if array.shape[dim] % n:
+        raise ValueError(
+            f'shard_spatial: dim {dim} of size {array.shape[dim]} is '
+            f'not divisible by the {n}-device mesh')
+    spec = [None] * array.ndim
+    spec[dim] = axis
+    sharding = NamedSharding(mesh, P(*spec))
+    return jax.device_put(array, sharding)
+
+
 def init_multihost(coordinator_address=None, num_processes=None,
                    process_id=None, local_device_ids=None):
     """Initialize JAX multi-host (DCN) process groups so a single

@@ -1,0 +1,79 @@
+"""Spatial domain decomposition of ONE chunk across the mesh: the
+generator runs SPMD with XLA-inserted conv halo exchanges, and the
+sharded output must equal the single-device output bit-for-bit-ish.
+
+This is the 'sp' sharding axis of the parallelism model — chunks too
+large for one chip's HBM span the mesh (scaling-book recipe: annotate
+shardings, let XLA insert the collectives)."""
+
+import jax
+import numpy as np
+import pytest
+
+from sup3r_tpu.models import Sup3rGan
+from sup3r_tpu.parallel import get_mesh, replicate, shard_spatial
+
+FEATURES = ['u_100m', 'v_100m']
+
+
+def _st_model():
+    pad = {'class': 'FlexiblePadding',
+           'paddings': [[0, 0], [3, 3], [3, 3], [3, 3], [0, 0]],
+           'mode': 'REFLECT'}
+    gen = [
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'SpatioTemporalExpansion', 'temporal_mult': 2,
+         'temporal_method': 'nearest'},
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 8 * 4, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+        {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+    ]
+    disc = [{'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc)
+    model.meta.update(lr_features=FEATURES, hr_out_features=FEATURES,
+                      s_enhance=2, t_enhance=2)
+    model.set_norm_stats({f: 0.0 for f in FEATURES},
+                         {f: 1.0 for f in FEATURES})
+    model.init_weights((1, 8, 8, 4, 2), (1, 16, 16, 8, 2))
+    return model
+
+
+def test_spatially_sharded_generate_matches():
+    """One (1, 16, 16, 4, 2) chunk sharded along s1 over 8 devices
+    produces the same output as the unsharded run (XLA SPMD inserts
+    the reflect-pad + conv halo exchanges)."""
+    assert jax.device_count() >= 8
+    model = _st_model()
+    mesh = get_mesh(8)
+    x = np.random.default_rng(0).random((1, 16, 16, 4, 2)).astype(
+        np.float32)
+
+    ref = np.asarray(model.generate(x))
+    model.gen_params = replicate(mesh, model.gen_params)
+    x_sharded = shard_spatial(mesh, x, dim=1)
+    assert len(x_sharded.sharding.device_set) == 8
+    with mesh:
+        out = model.generate(x_sharded)
+    out = np.asarray(out)
+    assert out.shape == ref.shape == (1, 32, 32, 8, 2)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_shard_spatial_divisibility_guard():
+    mesh = get_mesh(8)
+    x = np.zeros((1, 12, 16, 4, 2), np.float32)
+    with pytest.raises(ValueError, match='not divisible'):
+        shard_spatial(mesh, x, dim=1)
