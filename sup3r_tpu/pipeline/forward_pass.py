@@ -298,7 +298,23 @@ class ForwardPass:
                                       fetch=False)
             return out, n_real
         lr = self.model.norm_input(stacked)
-        if getattr(self.strategy, 'use_mesh', False):
+        use_mesh = getattr(self.strategy, 'use_mesh', False)
+        if use_mesh == 'spatial':
+            # spatial (sp) domain decomposition: ONE chunk's s1 dim
+            # split over the mesh; XLA inserts the conv halo
+            # exchanges. For chunks too large for one chip's HBM.
+            import jax
+
+            from sup3r_tpu.parallel import get_mesh, shard_spatial
+
+            mesh = get_mesh()
+            logger.info(
+                'use_mesh=spatial: s1=%d split over %d device(s)',
+                lr.shape[1], mesh.devices.size)
+            lr = shard_spatial(
+                mesh, np.ascontiguousarray(lr, dtype=np.float32),
+                dim=1)
+        elif use_mesh:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -89,9 +89,11 @@ class ForwardPassStrategy:
     #: stack this many same-shaped padded chunks into one device batch
     #: (TPU throughput: amortizes dispatch + fills the MXU)
     device_batch_size: int = 1
-    #: shard device batches over all local devices (multi-chip chunk
-    #: fan-out via a jax.sharding.Mesh data axis)
-    use_mesh: bool = False
+    #: shard device batches over all local devices: True = chunk
+    #: fan-out over the mesh data axis (dp); 'spatial' = split each
+    #: chunk's s1 dim over the mesh with XLA-inserted conv halo
+    #: exchanges (sp — for chunks too large for one chip's HBM)
+    use_mesh: Union[bool, str] = False
     #: stream input per chunk: only coordinates are loaded up front and
     #: each chunk reads just its padded window from disk (lazy NetCDF4
     #: slicing / windowed H5 gid reads). Replaces the reference's

@@ -77,3 +77,32 @@ def test_shard_spatial_divisibility_guard():
     x = np.zeros((1, 12, 16, 4, 2), np.float32)
     with pytest.raises(ValueError, match='not divisible'):
         shard_spatial(mesh, x, dim=1)
+
+
+def test_fwp_use_mesh_spatial_matches_serial(tmp_path):
+    """ForwardPass with use_mesh='spatial' (each chunk's s1 split over
+    the mesh) matches the serial run."""
+    from sup3r_tpu.pipeline import ForwardPass, ForwardPassStrategy
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+    from tests.forward_pass.test_batched_fwp import (
+        _save_model,
+        _st_gen_config,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (16, 16, 8), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+    kwargs = dict(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(16, 16, 4),
+        spatial_pad=0, temporal_pad=0,
+        out_pattern=None)
+    serial = ForwardPass.run(ForwardPassStrategy(**kwargs), 0)
+    spatial = ForwardPass.run(
+        ForwardPassStrategy(**kwargs, device_batch_size=2,
+                            use_mesh='spatial'), 0)
+    assert set(serial) == set(spatial)
+    for idx in serial:
+        np.testing.assert_allclose(spatial[idx], serial[idx],
+                                   atol=1e-4)
