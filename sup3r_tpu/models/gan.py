@@ -423,15 +423,15 @@ class Sup3rGan(AbstractSingleModel):
                                              self._disc_opt_state)
 
     def _place_batch(self, arr):
-        """Shard a batch over the attached mesh (no-op without one)."""
+        """Shard a batch over the attached mesh (no-op without one).
+        On a multi-host mesh ``arr`` is this process's LOCAL shard."""
         mesh = getattr(self, '_mesh', None)
         if mesh is None:
             return jnp.asarray(arr, dtype=jnp.float32)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sup3r_tpu.parallel import shard_batch
 
-        return jax.device_put(
-            np.asarray(arr, dtype=np.float32),
-            NamedSharding(mesh, P(self._mesh_axis)))
+        return shard_batch(mesh, np.asarray(arr, dtype=np.float32),
+                           axis=self._mesh_axis)
 
     def run_gradient_descent(self, low_res, hi_res_true,
                              weight_gen_advers=0.001, train_gen=True,

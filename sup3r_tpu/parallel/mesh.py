@@ -31,16 +31,40 @@ def get_mesh(n_devices=None, axis='data', devices=None):
     return Mesh(np.array(devices), (axis,))
 
 
+def is_multihost(mesh):
+    """Whether the mesh spans devices of other processes (DCN)."""
+    return any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat)
+
+
 def shard_batch(mesh, *arrays, axis='data'):
     """Place arrays with their leading (batch/chunk) dim sharded over
-    the mesh's data axis."""
+    the mesh's data axis.
+
+    On a multi-host (DCN) mesh each process passes its process-LOCAL
+    batch shard; the shards are assembled into one global array
+    (jax multi-controller convention)."""
     sharding = NamedSharding(mesh, P(axis))
-    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    if is_multihost(mesh):
+        from jax.experimental import multihost_utils
+
+        out = tuple(multihost_utils.host_local_array_to_global_array(
+            np.asarray(a), mesh, P(axis)) for a in arrays)
+    else:
+        out = tuple(jax.device_put(a, sharding) for a in arrays)
     return out[0] if len(out) == 1 else out
 
 
 def replicate(mesh, tree):
-    """Replicate a pytree (params / optimizer state) over the mesh."""
+    """Replicate a pytree (params / optimizer state) over the mesh.
+    On a multi-host mesh every process must pass identical values
+    (e.g. seeded identically or broadcast beforehand)."""
+    if is_multihost(mesh):
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda a: multihost_utils.host_local_array_to_global_array(
+                np.asarray(a), mesh, P()), tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 

@@ -1,0 +1,87 @@
+"""REAL multi-host (DCN) validation: two separate processes form a
+jax.distributed group over localhost, build one global 4-device mesh
+(2 local CPU devices each), and run a data-parallel train step with
+process-local batch shards. Both controllers must report identical
+finite losses (SURVEY §2.7 multi-node scale-out — beyond the
+reference, which never couples nodes)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r'''
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax
+jax.config.update('jax_platforms', 'cpu')
+sys.path.insert(0, '/root/repo')
+import numpy as np
+from sup3r_tpu.parallel import get_mesh, init_multihost
+idx, count = init_multihost(f'127.0.0.1:{port}', num_processes=2,
+                            process_id=proc_id)
+assert count == 2 and jax.device_count() == 4
+
+from sup3r_tpu.models import Sup3rGan
+gen = [{'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+        'strides': 1, 'padding': 'same'},
+       {'class': 'SpatialExpansion', 'spatial_mult': 2},
+       {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+        'strides': 1, 'padding': 'same'}]
+disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+         'strides': 2, 'padding': 'same'},
+        {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+model = Sup3rGan(gen, disc, learning_rate=1e-3)
+model.init_weights((1, 4, 4, 2), (1, 8, 8, 2), seed=7)
+
+mesh = get_mesh()  # all 4 global devices
+model.attach_mesh(mesh)
+
+# one seeded GLOBAL batch of 4; this process feeds its local half
+rng = np.random.default_rng(0)
+lr_g = rng.random((4, 4, 4, 2)).astype(np.float32)
+hr_g = rng.random((4, 8, 8, 2)).astype(np.float32)
+lr_local = lr_g[proc_id * 2:(proc_id + 1) * 2]
+hr_local = hr_g[proc_id * 2:(proc_id + 1) * 2]
+details = model.run_gradient_descent(lr_local, hr_local,
+                                     train_gen=True, train_disc=True)
+print('LOSSES', ' '.join(f'{k}={v:.8f}'
+                         for k, v in sorted(details.items())),
+      flush=True)
+'''
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='linux only')
+def test_two_process_dcn_train_step(tmp_path):
+    worker_fp = str(tmp_path / 'worker.py')
+    with open(worker_fp, 'w') as f:
+        f.write(WORKER)
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
+    procs = [subprocess.Popen(
+        [sys.executable, worker_fp, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=180)
+        outs.append(out)
+        assert p.returncode == 0, out[-2000:]
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith('LOSSES')]
+        assert lines, out[-2000:]
+        losses.append(lines[-1])
+    # both controllers computed the SAME global step
+    assert losses[0] == losses[1]
+    assert 'nan' not in losses[0].lower()
