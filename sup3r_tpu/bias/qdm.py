@@ -154,8 +154,9 @@ class QuantileDeltaMappingCorrection(FillAndSmoothMixin,
         on device' design. ``use_device=True`` pads every day-of-year
         window to a static length and evaluates one jitted
         ``jnp.nanpercentile`` dispatch; the host path loops windows
-        with numpy (float64, bit-matching the per-gid reference
-        math)."""
+        with numpy on the same float32 inputs the per-gid path used,
+        so it matches that math exactly (the device path differs at
+        fp32 interpolation tolerance)."""
         quantiles = sampled_quantiles(self.n_quantiles, self.sampling,
                                       self.log_base) * 100
         arr = np.asarray(arr, dtype=np.float32)

@@ -5,6 +5,7 @@ solar, bias-calc, data-collect, qa, pipeline, batch commands driven by
 JSON configs with an execution_control block).
 """
 
+import contextlib
 import itertools
 import json
 import logging
@@ -94,7 +95,24 @@ def _get_config(ctx):
     config = load_config(config_file)
     config.setdefault('run_dir',
                       os.path.dirname(os.path.abspath(config_file)))
+    # node jobs run with cwd=run_dir; a relative run_dir would
+    # double-resolve the embedded node-config paths
+    config['run_dir'] = os.path.abspath(config['run_dir'])
     return config
+
+
+@contextlib.contextmanager
+def _in_dir(path):
+    """Run the parent-process part of a module command from the
+    project dir, so config-relative paths (out_pattern, cache dirs)
+    resolve exactly as they do in the node subprocesses (which run
+    with cwd=run_dir)."""
+    old = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(old)
 
 
 @main.command()
@@ -107,8 +125,9 @@ def forward_pass(ctx):
     run_cfg = {k: v for k, v in config.items()
                if k not in ('execution_control', 'run_dir',
                             'max_nodes_cli')}
-    strategy = ForwardPassStrategy(**run_cfg)
-    n_nodes = len(strategy.node_chunks)
+    with _in_dir(config['run_dir']):
+        strategy = ForwardPassStrategy(**run_cfg)
+        n_nodes = len(strategy.node_chunks)
     cmds = [_node_cmd('forward-pass', run_cfg, i,
                       config['run_dir']) for i in range(n_nodes)]
     codes = BaseCLI.kickoff_jobs('forward-pass', cmds, config)

@@ -135,12 +135,21 @@ def init_multihost(coordinator_address=None, num_processes=None,
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if 'already initialized' in str(e).lower():
-            logger_msg = ('init_multihost: distributed runtime '
-                          'already initialized; reusing it.')
-            import logging
-
-            logging.getLogger(__name__).info(logger_msg)
-        else:
+        if 'already initialized' not in str(e).lower():
             raise
+        # reuse is only safe when the live group matches what the
+        # caller asked for — otherwise their rank wiring is wrong
+        if kwargs and (jax.process_count() != kwargs['num_processes']
+                       or jax.process_index() != kwargs['process_id']):
+            raise RuntimeError(
+                'init_multihost: distributed runtime already '
+                f'initialized as rank {jax.process_index()} of '
+                f'{jax.process_count()}, but this call requested rank '
+                f'{kwargs["process_id"]} of '
+                f'{kwargs["num_processes"]}') from e
+        import logging
+
+        logging.getLogger(__name__).info(
+            'init_multihost: distributed runtime already initialized '
+            'with matching parameters; reusing it.')
     return jax.process_index(), jax.process_count()

@@ -71,11 +71,12 @@ class CollectorH5:
                 threshold=1e-4, join_times=False):
         """Collect chunk files into ``out_file``.
 
-        ``n_writes`` bounds memory by splitting each feature's
-        collection into that many groups of temporal chunks — each
-        group is gathered into one in-memory slab (threaded reads)
-        then written in a single H5 write (reference:
-        collectors/h5.py:590-718). ``max_workers`` bounds the read
+        Each write group is gathered into one in-memory slab
+        (threaded reads) then written in a single H5 write (reference:
+        collectors/h5.py:590-718). ``n_writes=None`` (default) uses
+        one group per temporal chunk — peak memory is ONE temporal
+        chunk's rows; an explicit ``n_writes`` merges temporal chunks
+        into that many (larger) groups. ``max_workers`` bounds the read
         thread pool (1 = serial). ``target_meta_file`` masks the
         output meta to coordinates within ``threshold`` degrees of the
         target coordinates (reference: collectors/h5.py:83-104)."""
@@ -135,7 +136,11 @@ class CollectorH5:
     def get_flist_chunks(self, n_writes=None):
         """Group chunk files by temporal chunk index, combined into at
         most ``n_writes`` write groups (reference:
-        collectors/h5.py:590-633)."""
+        collectors/h5.py:590-633).
+
+        ``n_writes=None`` (default) uses ONE GROUP PER TEMPORAL CHUNK,
+        so peak memory is a single temporal chunk's slab — smaller
+        ``n_writes`` values trade memory for fewer, larger H5 writes."""
         by_t = {}
         for fp in self.flist:
             t_chunk, _ = get_chunk_indices(fp)
@@ -144,7 +149,8 @@ class CollectorH5:
         if n_writes is not None and n_writes > len(t_ids):
             logger.info('n_writes (%s) too big; using the number of '
                         'temporal chunks (%s).', n_writes, len(t_ids))
-        n_groups = min(n_writes or 1, len(t_ids))
+        n_groups = (min(n_writes, len(t_ids)) if n_writes
+                    else len(t_ids))
         groups = np.array_split(np.asarray(t_ids), n_groups)
         return [[fp for t in g for fp in by_t[int(t)]] for g in groups]
 

@@ -110,13 +110,19 @@ def decode_cf_time(values, units, calendar='standard'):
         years = y + (days // dpy).astype(int)
         doy = days % dpy
         out = []
+        import calendar as _cal
+
         for yr, dy in zip(years, doy):
             mi = int(np.searchsorted(cum, dy, side='right')) - 1
             mi = min(mi, 11)
             day = int(dy - cum[mi]) + 1
             frac = dy - int(dy)
+            # 360-day months have 30 days; clamp days that don't exist
+            # in the proleptic Gregorian target month (Feb 29/30) to
+            # that month's last real day
+            greg_len = _cal.monthrange(int(yr), mi + 1)[1]
             ts = pd.Timestamp(year=int(yr), month=mi + 1,
-                              day=min(day, month_len[mi]))
+                              day=min(day, month_len[mi], greg_len))
             out.append(ts + pd.Timedelta(seconds=round(frac * 86400)))
         return pd.DatetimeIndex(out)
 

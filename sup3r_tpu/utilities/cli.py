@@ -33,17 +33,21 @@ class Status:
                 return json.load(f)
         return {}
 
-    def update(self, module, job_name, **kwargs):
-        """Merge a job record."""
+    def _write(self, status):
+        """Atomically persist the full status dict."""
         os.makedirs(self.run_dir, exist_ok=True)
-        status = self.read()
-        job = status.setdefault(module, {}).setdefault(job_name, {})
-        job.update(kwargs)
-        job['time'] = time.strftime('%Y-%m-%d %H:%M:%S')
         tmp = self.fp + '.tmp'
         with open(tmp, 'w') as f:
             json.dump(status, f, indent=2)
         os.replace(tmp, self.fp)
+
+    def update(self, module, job_name, **kwargs):
+        """Merge a job record."""
+        status = self.read()
+        job = status.setdefault(module, {}).setdefault(job_name, {})
+        job.update(kwargs)
+        job['time'] = time.strftime('%Y-%m-%d %H:%M:%S')
+        self._write(status)
 
     def clear_failed(self, module):
         """Drop a module's failed job records so a retry re-runs them
@@ -57,11 +61,7 @@ class Status:
             return
         for k in failed:
             del jobs[k]
-        os.makedirs(self.run_dir, exist_ok=True)
-        tmp = self.fp + '.tmp'
-        with open(tmp, 'w') as f:
-            json.dump(status, f, indent=2)
-        os.replace(tmp, self.fp)
+        self._write(status)
 
     def job_status(self, module, job_name):
         """'successful' | 'failed' | 'running' | None."""

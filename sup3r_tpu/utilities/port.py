@@ -101,6 +101,15 @@ def import_phygnn_network(config, weights, in_shape):
 
     from sup3r_tpu.models.network import Network
 
+    unsupported = [lay.get('class') for lay in config
+                   if isinstance(lay, dict)
+                   and 'norm' in str(lay.get('class', '')).lower()]
+    if unsupported:
+        raise NotImplementedError(
+            f'Checkpoint config contains {unsupported} layers whose '
+            'weights (gamma/beta/moving stats) interleave the flat TF '
+            'weights list — importing normalization layers is not '
+            'supported')
     net = Network(config)
     params, _ = net.init(jax.random.PRNGKey(0), tuple(in_shape))
     queue = list(weights)
@@ -112,6 +121,13 @@ def import_phygnn_network(config, weights, in_shape):
                 'Ran out of weight arrays while importing layer '
                 f'#{idx} ({type(lyr).__name__}); the config and the '
                 'pickle disagree')
+        expected_ndim = np.asarray(p['kernel']).ndim
+        if queue[0].ndim != expected_ndim:
+            raise ValueError(
+                f'Layer #{idx} ({type(lyr).__name__}) expects a '
+                f'{expected_ndim}-d kernel but the next checkpoint '
+                f'array is {queue[0].ndim}-d — the pickle carries '
+                'weights (batch-norm?) this importer does not map')
         kernel = np.asarray(queue.pop(0), dtype=np.float32)
         bias = np.asarray(queue.pop(0), dtype=np.float32)
         if type(lyr).__name__ in ('Conv2DTranspose', 'Conv3DTranspose'):

@@ -205,3 +205,22 @@ def test_nc3_scipy_backend(tmp_path):
     lat = dset.lat_lon[..., 0]
     assert lat[0, 0] > lat[-1, 0]
     assert dset['u_100m'].shape == (5, 6, 4)
+
+
+def test_360_day_february_clamps():
+    """360-day Feb 29/30 don't exist in the Gregorian target: they
+    clamp to the month's last real day instead of crashing (found by
+    review: pd.Timestamp(month=2, day=30) raised)."""
+    # non-leap year: days 58/59 of 2021 = 360-cal Feb 29/30
+    ti = decode_cf_time(np.arange(70.0), 'days since 2021-01-01',
+                        calendar='360_day')
+    assert len(ti) == 70
+    assert ti[57] == pd.Timestamp('2021-02-28')
+    assert ti[58] == pd.Timestamp('2021-02-28')  # Feb 29 clamped
+    assert ti[59] == pd.Timestamp('2021-02-28')  # Feb 30 clamped
+    assert ti[60] == pd.Timestamp('2021-03-01')
+    # leap year keeps Feb 29
+    ti = decode_cf_time(np.arange(70.0), 'days since 2020-01-01',
+                        calendar='360_day')
+    assert ti[58] == pd.Timestamp('2020-02-29')
+    assert ti[59] == pd.Timestamp('2020-02-29')  # Feb 30 clamped

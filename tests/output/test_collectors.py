@@ -80,7 +80,10 @@ def test_flist_chunk_planning(tmp_path):
     count, and cover every file exactly once."""
     chunks, *_ = _write_chunks(tmp_path)  # 2 temporal chunks, 8 files
     coll = CollectorH5(chunks)
-    assert len(coll.get_flist_chunks(None)) == 1
+    # default: one write group PER temporal chunk (memory = one
+    # temporal chunk's slab); explicit n_writes merges groups
+    assert len(coll.get_flist_chunks(None)) == 2
+    assert len(coll.get_flist_chunks(1)) == 1
     assert len(coll.get_flist_chunks(2)) == 2
     # n_writes > temporal chunks clamps to 2 groups
     groups = coll.get_flist_chunks(10)
