@@ -90,6 +90,23 @@ class DataRetrievalBase:
             out = np.round(out, self.decimals)
         return np.asarray(out)
 
+    @staticmethod
+    def _match_zero_rate(bias_data, base_data):
+        """Set the lowest-percentile biased values to zero so the bias
+        data's zero rate matches the baseline's — the GCM 'drizzle
+        problem' fix (Polade et al. 2014; reference:
+        sup3r/bias/base.py:557-599)."""
+        bias_data = np.array(bias_data, dtype=np.float32)
+        q_zero_base = float(np.nanmean(base_data == 0))
+        q_bias = np.linspace(0, 1, len(bias_data))
+        min_value_bias = np.interp(q_zero_base, q_bias,
+                                   np.sort(bias_data))
+        bias_data[bias_data < min_value_bias] = 0
+        logger.debug(
+            'match_zero_rate: base zero rate %.3e -> bias zero rate '
+            '%.3e', q_zero_base, float(np.nanmean(bias_data == 0)))
+        return bias_data
+
     def get_base_data(self, bias_gid, daily_reduction='avg'):
         """(t,) baseline series for a bias cell: mean over mapped base
         sites, optionally reduced to daily values. Returns (data,

@@ -104,6 +104,8 @@ class LinearCorrection(FillAndSmoothMixin, DataRetrievalBase):
             if base_data is None:
                 return bias_gid, None
             bias_data = self.get_bias_data(bias_gid)
+            if self.match_zero_rate:
+                bias_data = self._match_zero_rate(bias_data, base_data)
             return bias_gid, self._stats_single(
                 bias_data, base_data, self.bias_time_index, base_ti)
 

@@ -192,3 +192,53 @@ def test_qdm_vs_presrat_differ(presrat_files, tmp_path):
     a = local_qdm_bc(data, lat_lon, 'pr', 'pr', qdm_fp, kwargs)
     b = local_presrat_bc(data, lat_lon, 'pr', 'pr', pr_fp, kwargs)
     assert not np.allclose(a, b)
+
+
+def test_match_zero_rate_linear_correction(tmp_path):
+    """match_zero_rate=True zeroes the drizzle tail of the biased data
+    before computing factors (Polade 2014; reference:
+    sup3r/bias/base.py:557-599 + bias_calc.py:123)."""
+    from sup3r_tpu.bias import ScalarCorrection
+    from sup3r_tpu.bias.base import DataRetrievalBase
+
+    # unit check of the static helper: base has 40% zeros
+    base = np.concatenate([np.zeros(40), RNG.random(60) + 0.5])
+    bias = RNG.random(100) + 0.01  # no zeros at all
+    matched = DataRetrievalBase._match_zero_rate(bias.copy(), base)
+    rate = float((matched == 0).mean())
+    assert abs(rate - 0.4) < 0.05
+    # values above the cut survive unchanged (float32 cast aside)
+    survivors = np.sort(matched[matched > 0])
+    expected = np.sort(bias)[len(bias) - len(survivors):]
+    np.testing.assert_allclose(survivors, expected, rtol=1e-6)
+
+    # end-to-end: factors differ when matching is on. Give the BASE
+    # data a real dry fraction (50% zeros) so the zero-rate transfer
+    # actually zeroes bias values.
+    import h5py
+
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (10, 10, 500), ['pr'],
+        freq='h', value_range=(0, 5e-4), scale_factor=1e7,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    with h5py.File(base_fp, 'r+') as f:
+        packed = f['pr'][:]
+        # zero out whole DAYS (the gid stats use daily means) at
+        # every site so the daily zero rate is ~40%
+        n_days = packed.shape[0] // 24
+        dry_days = RNG.random(n_days) < 0.4
+        for d in np.flatnonzero(dry_days):
+            packed[d * 24:(d + 1) * 24, :] = 0
+        f['pr'][...] = packed
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist.nc'), (5, 5, 500), ['pr'], freq='h',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    out_plain = ScalarCorrection(base_fp, bias_fp, 'pr', 'pr').run(
+        fill_extend=False)
+    out_zr = ScalarCorrection(base_fp, bias_fp, 'pr', 'pr',
+                              match_zero_rate=True).run(
+        fill_extend=False)
+    k = 'pr_scalar'
+    a, b = out_plain[k], out_zr[k]
+    finite = np.isfinite(a) & np.isfinite(b)
+    assert not np.allclose(a[finite], b[finite])
