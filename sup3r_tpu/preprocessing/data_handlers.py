@@ -239,6 +239,14 @@ class DataHandlerNCforCC(DataHandler):
             self.rasterizer.lat_lon.reshape(-1, 2), gcm_ti)
         s1, s2 = self.rasterizer.grid_shape
         cs = out.T.reshape(s1, s2, len(gcm_ti))
+        if self._nsrdb_smoothing:
+            # documented upstream (nc_cc.py:58-60) but never applied
+            # there — here the gaussian smoothing actually runs
+            from scipy.ndimage import gaussian_filter
+
+            cs = gaussian_filter(
+                cs, sigma=(self._nsrdb_smoothing,
+                           self._nsrdb_smoothing, 0), mode='nearest')
         scale = self._clearsky_scale
         if scale is None and 'rsds' in self.rasterizer.data:
             rsds_max = np.nanmax(self.rasterizer.data['rsds'])

@@ -120,3 +120,23 @@ def test_solar_cc_daily_csr_is_total_ratio(tmp_path):
     csr = np.asarray(dh.daily['clearsky_ratio'])
     expect = np.where(cs > 0, ghi / cs, np.nan)
     np.testing.assert_allclose(csr, expect, rtol=1e-5, equal_nan=True)
+
+
+def test_nsrdb_smoothing_applies(gcm_and_nsrdb):
+    """nsrdb_smoothing gaussian-filters the regridded clearsky raster
+    (the upstream reference documents this kwarg but never applies
+    it; here it works)."""
+    gcm_fp, nsrdb_fp = gcm_and_nsrdb
+    plain = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
+                               nsrdb_source_fp=nsrdb_fp)
+    smooth = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
+                                nsrdb_source_fp=nsrdb_fp,
+                                nsrdb_smoothing=2.0)
+    cs_p = np.asarray(plain.rasterizer.data['clearsky_ghi'])
+    cs_s = np.asarray(smooth.rasterizer.data['clearsky_ghi'])
+    assert cs_p.shape == cs_s.shape
+    assert not np.allclose(cs_p, cs_s)
+    # smoothing reduces spatial variance at every timestep
+    var_p = cs_p.var(axis=(0, 1))
+    var_s = cs_s.var(axis=(0, 1))
+    assert (var_s <= var_p + 1e-6).all()
