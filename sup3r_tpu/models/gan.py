@@ -126,7 +126,6 @@ class Sup3rGan(AbstractSingleModel):
         self._train_step_fn = None
         self._gen_apply_fn = None
         self._train_record = None
-        self._val_record = None
         self.total_batches = 0
         self._init_key = jax.random.PRNGKey(42)
 

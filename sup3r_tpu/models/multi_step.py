@@ -22,7 +22,6 @@ class MultiStepGan(AbstractInterface):
 
     def __init__(self, models):
         self._models = tuple(models)
-        self.meta_list = tuple(m.meta for m in self._models)
 
     def __len__(self):
         return len(self._models)
