@@ -206,16 +206,43 @@ def qa(ctx):
 @main.command()
 @click.option('--monitor', is_flag=True,
               help='Run all steps to completion in order.')
-@click.option('--cancel', is_flag=True, help='(no-op placeholder)')
+@click.option('--cancel', is_flag=True,
+              help='scancel pending/running SLURM jobs of this '
+                   'pipeline and mark them canceled.')
 @click.pass_context
 def pipeline(ctx, monitor, cancel):
     """Run a multi-step pipeline config: {'pipeline': [{'forward-pass':
     'cfg.json'}, {'data-collect': 'cfg.json'}, ...]} — each step runs
     when its predecessor has succeeded (incremental restart via the
     status file)."""
+    import subprocess
+
     config = _get_config(ctx)
     run_dir = config['run_dir']
     status = Status(run_dir)
+    if cancel:
+        # cancel every non-terminal job recorded for this project
+        # (reference: gaps Pipeline.cancel_all)
+        n = 0
+        for module, jobs in status.read().items():
+            for job_name, job in jobs.items():
+                if job.get('job_status') not in ('submitted',
+                                                 'running'):
+                    continue
+                job_id = job.get('job_id')
+                if job_id:
+                    try:
+                        subprocess.run(['scancel', str(job_id)],
+                                       capture_output=True)
+                    except FileNotFoundError:
+                        logger.warning('scancel not available; only '
+                                       'marking job %s canceled',
+                                       job_id)
+                status.update(module, job_name, job_status='canceled')
+                n += 1
+        logger.info('Canceled %d pending/running job(s) in %s', n,
+                    status.fp)
+        return
     steps = config['pipeline']
     commands = {
         'forward-pass': forward_pass,

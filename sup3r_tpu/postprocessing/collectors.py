@@ -77,7 +77,9 @@ class CollectorH5:
         one group per temporal chunk — peak memory is ONE temporal
         chunk's rows; an explicit ``n_writes`` merges temporal chunks
         into that many (larger) groups. ``max_workers`` bounds the read
-        thread pool (1 = serial). ``target_meta_file`` masks the
+        thread pool (1 = serial). ``join_times`` is accepted for reference-config
+        compatibility (time indices are always unioned here).
+        ``target_meta_file`` masks the
         output meta to coordinates within ``threshold`` degrees of the
         target coordinates (reference: collectors/h5.py:83-104)."""
         collector = cls(file_paths)
@@ -277,7 +279,9 @@ class CollectorNC:
     @classmethod
     def collect(cls, file_paths, out_file, features='all',
                 max_workers=None, res_kwargs=None):
-        """Combine chunk nc files into one nc file."""
+        """Combine chunk nc files into one nc file. ``max_workers``
+        bounds the thread pool loading chunk files (1 = serial);
+        ``res_kwargs`` is forwarded to the NC loader."""
         from scipy.io import netcdf_file
 
         from sup3r_tpu.preprocessing.loaders import LoaderNC
@@ -285,7 +289,15 @@ class CollectorNC:
         if isinstance(file_paths, str):
             file_paths = sorted(glob(file_paths))
         file_paths = sorted(file_paths, key=get_chunk_indices)
-        dsets = [LoaderNC(fp).data for fp in file_paths]
+
+        def load(fp):
+            return LoaderNC(fp, **(res_kwargs or {})).data
+
+        if max_workers == 1:
+            dsets = [load(fp) for fp in file_paths]
+        else:
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                dsets = list(pool.map(load, file_paths))
 
         lats = np.unique(np.concatenate(
             [d.lat_lon[..., 0].ravel() for d in dsets]))[::-1]

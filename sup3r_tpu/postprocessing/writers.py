@@ -162,15 +162,25 @@ class OutputHandler:
 
         data: (s1, s2, t, f)."""
         heights = [re.match(r'u_(\d+)m$', f).group(1)
-                   for f in features if re.match(r'u_(\d+)m$', f)]
-        for h in heights:
-            if f'v_{h}m' not in features:
-                continue
+                   for f in features if re.match(r'u_(\d+)m$', f)
+                   and f'v_{re.match(r"u_(\d+)m$", f).group(1)}m'
+                   in features]
+
+        def one(h):
             ui = features.index(f'u_{h}m')
             vi = features.index(f'v_{h}m')
             ws, wd = invert_uv(data[..., ui], data[..., vi], lat_lon)
             data[..., ui] = ws
             data[..., vi] = wd
+
+        if max_workers == 1 or len(heights) <= 1:
+            for h in heights:
+                one(h)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                list(pool.map(one, heights))
         return cls.get_renamed_features(features)
 
     @classmethod

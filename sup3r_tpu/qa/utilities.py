@@ -6,35 +6,55 @@ Reference parity: sup3r/qa/utilities.py:10-345.
 import numpy as np
 
 
+def _map_axis(vals, vrange):
+    """Relabel an index axis onto the physical [min, max] range the
+    caller supplies (reference: qa/utilities.py:39-43 — needed to
+    compare spectra between domains with different resolutions)."""
+    if vrange is None:
+        return np.asarray(vals)
+    return np.linspace(vrange[0], vrange[1], len(vals))
+
+
 def tke_frequency_spectrum(u, v, f_range=None):
     """Turbulent kinetic energy spectrum over frequency (time axis
-    last). Returns mean |FFT(0.5(u'^2+v'^2))|^2-style amplitude."""
-    v_f = np.fft.fftfreq(u.shape[-1])
+    last). ``f_range=[f_min, f_max]`` relabels the frequency axis to
+    physical units (e.g. 1/max_time .. 1/min_time)."""
     u_f = np.abs(np.fft.fft(u, axis=-1)) ** 2
     v_f2 = np.abs(np.fft.fft(v, axis=-1)) ** 2
     spectrum = 0.5 * (u_f + v_f2)
     spectrum = spectrum.reshape(-1, spectrum.shape[-1]).mean(axis=0)
     freq = np.fft.fftfreq(u.shape[-1])
     pos = freq > 0
-    return freq[pos], spectrum[pos]
+    return _map_axis(freq[pos], f_range), spectrum[pos]
 
 
 def frequency_spectrum(var, f_range=None):
-    """Mean power spectrum along the time axis (last axis)."""
+    """Mean power spectrum along the time axis (last axis).
+    ``f_range`` relabels the frequency axis to physical units."""
     spec = np.abs(np.fft.fft(var, axis=-1)) ** 2
     spec = spec.reshape(-1, spec.shape[-1]).mean(axis=0)
     freq = np.fft.fftfreq(var.shape[-1])
     pos = freq > 0
-    return freq[pos], spec[pos]
+    return _map_axis(freq[pos], f_range), spec[pos]
 
 
-def wavenumber_spectrum(var, x_range=None):
-    """Radially-binned 2D spatial power spectrum of (s1, s2[, t])
-    data (mean over any trailing axes)."""
+def wavenumber_spectrum(var, x_range=None, axis=None):
+    """2D spatial power spectrum of (s1, s2[, t]) data (mean over any
+    trailing axes). ``axis=None`` bins radially; ``axis=0``/``1``
+    returns the 1D zonal/meridional spectrum (mean of the 2D power
+    over that axis, folded halves — reference:
+    qa/utilities.py:131-168). ``x_range=[k_min, k_max]`` relabels the
+    wavenumber axis to physical units."""
     if var.ndim == 3:
         var = var.mean(axis=-1)
     spec2d = np.abs(np.fft.fft2(var)) ** 2
     s1, s2 = var.shape
+    if axis is not None:
+        e_k = spec2d.mean(axis=axis)
+        n = len(e_k) // 2
+        folded = e_k[1:n + 1] + e_k[-n:][::-1]
+        kbins = np.arange(1, n + 1)
+        return _map_axis(kbins, x_range), folded
     k1 = np.fft.fftfreq(s1) * s1
     k2 = np.fft.fftfreq(s2) * s2
     kmag = np.hypot(*np.meshgrid(k1, k2, indexing='ij'))
@@ -42,13 +62,14 @@ def wavenumber_spectrum(var, x_range=None):
     spectrum = np.array([
         spec2d[(kmag >= k - 0.5) & (kmag < k + 0.5)].mean()
         for k in kbins])
-    return kbins, spectrum
+    return _map_axis(kbins, x_range), spectrum
 
 
-def tke_wavenumber_spectrum(u, v, x_range=None, axis=0):
-    """Radial spatial spectrum of turbulent kinetic energy."""
-    k, su = wavenumber_spectrum(u)
-    _, sv = wavenumber_spectrum(v)
+def tke_wavenumber_spectrum(u, v, x_range=None, axis=None):
+    """Spatial spectrum of turbulent kinetic energy (radial by
+    default; ``axis`` selects the 1D zonal/meridional spectrum)."""
+    k, su = wavenumber_spectrum(u, x_range=x_range, axis=axis)
+    _, sv = wavenumber_spectrum(v, x_range=x_range, axis=axis)
     return k, 0.5 * (su + sv)
 
 

@@ -143,3 +143,33 @@ def test_missing_sbatch_binary_marks_failed(tmp_path):
                            sbatch='/nonexistent/sbatch')
     assert rc != 0
     assert Status(run_dir).job_status('fp', 'j0') == 'failed'
+
+
+def test_pipeline_cancel_marks_jobs(tmp_path):
+    """pipeline --cancel transitions pending/running jobs to
+    'canceled' and leaves terminal jobs alone."""
+    import json
+
+    from click.testing import CliRunner
+
+    from sup3r_tpu.cli import main
+    from sup3r_tpu.utilities.cli import Status
+
+    status = Status(str(tmp_path))
+    status.update('forward-pass', 'fwd_0', job_status='submitted',
+                  job_id='12345')
+    status.update('forward-pass', 'fwd_1', job_status='successful')
+    status.update('data-collect', 'col_0', job_status='running',
+                  job_id='12346')
+    pipe_fp = str(tmp_path / 'config_pipeline.json')
+    with open(pipe_fp, 'w') as f:
+        json.dump({'pipeline': [{'forward-pass': 'x.json'}]}, f)
+
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--cancel'], obj={})
+    assert result.exit_code == 0, result.output
+    after = status.read()
+    assert after['forward-pass']['fwd_0']['job_status'] == 'canceled'
+    assert after['forward-pass']['fwd_1']['job_status'] == 'successful'
+    assert after['data-collect']['col_0']['job_status'] == 'canceled'

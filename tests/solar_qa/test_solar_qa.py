@@ -231,3 +231,47 @@ def test_auto_bin_count():
     diffs = np.linspace(0, 1, 11)  # spacing 0.1 -> ~10 bins
     counts, centers = continuous_dist(diffs)
     assert len(counts) == 10
+
+
+def test_spectrum_range_relabeling():
+    """f_range / x_range relabel the spectrum axes to physical units
+    without changing amplitudes (reference: qa/utilities.py:39-43)."""
+    from sup3r_tpu.qa.utilities import (
+        frequency_spectrum,
+        tke_frequency_spectrum,
+        tke_wavenumber_spectrum,
+        wavenumber_spectrum,
+    )
+
+    rng = np.random.default_rng(0)
+    var = rng.random((8, 8, 32)).astype(np.float32)
+    f0, s0 = frequency_spectrum(var)
+    f1, s1 = frequency_spectrum(var, f_range=[1 / 48, 1 / 2])
+    np.testing.assert_array_equal(s0, s1)
+    assert f1[0] == pytest.approx(1 / 48) and f1[-1] == pytest.approx(
+        1 / 2)
+
+    k0, w0 = wavenumber_spectrum(var)
+    k1, w1 = wavenumber_spectrum(var, x_range=[0.1, 2.0])
+    np.testing.assert_array_equal(w0, w1)
+    assert k1[0] == pytest.approx(0.1) and k1[-1] == pytest.approx(2.0)
+
+    u = rng.random((8, 8, 4)).astype(np.float32)
+    v = rng.random((8, 8, 4)).astype(np.float32)
+    ft, st = tke_frequency_spectrum(u, v, f_range=[0.01, 0.5])
+    assert ft[0] == pytest.approx(0.01)
+    kt, wt = tke_wavenumber_spectrum(u, v, x_range=[0.1, 1.0])
+    assert kt[-1] == pytest.approx(1.0)
+
+
+def test_wavenumber_spectrum_axis_mode():
+    """axis=0/1 give 1D zonal/meridional spectra; a field varying only
+    along dim 0 has all its energy in the axis=1 spectrum."""
+    from sup3r_tpu.qa.utilities import wavenumber_spectrum
+
+    s1 = np.sin(np.linspace(0, 6 * np.pi, 16))
+    var = np.repeat(s1[:, None], 16, axis=1)  # varies along dim 0 only
+    k0, w_ax1 = wavenumber_spectrum(var, axis=1)  # spectrum OF dim 0
+    _, w_ax0 = wavenumber_spectrum(var, axis=0)   # spectrum OF dim 1
+    assert w_ax1.max() > 100 * max(w_ax0[1:].max(), 1e-12)
+    assert len(k0) == 8
