@@ -46,9 +46,14 @@ class DataRetrievalBase:
             np.prod(self.bias_dh.lat_lon.shape[:2])).reshape(
             self.bias_dh.lat_lon.shape[:2])
 
-        # baseline flattened resource
-        self.base_loader = LoaderH5(base_fps,
-                                    **(base_handler_kwargs or {}))
+        # baseline flattened resource; base_handler may be a class or
+        # a name resolvable from the loaders module ('LoaderH5' etc.)
+        if isinstance(base_handler, str):
+            import sup3r_tpu.preprocessing.loaders as _loaders
+
+            base_handler = getattr(_loaders, base_handler, LoaderH5)
+        self.base_loader = base_handler(base_fps,
+                                        **(base_handler_kwargs or {}))
         self._map_base_gids(distance_upper_bound)
 
     def _map_base_gids(self, distance_upper_bound=None):
