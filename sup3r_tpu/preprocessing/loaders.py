@@ -389,7 +389,11 @@ class LoaderNC:
 
     def __init__(self, file_paths, features='all', res_kwargs=None,
                  chunks=None, BaseLoader=None, lazy=False):
-        """``lazy=True`` defers variable reads (h5py-backed NetCDF4
+        """``res_kwargs``/``chunks``/``BaseLoader`` are accepted for
+        reference-config compatibility (they configure xarray/dask in
+        the reference; the data plane here is h5py/scipy and loads are
+        eager or lazy-windowed). ``lazy=True`` defers variable reads
+        (h5py-backed NetCDF4
         files only): data is pulled from disk per requested window,
         enabling chunked streaming over continental inputs."""
         self.file_paths = expand_paths(file_paths)

@@ -147,7 +147,11 @@ class Rasterizer:
                  res_kwargs=None, full_grid_shape=None, window=None):
         """``window`` short-circuits extent matching with a precomputed
         raster index: an (s1_slice, s2_slice) pair for gridded NC input
-        or a 2D gid array for flattened H5. Used by chunked streaming
+        or a 2D gid array for flattened H5. Used by chunked streaming.
+        ``max_delta`` is accepted for reference-config compatibility:
+        the reference chunks its raster-index search by max_delta
+        (rasterizers/extended.py), while the index here is computed
+        exactly in one pass, so no chunking is needed. Still used by
         inference (ForwardPassStrategy(chunked_io=True)) so per-chunk
         reads skip the coordinate search entirely."""
         assert file_paths is not None or loader is not None
@@ -265,7 +269,9 @@ class DualRasterizer:
     def __init__(self, data, s_enhance=1, t_enhance=1, regrid_workers=1,
                  regrid_lr=True):
         """``data``: dict or tuple with 'low_res' and 'high_res'
-        GridDatasets."""
+        GridDatasets. ``regrid_workers`` is accepted for
+        reference-config compatibility: the IDW regrid here is a
+        single vectorized scipy/C++ pass, not a worker pool."""
         if isinstance(data, (tuple, list)):
             lr, hr = data
         else:
