@@ -38,6 +38,12 @@ class ForwardPass:
                     if strategy.out_pattern else None)
         self.output_handler_class = (
             self.OUTPUT_HANDLER_CLASS[out_type] if out_type else None)
+        # reference default: invert u/v to ws/wd for H5, keep raw u/v
+        # for gridded NetCDF intermediates (strategy.py invert_uv)
+        invert = getattr(strategy, 'invert_uv', None)
+        self._invert_uv = (out_type == 'h5') if invert is None \
+            else bool(invert)
+        self._nn_fill = bool(getattr(strategy, 'nn_fill', False))
 
     @property
     def meta(self):
@@ -196,7 +202,8 @@ class ForwardPass:
                     self.model.hr_out_features),
                 lat_lon=chunk.hr_lat_lon, times=chunk.hr_times,
                 out_file=chunk.out_file, meta_data=self.meta,
-                gids=chunk.gids)
+                gids=chunk.gids, invert_uv=self._invert_uv,
+                nn_fill=self._nn_fill)
         return failed, out_data if chunk.out_file is None else None
 
     def run_chunks_batched(self, chunk_ids, batch_size):
@@ -389,7 +396,8 @@ class ForwardPass:
                     features=list(self.model.hr_out_features),
                     lat_lon=chunk.hr_lat_lon, times=chunk.hr_times,
                     out_file=chunk.out_file, meta_data=self.meta,
-                    gids=chunk.gids)
+                    gids=chunk.gids, invert_uv=self._invert_uv,
+                    nn_fill=self._nn_fill)
                 outputs[chunk.index] = None
             else:
                 outputs[chunk.index] = out_i

@@ -81,6 +81,11 @@ class ForwardPassStrategy:
     bias_correct_kwargs: dict = field(default_factory=dict)
     allowed_const: Union[bool, list] = False
     incremental: bool = True
+    #: invert u/v output pairs to windspeed/winddirection on write;
+    #: None = the reference default (True for H5, False for NetCDF)
+    invert_uv: Optional[bool] = None
+    #: NN-fill out-of-physical-range output values instead of clipping
+    nn_fill: bool = False
     output_workers: int = 1
     pass_workers: int = 1
     max_nodes: int = 1

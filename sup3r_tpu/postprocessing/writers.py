@@ -185,11 +185,16 @@ class OutputHandler:
 
     @classmethod
     def _transform_output(cls, data, features, lat_lon,
-                          max_workers=None):
-        """Full output transform: invert winds + enforce limits."""
-        features = cls.invert_uv_features(data, features, lat_lon,
-                                          max_workers)
-        data = enforce_limits(features, data)
+                          max_workers=None, invert_uv=True,
+                          nn_fill=False):
+        """Full output transform: invert winds + enforce limits.
+        ``invert_uv=False`` writes raw u/v; ``nn_fill=True`` NN-fills
+        out-of-range values instead of clipping (reference:
+        strategy.py invert_uv/nn_fill options)."""
+        if invert_uv:
+            features = cls.invert_uv_features(data, features, lat_lon,
+                                              max_workers)
+        data = enforce_limits(features, data, nn_fill=nn_fill)
         return data, features
 
     @classmethod
@@ -215,10 +220,11 @@ class OutputHandlerH5(OutputHandler):
 
     @classmethod
     def _write_output(cls, data, features, lat_lon, times, out_file,
-                      meta_data=None, max_workers=None, gids=None):
+                      meta_data=None, max_workers=None, gids=None,
+                      invert_uv=True, nn_fill=False):
         data, features = cls._transform_output(
             np.asarray(data, dtype=np.float32), list(features), lat_lon,
-            max_workers)
+            max_workers, invert_uv=invert_uv, nn_fill=nn_fill)
         s1, s2, t = data.shape[:3]
         if gids is None:
             gids = np.arange(s1 * s2).reshape(s1, s2)
@@ -258,7 +264,15 @@ class OutputHandlerNC(OutputHandler):
 
     @classmethod
     def _write_output(cls, data, features, lat_lon, times, out_file,
-                      meta_data=None, max_workers=None, gids=None):
+                      meta_data=None, max_workers=None, gids=None,
+                      invert_uv=False, nn_fill=False):
+        # NC output keeps raw u/v by default (gridded intermediate
+        # chunks feed downstream models, not rex consumers)
+        if invert_uv or nn_fill:
+            data, features = cls._transform_output(
+                np.asarray(data, dtype=np.float32), list(features),
+                lat_lon, max_workers, invert_uv=invert_uv,
+                nn_fill=nn_fill)
         from scipy.io import netcdf_file
 
         data = np.asarray(data, dtype=np.float32)

@@ -313,3 +313,31 @@ def test_fwp_spatial_mask_skips_chunks(tmp_path):
     assert len(strategy.unmasked_chunks) == 2
     outputs = ForwardPass.run(strategy, 0)
     assert len(outputs) == 2
+
+
+def test_fwp_invert_uv_option(tmp_path):
+    """invert_uv=False keeps raw u/v in the H5 output; the default
+    (None) inverts for H5 (reference: strategy.py invert_uv)."""
+    import h5py
+
+    input_file = make_fake_nc_file(str(tmp_path / 'in.nc'),
+                                   (8, 8, 4), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,
+                               is_5d=False)
+
+    def run(sub, **kw):
+        pattern = str(tmp_path / sub / 'chunk_{file_id}.h5')
+        strategy = ForwardPassStrategy(
+            file_paths=input_file, model_class='Sup3rGan',
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=0,
+            out_pattern=pattern, **kw)
+        ForwardPass.run(strategy, 0)
+        return sorted((tmp_path / sub).glob('*.h5'))[0]
+
+    fp_default = run('d')
+    fp_raw = run('r', invert_uv=False)
+    with h5py.File(fp_default, 'r') as f:
+        assert 'windspeed_100m' in f and 'u_100m' not in f
+    with h5py.File(fp_raw, 'r') as f:
+        assert 'u_100m' in f and 'windspeed_100m' not in f
