@@ -126,7 +126,10 @@ def forward_pass(ctx):
                if k not in ('execution_control', 'run_dir',
                             'max_nodes_cli')}
     with _in_dir(config['run_dir']):
-        strategy = ForwardPassStrategy(**run_cfg)
+        # head_node: plan node_chunks without the exo/bias preflight
+        # the worker nodes will do themselves
+        strategy = ForwardPassStrategy(
+            **{**run_cfg, 'head_node': True})
         n_nodes = len(strategy.node_chunks)
     cmds = [_node_cmd('forward-pass', run_cfg, i,
                       config['run_dir']) for i in range(n_nodes)]

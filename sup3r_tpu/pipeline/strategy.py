@@ -148,7 +148,11 @@ class ForwardPassStrategy:
             spatial_pad=self.spatial_pad, chunk_shape=chunk_shape,
             min_width=min_width)
 
-        self.exo_data = self.load_exo_data(model)
+        # the head node only plans node_chunks — skip the expensive
+        # exo rasterization preflight; worker nodes redo it themselves
+        # (reference: strategy.py head_node semantics)
+        self.exo_data = (None if self.head_node
+                         else self.load_exo_data(model))
         self.gids = np.arange(
             grid_shape[0] * self.s_enhance
             * grid_shape[1] * self.s_enhance).reshape(

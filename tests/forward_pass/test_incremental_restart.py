@@ -90,3 +90,32 @@ def test_non_incremental_overwrites(setup):
     ForwardPass.run(s1, 0)
     s2 = build(incremental=False)
     assert not any(s2.chunk_finished(i, log=False) for i in range(4))
+
+
+def test_head_node_skips_exo_preflight(tmp_path):
+    """head_node=True plans node_chunks without rasterizing exo data
+    (reference: strategy.py head_node semantics)."""
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+    from tests.forward_pass.test_exo_chains import _topo_spatial_gan
+
+    input_file = make_fake_nc_file(str(tmp_path / 'in.nc'),
+                                   (8, 8, 4), ['u100', 'v100'])
+    topo_file = make_fake_h5_file(
+        str(tmp_path / 'topo.h5'), (40, 40, 2), ['windspeed_10m'],
+        lat_range=(40.2, 38.8), lon_range=(-105.7, -104.1))
+    mdir = _topo_spatial_gan(tmp_path, 'm', ['u_100m', 'v_100m'])
+    kwargs = dict(
+        file_paths=input_file, model_class='Sup3rGan',
+        model_kwargs={'model_dir': mdir},
+        fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=0,
+        exo_handler_kwargs={'topography': {
+            'source_file': topo_file,
+            'cache_dir': str(tmp_path / 'exo')}},
+        out_pattern=None)
+    head = ForwardPassStrategy(**kwargs, head_node=True)
+    assert head.exo_data is None
+    assert not (tmp_path / 'exo').exists(), \
+        'head node must not rasterize exo data'
+    assert len(head.node_chunks) >= 1
+    worker = ForwardPassStrategy(**kwargs)
+    assert worker.exo_data is not None
