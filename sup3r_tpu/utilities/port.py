@@ -26,7 +26,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ['load_phygnn_pickle', 'import_phygnn_network',
-           'load_reference_gan']
+           'load_reference_gan', 'export_reference_gan']
 
 
 class _Stub:
@@ -150,6 +150,57 @@ def import_phygnn_network(config, weights, in_shape):
             'Import left %d unconsumed weight arrays (batch-norm or '
             'non-conv layers are not ported)', len(queue))
     return net, params
+
+
+def _to_tf_weights(net, params):
+    """Flat TF ``get_weights()``-layout list from a Network's params
+    (inverse of the import recipe)."""
+    out = []
+    for p, lyr in zip(params, net.layers):
+        if not (isinstance(p, dict) and 'kernel' in p):
+            continue
+        k = np.asarray(p['kernel'])
+        if type(lyr).__name__ in ('Conv2DTranspose', 'Conv3DTranspose'):
+            k = np.swapaxes(k, -1, -2)
+            k = np.flip(k, tuple(range(k.ndim - 2)))
+        out.append(k.astype(np.float32))
+        out.append(np.asarray(p['bias'], dtype=np.float32))
+    return out
+
+
+def export_reference_gan(model, out_dir):
+    """Write a sup3r_tpu Sup3rGan as a reference-format model
+    directory (model_params.json + model_gen.pkl / model_disc.pkl in
+    phygnn model_params layout) so reference tooling — or
+    ``load_reference_gan`` — can consume it. The symmetric half of the
+    migration path."""
+    import sup3r_tpu
+
+    os.makedirs(out_dir, exist_ok=True)
+    record = {'sup3r_tpu': sup3r_tpu.__version__}
+    with open(os.path.join(out_dir, 'model_gen.pkl'), 'wb') as f:
+        pickle.dump({
+            'hidden_layers': model.generator.config,
+            'weights': _to_tf_weights(model.generator,
+                                      model.gen_params),
+            'version_record': record}, f)
+    if model.disc_params is not None:
+        with open(os.path.join(out_dir, 'model_disc.pkl'), 'wb') as f:
+            pickle.dump({
+                'hidden_layers': model.discriminator.config,
+                'weights': _to_tf_weights(model.discriminator,
+                                          model.disc_params),
+                'version_record': record}, f)
+    means = getattr(model, '_means', None)
+    stdevs = getattr(model, '_stdevs', None)
+    with open(os.path.join(out_dir, 'model_params.json'), 'w') as f:
+        json.dump({
+            'name': getattr(model, 'name', type(model).__name__),
+            'means': means, 'stdevs': stdevs,
+            'meta': dict(model.meta),
+            'version_record': record}, f, indent=2, default=str)
+    logger.info('Exported reference-format model to %s', out_dir)
+    return out_dir
 
 
 def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):

@@ -187,3 +187,20 @@ def test_not_a_model_pickle_raises(tmp_path):
         pickle.dump({'something': 1}, f)
     with pytest.raises(ValueError, match='hidden_layers'):
         load_phygnn_pickle(fp)
+
+
+def test_export_then_import_roundtrip(source_model, tmp_path):
+    """export_reference_gan -> load_reference_gan reproduces the model
+    exactly (the symmetric migration path)."""
+    from sup3r_tpu.utilities.port import export_reference_gan
+
+    d = str(tmp_path / 'exported')
+    export_reference_gan(source_model, d)
+    assert os.path.exists(os.path.join(d, 'model_gen.pkl'))
+    assert os.path.exists(os.path.join(d, 'model_disc.pkl'))
+    loaded = load_reference_gan(d, lr_shape=(1, 8, 8, 2))
+    lr = np.random.default_rng(5).random((1, 8, 8, 2)).astype(
+        np.float32)
+    np.testing.assert_allclose(loaded.generate(lr),
+                               source_model.generate(lr),
+                               rtol=1e-5, atol=1e-6)
