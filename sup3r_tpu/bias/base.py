@@ -51,7 +51,13 @@ class DataRetrievalBase:
         if isinstance(base_handler, str):
             import sup3r_tpu.preprocessing.loaders as _loaders
 
-            base_handler = getattr(_loaders, base_handler, LoaderH5)
+            resolved = getattr(_loaders, base_handler, None)
+            if resolved is None:
+                raise KeyError(
+                    f'Unknown base_handler "{base_handler}" — not a '
+                    'class in sup3r_tpu.preprocessing.loaders '
+                    '(expected e.g. LoaderH5 / LoaderNC)')
+            base_handler = resolved
         self.base_loader = base_handler(base_fps,
                                         **(base_handler_kwargs or {}))
         self._map_base_gids(distance_upper_bound)

@@ -235,8 +235,19 @@ def pipeline(ctx, monitor, cancel):
                 job_id = job.get('job_id')
                 if job_id:
                     try:
-                        subprocess.run(['scancel', str(job_id)],
-                                       capture_output=True)
+                        res = subprocess.run(
+                            ['scancel', str(job_id)],
+                            capture_output=True, text=True, timeout=30)
+                        if res.returncode != 0:
+                            # the SLURM job may still be running —
+                            # do NOT mark it canceled (a resubmit
+                            # would double-write its chunks)
+                            logger.error(
+                                'scancel %s failed (rc=%s): %s — '
+                                'leaving job status unchanged',
+                                job_id, res.returncode,
+                                res.stderr.strip()[-500:])
+                            continue
                     except FileNotFoundError:
                         logger.warning('scancel not available; only '
                                        'marking job %s canceled',

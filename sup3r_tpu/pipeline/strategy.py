@@ -122,6 +122,19 @@ class ForwardPassStrategy:
         HandlerClass = get_input_handler_class(self.input_handler_name)
         if self.chunked_io:
             self.input_handler = self._init_chunked_io(ihk)
+        elif self.head_node and ihk.get('hr_spatial_coarsen') in (
+                None, 0, 1):
+            # planning pass: geometry + time index only — no variable
+            # reads (reference: strategy.py head_node semantics).
+            # hr_spatial_coarsen changes the planning grid shape, so
+            # it falls through to the full handler.
+            from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+            meta_keys = ('target', 'shape', 'threshold', 'raster_file',
+                         'res_kwargs', 'full_grid_shape')
+            self.input_handler = _CoordsOnlyHandler(Rasterizer(
+                self.file_paths, features=[],
+                **{k: ihk[k] for k in meta_keys if k in ihk}))
         else:
             self.input_handler = HandlerClass(
                 self.file_paths, features=self.features, **ihk)

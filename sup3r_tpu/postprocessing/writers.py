@@ -161,10 +161,9 @@ class OutputHandler:
         """In-place u/v -> ws/wd inversion for all height pairs.
 
         data: (s1, s2, t, f)."""
-        heights = [re.match(r'u_(\d+)m$', f).group(1)
-                   for f in features if re.match(r'u_(\d+)m$', f)
-                   and f'v_{re.match(r"u_(\d+)m$", f).group(1)}m'
-                   in features]
+        matches = (re.match(r'u_(\d+)m$', f) for f in features)
+        heights = [m.group(1) for m in matches
+                   if m and f'v_{m.group(1)}m' in features]
 
         def one(h):
             ui = features.index(f'u_{h}m')

@@ -239,7 +239,23 @@ class DataHandlerNCforCC(DataHandler):
             self.rasterizer.lat_lon.reshape(-1, 2), gcm_ti)
         s1, s2 = self.rasterizer.grid_shape
         cs = out.T.reshape(s1, s2, len(gcm_ti))
+        # the scale is computed from the UNSMOOTHED raster so it
+        # matches the domain-level factor the chunked_io path stashes
+        # (strategy._set_chunked_clearsky_scale regrids unsmoothed)
+        scale = self._clearsky_scale
+        if scale is None and 'rsds' in self.rasterizer.data:
+            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
+            scale = rsds_max / max(np.nanmax(cs), 1e-6)
         if self._nsrdb_smoothing:
+            if self._clearsky_scale is not None:
+                # window-local smoothing diverges from the full-domain
+                # smoothed raster at window borders — exactly the
+                # chunked-vs-eager mismatch clearsky_scale prevents
+                raise NotImplementedError(
+                    'nsrdb_smoothing is not supported with chunked_io '
+                    'streaming (per-window smoothing would diverge at '
+                    'window borders); run without chunked_io or with '
+                    'nsrdb_smoothing=0')
             # documented upstream (nc_cc.py:58-60) but never applied
             # there — here the gaussian smoothing actually runs
             from scipy.ndimage import gaussian_filter
@@ -247,10 +263,6 @@ class DataHandlerNCforCC(DataHandler):
             cs = gaussian_filter(
                 cs, sigma=(self._nsrdb_smoothing,
                            self._nsrdb_smoothing, 0), mode='nearest')
-        scale = self._clearsky_scale
-        if scale is None and 'rsds' in self.rasterizer.data:
-            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
-            scale = rsds_max / max(np.nanmax(cs), 1e-6)
         if scale is not None:
             cs = cs * scale
         return cs.astype(np.float32)

@@ -16,6 +16,7 @@ from scipy.spatial import cKDTree
 
 from sup3r_tpu.ops.solar_pos import solar_zenith
 from sup3r_tpu.preprocessing.loaders import Loader, LoaderH5, get_source_type
+from sup3r_tpu.utilities import generate_random_string
 
 logger = logging.getLogger(__name__)
 
@@ -174,14 +175,25 @@ class ExoRasterizer:
 
     @property
     def data(self):
-        """(s1, s2, 1) enhanced exo raster (cached)."""
+        """(s1, s2, 1) enhanced exo raster (cached).
+
+        The cache write is ATOMIC (tmp + rename): with head_node
+        planning, N worker nodes race to populate the same cache file
+        on a shared filesystem — a reader must never see a partial
+        .npy (the reference head node pre-populated the cache instead;
+        atomic last-writer-wins is equivalent and elastic)."""
         if not hasattr(self, '_data'):
             if os.path.exists(self.cache_file):
                 self._data = np.load(self.cache_file)
             else:
                 self._data = self.get_data()
                 os.makedirs(self.cache_dir, exist_ok=True)
-                np.save(self.cache_file, self._data)
+                tmp = (f'{self.cache_file}.{os.getpid()}'
+                       f'.{generate_random_string(6)}.tmp')
+                np.save(tmp, self._data)
+                # np.save appends .npy when missing
+                tmp = tmp if os.path.exists(tmp) else tmp + '.npy'
+                os.replace(tmp, self.cache_file)
         return self._data
 
     def get_source_data(self):

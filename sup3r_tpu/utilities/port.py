@@ -176,6 +176,11 @@ def export_reference_gan(model, out_dir):
     migration path."""
     import sup3r_tpu
 
+    if model.generator.config is None:
+        raise ValueError(
+            'Cannot export: the generator was built from Layer '
+            'objects, not a hidden_layers config — reference '
+            'checkpoints need the JSON layer config')
     os.makedirs(out_dir, exist_ok=True)
     record = {'sup3r_tpu': sup3r_tpu.__version__}
     with open(os.path.join(out_dir, 'model_gen.pkl'), 'wb') as f:
@@ -191,14 +196,17 @@ def export_reference_gan(model, out_dir):
                 'weights': _to_tf_weights(model.discriminator,
                                           model.disc_params),
                 'version_record': record}, f)
+    from sup3r_tpu.utilities import safe_serialize
+
     means = getattr(model, '_means', None)
     stdevs = getattr(model, '_stdevs', None)
+    params_json = safe_serialize({
+        'name': getattr(model, 'name', type(model).__name__),
+        'means': means, 'stdevs': stdevs,
+        'meta': dict(model.meta),
+        'version_record': record}, indent=2)
     with open(os.path.join(out_dir, 'model_params.json'), 'w') as f:
-        json.dump({
-            'name': getattr(model, 'name', type(model).__name__),
-            'means': means, 'stdevs': stdevs,
-            'meta': dict(model.meta),
-            'version_record': record}, f, indent=2, default=str)
+        f.write(params_json)
     logger.info('Exported reference-format model to %s', out_dir)
     return out_dir
 

@@ -57,8 +57,12 @@ _RH_ATTRS = {
 }
 
 OUTPUT_ATTRS = {
-    'u': {**_WIND_ATTRS, 'min': -120, 'max': 120},
-    'v': {**_WIND_ATTRS, 'min': -120, 'max': 120},
+    # the reference's output_attrs.json declares u/v as uint16 with
+    # min -120 — a landmine it never steps on because its H5 writer
+    # always inverts u/v to ws/wd first. We support invert_uv=False,
+    # so u/v must be SIGNED or negative winds wrap to huge positives.
+    'u': {**_WIND_ATTRS, 'dtype': 'int16', 'min': -120, 'max': 120},
+    'v': {**_WIND_ATTRS, 'dtype': 'int16', 'min': -120, 'max': 120},
     'windspeed': {**_WIND_ATTRS, 'min': 0, 'max': 120},
     'winddirection': {
         **_WIND_ATTRS,

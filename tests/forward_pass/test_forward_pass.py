@@ -341,3 +341,9 @@ def test_fwp_invert_uv_option(tmp_path):
         assert 'windspeed_100m' in f and 'u_100m' not in f
     with h5py.File(fp_raw, 'r') as f:
         assert 'u_100m' in f and 'windspeed_100m' not in f
+        # NEGATIVE u/v must round-trip (signed storage; the reference
+        # declares uint16 for u/v, which would wrap)
+        u = f['u_100m'][:] / f['u_100m'].attrs['scale_factor']
+        assert f['u_100m'].dtype == np.int16
+        assert u.min() < 50, 'suspicious wrap to large positives'
+        assert abs(u).max() <= 120
