@@ -206,6 +206,27 @@ def qa(ctx):
         raise click.ClickException('QA failed')
 
 
+@main.command('import-model')
+@click.argument('reference_dir', type=click.Path(exists=True))
+@click.argument('out_dir', type=click.Path())
+@click.option('--lr-shape', default=None,
+              help='Comma-separated one-sample input shape, e.g. '
+                   '"1,8,8,8,2" (inferred from the meta if omitted).')
+def import_model(reference_dir, out_dir, lr_shape):
+    """Convert a reference (NREL sup3r / phygnn TF) model checkpoint
+    directory into a sup3r_tpu model directory usable by every
+    forward-pass/pipeline command."""
+    from sup3r_tpu.utilities.port import load_reference_gan
+
+    shape = (tuple(int(x) for x in lr_shape.split(','))
+             if lr_shape else None)
+    model = load_reference_gan(reference_dir, lr_shape=shape)
+    model.save(out_dir)
+    click.echo(f'Imported {reference_dir} -> {out_dir} '
+               f'({model.s_enhance}x spatial / {model.t_enhance}x '
+               'temporal)')
+
+
 @main.command()
 @click.option('--monitor', is_flag=True,
               help='Run all steps to completion in order.')

@@ -204,3 +204,24 @@ def test_export_then_import_roundtrip(source_model, tmp_path):
     np.testing.assert_allclose(loaded.generate(lr),
                                source_model.generate(lr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_import_model_cli(source_model, tmp_path):
+    """sup3r-tpu import-model converts a reference dir into a loadable
+    sup3r_tpu model directory."""
+    from click.testing import CliRunner
+
+    from sup3r_tpu.cli import main
+
+    ref_dir = _write_reference_dir(tmp_path, source_model)
+    out_dir = str(tmp_path / 'converted')
+    runner = CliRunner()
+    result = runner.invoke(main, ['import-model', ref_dir, out_dir,
+                                  '--lr-shape', '1,8,8,2'], obj={})
+    assert result.exit_code == 0, result.output
+    loaded = Sup3rGan.load(out_dir)
+    lr = np.random.default_rng(9).random((1, 8, 8, 2)).astype(
+        np.float32)
+    np.testing.assert_allclose(loaded.generate(lr),
+                               source_model.generate(lr),
+                               rtol=1e-5, atol=1e-6)
