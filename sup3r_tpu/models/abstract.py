@@ -166,6 +166,9 @@ class AbstractInterface:
         for key in keys:
             if key in kwargs and kwargs[key] is not None:
                 self.meta[key] = kwargs[key]
+        # record the concrete model class so multi-step loaders can
+        # dispatch (reference: abstract.py model_params['meta']['class'])
+        self.meta.setdefault('class', type(self).__name__)
         if hasattr(self, '_gen'):
             s_layers = self._gen.s_enhance
             t_layers = self._gen.t_enhance

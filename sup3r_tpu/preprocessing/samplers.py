@@ -262,8 +262,14 @@ class DualSampler:
         self.lr_features = [
             f.lower() for f in feature_sets.get(
                 'lr_features', self.lr_data.features)]
-        hr_feats = feature_sets.get('hr_features',
-                                    self.hr_data.features)
+        # reference FeatureSets semantics: lr_only_features are model
+        # inputs that never appear on the high-res side (e.g. coarse
+        # ghi/clearsky_ghi feeding the SolarCC generator)
+        lr_only = [f.lower()
+                   for f in feature_sets.get('lr_only_features', [])]
+        default_hr = [f for f in self.hr_data.features
+                      if f.lower() not in lr_only]
+        hr_feats = feature_sets.get('hr_features', default_hr)
         self.features = list(dict.fromkeys(
             self.lr_features + [f.lower() for f in hr_feats]))
         self._hr_exo_features = [
