@@ -90,6 +90,13 @@ class Sup3rCondMom(AbstractSingleModel):
 
         def loss_fn(gen_params, lr, hr, output, mask):
             out = gen_apply(gen_params, lr, exo=split_exo(hr))
+            if n_exo:
+                # append the true exo channels so out matches the
+                # queue's full-feature target/mask (the reference's
+                # _combine_loss_input semantics — exo channels
+                # contribute zero loss)
+                out = jnp.concatenate(
+                    [out, hr[..., out.shape[-1]:]], axis=-1)
             return loss_fun(out * mask, output * mask)
 
         def step(gen_params, gen_opt, lr, hr, output, mask):

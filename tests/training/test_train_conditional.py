@@ -155,3 +155,31 @@ def test_time_enhance_mode_changes_lr():
         outs[mode] = np.asarray(batch.output).copy()
         handler.stop()
     assert not np.allclose(outs['constant'], outs['linear'])
+
+
+def test_train_conditional_with_topo_exo():
+    """Sup3rCondMom trains with a mid-network topography exo channel
+    (reference: tests/training/test_train_conditional_exo.py)."""
+    features = ['u_100m', 'v_100m', 'topography']
+    train = make_fake_dset((20, 20, 24), features)
+    handler = BatchHandlerMom1(
+        [train], batch_size=2, n_batches=2, s_enhance=2, t_enhance=1,
+        sample_shape=(8, 8, 1),
+        feature_sets={'hr_exo_features': ['topography']})
+    gen = [
+        {'class': 'Conv2D', 'filters': 8 * 4, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatialExpansion', 'spatial_mult': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'Sup3rConcat', 'name': 'topography'},
+        {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    model = Sup3rCondMom(gen, learning_rate=5e-3)
+    model.train(handler,
+                input_resolution={'spatial': '12km',
+                                  'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    assert model.hr_exo_features == ['topography']
+    assert np.isfinite(model.history['train_loss_gen']).all()
+    handler.stop()
