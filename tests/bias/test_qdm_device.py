@@ -77,3 +77,20 @@ def test_full_run_device_equals_host(qdm_calc, tmp_path):
     for k in out_host:
         np.testing.assert_array_equal(np.isnan(out_dev[k]),
                                       np.isnan(out_host[k]))
+
+
+def test_window_mask_reference_parity():
+    """window_mask edge semantics match the reference exactly
+    (reference: tests/bias/test_qdm_bias_correction.py:50-80)."""
+    d = np.arange(1, 366)
+    np.testing.assert_array_equal(d[window_mask(d, 60, 3)],
+                                  [59, 60, 61])
+    # even window rounds down at daily resolution
+    np.testing.assert_array_equal(d[window_mask(d, 60, 4)],
+                                  [59, 60, 61])
+    # start-of-year wrap
+    np.testing.assert_array_equal(d[window_mask(d, 1, 3)],
+                                  [1, 2, 365])
+    # end-of-year wrap
+    np.testing.assert_array_equal(d[window_mask(d, 365, 3)],
+                                  [1, 364, 365])
