@@ -143,3 +143,28 @@ def test_sampler_dc_weighted_bins():
         s1, _, t, _ = sampler.get_sample_index()
         assert s1.start <= 4
         assert t.start <= 17
+
+
+def test_sampler_dc_statistical_distribution():
+    """Non-degenerate weights produce roughly matching empirical bin
+    frequencies (reference: tests/batch_handlers/test_bh_dc.py
+    test_counts)."""
+    data = make_fake_dset((20, 20, 80), FEATURES)
+    sampler = SamplerDC(data, sample_shape=(4, 4, 4),
+                        spatial_weights=[0.75, 0.25, 0.0, 0.0],
+                        temporal_weights=[0.0, 0.0, 0.5, 0.5])
+    n = 400
+    max_rows = 20 - 4 + 1
+    flat_bins = np.zeros(4)
+    t_bins = np.zeros(4)
+    n_flat = max_rows * max_rows
+    n_t_starts = 80 - 4 + 1
+    for _ in range(n):
+        s1, s2, t, _ = sampler.get_sample_index()
+        flat = s1.start * max_rows + s2.start
+        flat_bins[min(int(flat / (n_flat / 4)), 3)] += 1
+        t_bins[min(int(t.start / (n_t_starts / 4)), 3)] += 1
+    np.testing.assert_allclose(flat_bins / n, [0.75, 0.25, 0, 0],
+                               atol=0.08)
+    np.testing.assert_allclose(t_bins / n, [0, 0, 0.5, 0.5],
+                               atol=0.08)
