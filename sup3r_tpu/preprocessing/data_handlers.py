@@ -47,6 +47,7 @@ class DataHandler:
         if cached is not None:
             self.rasterizer = None
             self.data = cached
+            self._cache_hit_hook()
         else:
             self.rasterizer = Rasterizer(
                 file_paths, features='all', target=target, shape=shape,
@@ -68,7 +69,14 @@ class DataHandler:
             if cache_kwargs is not None:
                 from sup3r_tpu.postprocessing.cachers import Cacher
 
-                Cacher(self.data, cache_kwargs)
+                to_cache = self.data
+                if hasattr(to_cache, 'members'):
+                    # paired (daily, hourly) handlers cache the hourly
+                    # member; the daily view is rebuilt on reload
+                    # (reference: derivers/test_deriver_caching.py:185)
+                    to_cache = to_cache.members.get(
+                        'hourly', list(to_cache.members.values())[-1])
+                Cacher(to_cache, cache_kwargs)
 
     def _check_cache(self, cache_kwargs, features):
         if not cache_kwargs or 'cache_pattern' not in cache_kwargs:
@@ -83,6 +91,10 @@ class DataHandler:
 
     def _deriver_hook(self):
         """Subclass hook after derivation (e.g. daily coarsening)."""
+
+    def _cache_hit_hook(self):
+        """Subclass hook after a cache reload (e.g. rebuilding the
+        daily view from the cached hourly data)."""
 
     # container API used by samplers / stats
     @property
@@ -115,6 +127,10 @@ class DailyDataHandler(DataHandler):
     """Produces a (daily, hourly) PairedDataset: hourly data trimmed to
     whole days + daily coarsening with min/max handling for temperature
     and RH extremes (reference: data_handlers/base.py:293-380)."""
+
+    def _cache_hit_hook(self):
+        """Cached data is the hourly member; rebuild the daily view."""
+        self._deriver_hook()
 
     def _deriver_hook(self):
         hourly = self.data

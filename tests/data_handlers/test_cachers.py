@@ -152,3 +152,49 @@ def test_data_handler_nc_cache_reload(tmp_path):
     np.testing.assert_allclose(np.asarray(dh2.data.data),
                                np.asarray(dh.data.data), rtol=1e-6)
     assert dh2.data.time_index.equals(dh.data.time_index)
+
+
+def test_derived_feature_caching_h5(tmp_path):
+    """DERIVED features (windspeed from u/v) cache to H5 and reload
+    without re-deriving (reference:
+    tests/derivers/test_deriver_caching.py:82-140)."""
+    from sup3r_tpu.preprocessing.data_handlers import DataHandler
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+
+    fp = make_fake_nc_file(str(tmp_path / 'wind.nc'), (7, 6, 10),
+                           ['u100', 'v100'])
+    pattern = str(tmp_path / 'cache_{feature}.h5')
+    dh = DataHandler(fp, features=['windspeed_100m'],
+                     cache_kwargs={'cache_pattern': pattern})
+    assert os.path.exists(pattern.format(feature='windspeed_100m'))
+    dh2 = DataHandler(fp, features=['windspeed_100m'],
+                      cache_kwargs={'cache_pattern': pattern})
+    assert dh2.rasterizer is None
+    np.testing.assert_allclose(np.asarray(dh2.data['windspeed_100m']),
+                               np.asarray(dh.data['windspeed_100m']),
+                               rtol=1e-5)
+
+
+def test_daily_dh_caching_roundtrip(tmp_path):
+    """DailyDataHandler caches/reloads through cache_kwargs (reference:
+    tests/derivers/test_deriver_caching.py:185-270)."""
+    from sup3r_tpu.preprocessing.data_handlers import (
+        DataHandlerH5WindCC,
+    )
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (6, 6, 48),
+                           ['temperature_2m'], value_range=(-10, 30))
+    pattern = str(tmp_path / 'cc_{feature}.h5')
+    dh = DataHandlerH5WindCC(fp, features=['temperature_2m'],
+                             cache_kwargs={'cache_pattern': pattern})
+    assert os.path.exists(pattern.format(feature='temperature_2m'))
+    dh2 = DataHandlerH5WindCC(fp, features=['temperature_2m'],
+                              cache_kwargs={'cache_pattern': pattern})
+    np.testing.assert_allclose(
+        np.asarray(dh2.hourly['temperature_2m']),
+        np.asarray(dh.hourly['temperature_2m']), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(dh2.daily['temperature_2m']),
+        np.asarray(dh.daily['temperature_2m']), atol=1e-2)
+    assert dh2.daily.time_index.equals(dh.daily.time_index)
