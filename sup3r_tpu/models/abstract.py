@@ -167,8 +167,9 @@ class AbstractInterface:
             if key in kwargs and kwargs[key] is not None:
                 self.meta[key] = kwargs[key]
         # record the concrete model class so multi-step loaders can
-        # dispatch (reference: abstract.py model_params['meta']['class'])
-        self.meta.setdefault('class', type(self).__name__)
+        # dispatch (reference: abstract.py model_params['meta']
+        # ['class']); save_params re-stamps it at save time
+        self.meta['class'] = type(self).__name__
         if hasattr(self, '_gen'):
             s_layers = self._gen.s_enhance
             t_layers = self._gen.t_enhance
@@ -195,6 +196,13 @@ class AbstractInterface:
         format: sup3r/models/interface.py:501)."""
         os.makedirs(out_dir, exist_ok=True)
         fp = os.path.join(out_dir, 'model_params.json')
+        # the CURRENT class always wins at save time so multi-step
+        # loaders dispatch correctly (reference records it in the meta
+        # property, sup3r/models/base.py:355) — a setdefault would
+        # keep a stale class from an imported meta
+        meta = getattr(self, 'meta', None)
+        if isinstance(meta, dict):
+            meta['class'] = type(self).__name__
         params = self.model_params
         params['version_record'] = self.version_record
         with open(fp, 'w') as f:

@@ -91,12 +91,14 @@ class Sup3rCondMom(AbstractSingleModel):
         def loss_fn(gen_params, lr, hr, output, mask):
             out = gen_apply(gen_params, lr, exo=split_exo(hr))
             if n_exo:
-                # append the true exo channels so out matches the
-                # queue's full-feature target/mask (the reference's
-                # _combine_loss_input semantics — exo channels
-                # contribute zero loss)
+                # append the TARGET's exo channels so out matches the
+                # queue's full-feature target/mask and the exo term is
+                # identically zero (reference _combine_loss_input pulls
+                # from hi_res_true=batch.output — for Mom2-style
+                # queues the target's exo channels are transformed, so
+                # pulling from hr would add a spurious loss term)
                 out = jnp.concatenate(
-                    [out, hr[..., out.shape[-1]:]], axis=-1)
+                    [out, output[..., out.shape[-1]:]], axis=-1)
             return loss_fun(out * mask, output * mask)
 
         def step(gen_params, gen_opt, lr, hr, output, mask):
@@ -106,6 +108,7 @@ class Sup3rCondMom(AbstractSingleModel):
             new_params = optax.apply_updates(gen_params, updates)
             return new_params, new_opt, {'loss_gen': loss}
 
+        self._loss_fn = loss_fn
         return jax.jit(step, donate_argnums=(0, 1))
 
     @property

@@ -157,12 +157,17 @@ def test_time_enhance_mode_changes_lr():
     assert not np.allclose(outs['constant'], outs['linear'])
 
 
-def test_train_conditional_with_topo_exo():
+@pytest.mark.parametrize('BatcherClass', [BatchHandlerMom1,
+                                          BatchHandlerMom2Sep])
+def test_train_conditional_with_topo_exo(BatcherClass):
     """Sup3rCondMom trains with a mid-network topography exo channel
-    (reference: tests/training/test_train_conditional_exo.py)."""
+    (reference: tests/training/test_train_conditional_exo.py).
+    Mom2Sep covers the transformed-exo-target case: the step loss must
+    pull exo channels from the TARGET, not raw hr, or a spurious loss
+    term appears (caught in review)."""
     features = ['u_100m', 'v_100m', 'topography']
     train = make_fake_dset((20, 20, 24), features)
-    handler = BatchHandlerMom1(
+    handler = BatcherClass(
         [train], batch_size=2, n_batches=2, s_enhance=2, t_enhance=1,
         sample_shape=(8, 8, 1),
         feature_sets={'hr_exo_features': ['topography']})
@@ -182,4 +187,24 @@ def test_train_conditional_with_topo_exo():
                 n_epoch=1, out_dir=None)
     assert model.hr_exo_features == ['topography']
     assert np.isfinite(model.history['train_loss_gen']).all()
+
+    # the jitted step loss must agree with calc_loss (reference
+    # semantics: exo term identically zero)
+    import jax.numpy as jnp
+
+    batch = next(iter(handler))
+    model._build_train_step()
+    step_loss = float(model._loss_fn(
+        model.gen_params, jnp.asarray(batch.low_res, jnp.float32),
+        jnp.asarray(batch.high_res, jnp.float32),
+        jnp.asarray(batch.output, jnp.float32),
+        jnp.asarray(batch.mask, jnp.float32)))
+    out_gen = model._gen.apply(
+        model.gen_params, jnp.asarray(batch.low_res, jnp.float32),
+        exo={'topography': jnp.asarray(
+            batch.high_res[..., 2:3], jnp.float32)})
+    ref_loss, _ = model.calc_loss(
+        jnp.asarray(batch.output, jnp.float32), out_gen,
+        jnp.asarray(batch.mask, jnp.float32))
+    np.testing.assert_allclose(step_loss, float(ref_loss), rtol=1e-5)
     handler.stop()

@@ -4,8 +4,6 @@ pipeline (DataHandlerH5SolarCC -> BatchHandlerCC with lr-only
 features), save/load class preservation, t_enhance expansion, and
 daylight-window loss behavior."""
 
-import os
-
 import numpy as np
 import pytest
 
