@@ -339,3 +339,59 @@ def test_gan_dc_with_exo(tmp_path):
     # DC weights were pushed to the samplers and are normalized
     w = handler._queue.samplers[0].spatial_weights
     assert w is not None and np.isclose(np.sum(w), 1.0, atol=1e-5)
+
+
+def test_surface_model_physics_exact():
+    """Topography deltas shift temperature by exactly -lapse*dh and
+    pressure by the barometric formula (reference:
+    tests/forward_pass/test_surface_model.py:51-108)."""
+    features = ['temperature_2m', 'pressure_0m']
+    model = SurfaceSpatialMetModel(features, s_enhance=2,
+                                   fix_bias=False)
+    lr = np.stack([
+        np.full((2, 6, 6), 20.0),
+        np.full((2, 6, 6), 101325.0),
+    ], axis=-1).astype(np.float32)
+    lr_topo = np.full((6, 6), 100.0, np.float32)
+    dh = 500.0
+    hr_topo = np.full((12, 12), 100.0 + dh, np.float32)
+    exo = {'topography': {'steps': [{'data': lr_topo},
+                                    {'data': hr_topo}]}}
+    out = model.generate(lr, exogenous_data=exo)
+    # temperature drops by the lapse rate times the elevation gain
+    np.testing.assert_allclose(
+        out[..., 0], 20.0 - model.TEMP_LAPSE * dh, atol=1e-3)
+    # barometric pressure correction: const * (1 - h/div)^exp ratio
+    p_lr = 101325.0 * (1 - 100.0 / model.PRES_DIV) ** model.PRES_EXP \
+        / (101325.0 * (1 - 0.0 / model.PRES_DIV) ** model.PRES_EXP)
+    expected_hr = out[..., 1][0, 0, 0]
+    assert expected_hr < 101325.0  # higher elevation -> lower pressure
+    # pressure strictly decreases with added elevation
+    hr_topo2 = np.full((12, 12), 100.0 + 2 * dh, np.float32)
+    out2 = model.generate(lr, exogenous_data={
+        'topography': {'steps': [{'data': lr_topo},
+                                 {'data': hr_topo2}]}})
+    assert out2[..., 1].mean() < out[..., 1].mean()
+    assert out2[..., 0].mean() < out[..., 0].mean()
+
+
+def test_surface_model_rh_regression():
+    """RH shifts follow the fitted (delta_temp, delta_topo) regression
+    weights (reference: test_surface_model.py:84-108)."""
+    features = ['temperature_2m', 'relativehumidity_2m']
+    model = SurfaceSpatialMetModel(features, s_enhance=2,
+                                   fix_bias=False)
+    lr = np.stack([
+        np.full((1, 6, 6), 15.0),
+        np.full((1, 6, 6), 60.0),
+    ], axis=-1).astype(np.float32)
+    lr_topo = np.zeros((6, 6), np.float32)
+    dh = 1000.0
+    hr_topo = np.full((12, 12), dh, np.float32)
+    out = model.generate(lr, exogenous_data={
+        'topography': {'steps': [{'data': lr_topo},
+                                 {'data': hr_topo}]}})
+    delta_temp = -model.TEMP_LAPSE * dh
+    expected_rh = (60.0 + model.W_DELTA_TEMP * delta_temp
+                   + model.W_DELTA_TOPO * dh)
+    np.testing.assert_allclose(out[..., 1], expected_rh, atol=0.5)
