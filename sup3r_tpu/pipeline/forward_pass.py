@@ -172,11 +172,14 @@ class ForwardPass:
                     f'({chan.flat[0]})! If this is intended pass '
                     'allowed_const including this value.')
 
-    def run_chunk(self, chunk, model_kwargs=None, model_class=None,
-                  allowed_const=False, output_handler=None,
-                  meta=None, output_workers=None):
+    def run_chunk(self, chunk, allowed_const=False):
         """Generate + check + write one chunk. Returns (failed,
-        output_or_none)."""
+        output_or_none).
+
+        Unlike the reference's classmethod (which rebuilds the model
+        from model_kwargs per call, forward_pass.py:440), this is an
+        instance method — the model and output handler live on the
+        ForwardPass, so no per-chunk construction arguments exist."""
         msg = f'Running forward pass for chunk_index={chunk.index}.'
         logger.info(msg)
         if np.isnan(chunk.input_data).any():
