@@ -132,7 +132,10 @@ class BiasCorrectUpdate:
     def update_file(cls, in_file, out_file, dset, bc_file,
                     global_scalar=1, max_workers=None):
         """Copy in_file to out_file with monthly factors applied to
-        ``dset`` (stored scaled ints handled transparently)."""
+        ``dset`` (stored scaled ints handled transparently).
+        ``max_workers`` is accepted for reference-config compatibility
+        — the monthly update here is one vectorized in-memory pass,
+        not the reference's per-month dask graph."""
         import shutil
 
         tmp = out_file + '.tmp'

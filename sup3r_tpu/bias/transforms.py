@@ -229,7 +229,9 @@ def local_qdm_bc(data, lat_lon, base_dset, feature_name, bias_fp,
                  delta_denom_min=None, delta_denom_zero=None,
                  delta_range=None, out_range=None, max_workers=1):
     """Quantile delta mapping using pre-calculated windowed empirical
-    CDFs (reference: bias_transforms.py:622)."""
+    CDFs (reference: bias_transforms.py:622). ``max_workers`` is
+    accepted for reference-config compatibility — the transform is one
+    vectorized pass over all gids, not rex's worker pool."""
     assert data.ndim == 3, f'Expected 3D data, got {data.shape}'
     time_index = make_time_index_from_kws(date_range_kwargs)
     assert data.shape[-1] == time_index.size, (
