@@ -215,11 +215,28 @@ def qa(ctx):
 def import_model(reference_dir, out_dir, lr_shape):
     """Convert a reference (NREL sup3r / phygnn TF) model checkpoint
     directory into a sup3r_tpu model directory usable by every
-    forward-pass/pipeline command."""
+    forward-pass/pipeline command. Multi-step bundles (a directory of
+    model_step_* / per-step subdirectories, as NREL releases them) are
+    converted step by step into matching subdirectories."""
     from sup3r_tpu.utilities.port import load_reference_gan
 
     shape = (tuple(int(x) for x in lr_shape.split(','))
              if lr_shape else None)
+    steps = sorted(
+        d for d in os.listdir(reference_dir)
+        if os.path.isfile(os.path.join(reference_dir, d,
+                                       'model_params.json')))
+    if steps and not os.path.isfile(
+            os.path.join(reference_dir, 'model_params.json')):
+        for step in steps:
+            model = load_reference_gan(
+                os.path.join(reference_dir, step), lr_shape=shape)
+            model.save(os.path.join(out_dir, step))
+            click.echo(f'Imported step {step} '
+                       f'({model.s_enhance}x/{model.t_enhance}x)')
+        click.echo(f'Imported {len(steps)}-step bundle '
+                   f'{reference_dir} -> {out_dir}')
+        return
     model = load_reference_gan(reference_dir, lr_shape=shape)
     model.save(out_dir)
     click.echo(f'Imported {reference_dir} -> {out_dir} '

@@ -225,3 +225,34 @@ def test_import_model_cli(source_model, tmp_path):
     np.testing.assert_allclose(loaded.generate(lr),
                                source_model.generate(lr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_import_model_cli_multistep_bundle(source_model, tmp_path):
+    """A bundle of per-step reference dirs converts step by step and
+    loads as a MultiStepGan."""
+    import shutil
+
+    from click.testing import CliRunner
+
+    from sup3r_tpu.cli import main
+    from sup3r_tpu.models import MultiStepGan
+
+    ref = _write_reference_dir(tmp_path, source_model)
+    bundle = tmp_path / 'bundle'
+    for step in ('model_step_0', 'model_step_1'):
+        shutil.copytree(ref, bundle / step)
+    out_dir = str(tmp_path / 'converted_bundle')
+    runner = CliRunner()
+    result = runner.invoke(main, ['import-model', str(bundle), out_dir,
+                                  '--lr-shape', '1,8,8,2'], obj={})
+    assert result.exit_code == 0, result.output
+    ms = MultiStepGan.load([os.path.join(out_dir, 'model_step_0'),
+                            os.path.join(out_dir, 'model_step_1')])
+    assert ms.s_enhance == 4
+    lr = np.random.default_rng(11).random((1, 8, 8, 2)).astype(
+        np.float32)
+    out = ms.generate(lr)
+    # the chain equals two manual source-model applications (the test
+    # generator isn't a clean 2x — convT VALID adds pixels)
+    manual = source_model.generate(source_model.generate(lr))
+    np.testing.assert_allclose(out, manual, rtol=1e-5, atol=1e-6)
