@@ -395,3 +395,39 @@ def test_surface_model_rh_regression():
     expected_rh = (60.0 + model.W_DELTA_TEMP * delta_temp
                    + model.W_DELTA_TOPO * dh)
     np.testing.assert_allclose(out[..., 1], expected_rh, atol=0.5)
+
+
+def test_linear_interp_values_spatial():
+    """Spatial linear interp matches a cell-centered 1D interpolation
+    oracle (reference: tests/forward_pass/test_linear_model.py:12-29)."""
+    from scipy.interpolate import interp1d
+
+    model = LinearInterp(['f'], s_enhance=2, t_enhance=1)
+    s_vals = RNG.uniform(0, 100, 3)
+    lr = np.broadcast_to(s_vals[None, :], (3, 3)).T.copy()
+    lr = lr[None, :, :, None, None].astype(np.float32)
+    lr = np.repeat(lr, 2, axis=3)
+    hr = model.generate(lr)
+    assert hr.shape == (1, 6, 6, 2, 1)
+    x = np.linspace(-0.25, 2.25, 6)
+    truth = interp1d(np.arange(3), s_vals,
+                     fill_value='extrapolate')(x)
+    np.testing.assert_allclose(hr[0, :, 0, 0, 0], truth, rtol=1e-5)
+
+
+def test_linear_interp_values_temporal():
+    """Temporal linear interp matches the centered 1D oracle
+    (reference: tests/forward_pass/test_linear_model.py:31-49)."""
+    from scipy.interpolate import interp1d
+
+    model = LinearInterp(['f'], s_enhance=1, t_enhance=3,
+                         t_centered=True)
+    t_vals = RNG.uniform(0, 100, 3)
+    lr = np.ones((1, 2, 2, 3, 1), np.float32) * t_vals[None, None,
+                                                       None, :, None]
+    hr = model.generate(lr)
+    assert hr.shape == (1, 2, 2, 9, 1)
+    x = np.linspace(-1 / 3, 2 + 1 / 3, 9)
+    truth = interp1d(np.arange(3), t_vals,
+                     fill_value='extrapolate')(x)
+    np.testing.assert_allclose(hr[0, 0, 0, :, 0], truth, rtol=1e-5)
