@@ -313,3 +313,41 @@ def test_curvilinear_flat_grid_reconstruction(tmp_path):
     np.testing.assert_allclose(
         r.data['windspeed_100m'][..., 0],
         vals[0][grid], atol=1e-6)
+
+
+@pytest.mark.parametrize('nan_method_kwargs', [
+    {'method': 'mask', 'dim': 'time'},
+    {'method': 'nearest', 'dim': 'time'},
+])
+def test_nan_handling_methods(tmp_path, nan_method_kwargs):
+    """NaN handling: 'mask' drops NaN timesteps, interpolation fills
+    them — output is NaN-free either way (reference:
+    tests/data_handlers/test_h5.py:24-60)."""
+    fp = make_fake_h5_file(str(tmp_path / 'csr.h5'), (8, 8, 12),
+                           ['clearsky_ratio'], scale_factor=1000.0,
+                           value_range=(0, 1))
+    import h5py
+
+    with h5py.File(fp, 'r+') as f:
+        packed = f['clearsky_ratio'][:]
+        packed[3, :] = 65535  # will read as a large value; make NaN via
+        f['clearsky_ratio'][...] = packed
+    dh_nan = DataHandler(fp, features=['clearsky_ratio'])
+    arr = np.asarray(dh_nan.data['clearsky_ratio'], dtype=np.float32)
+    # inject real NaNs by rewriting the handler input through a nc
+    from sup3r_tpu.preprocessing.derivers import Deriver
+    from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+    raw = Rasterizer(fp).data
+    vals = np.asarray(raw['clearsky_ratio'], np.float32).copy()
+    vals[:, :, 3] = np.nan
+    raw.data_vars['clearsky_ratio'] = vals
+    d = Deriver(raw, ['clearsky_ratio'],
+                nan_method_kwargs=nan_method_kwargs)
+    out = np.asarray(d.data['clearsky_ratio'])
+    assert not np.isnan(out).any()
+    if nan_method_kwargs['method'] == 'mask':
+        assert out.shape[-1] == 11  # NaN timestep dropped
+        assert len(d.data.time_index) == 11
+    else:
+        assert out.shape[-1] == 12  # filled, not dropped
