@@ -1,0 +1,93 @@
+"""Forward passes driven by composite input handlers (mirrors
+reference tests/forward_pass/test_forward_pass.py:40-300):
+DataHandlerNCforCC inputs (GCM + NSRDB clearsky regrid) and
+input-cache write/reload through the strategy."""
+
+import numpy as np
+import pytest
+
+from sup3r_tpu.models import Sup3rGan
+from sup3r_tpu.pipeline import ForwardPass, ForwardPassStrategy
+from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+from tests.solar_qa.test_solar_qa import _make_fake_nsrdb
+
+
+def _csr_model(tmp_path):
+    gen = [
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'Conv3D', 'filters': 1, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    disc = [{'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc)
+    model.meta.update(
+        lr_features=['clearsky_ratio'],
+        hr_out_features=['clearsky_ratio'],
+        s_enhance=2, t_enhance=1,
+        input_resolution={'spatial': '100km', 'temporal': '1440min'})
+    model.set_norm_stats({'clearsky_ratio': 0.5},
+                         {'clearsky_ratio': 0.2})
+    model.init_weights((1, 4, 4, 2, 1), (1, 8, 8, 2, 1))
+    d = str(tmp_path / 'csr_model')
+    model.save(d)
+    return d
+
+
+def test_fwp_nc_cc_input_handler(tmp_path):
+    """The sup3rcc production input path: GCM rsds + NSRDB clearsky
+    regrid inside the strategy via input_handler_name
+    ='DataHandlerNCforCC' (reference: test_forward_pass.py:40-96)."""
+    gcm_fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (8, 8, 4),
+                               ['rsds'], freq='D')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (12, 12, 96), start='2023-01-01')
+    mdir = _csr_model(tmp_path)
+    strategy = ForwardPassStrategy(
+        file_paths=gcm_fp, model_class='Sup3rGan',
+        model_kwargs={'model_dir': mdir},
+        input_handler_name='DataHandlerNCforCC',
+        input_handler_kwargs={'nsrdb_source_fp': nsrdb_fp},
+        fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=0,
+        out_pattern=None)
+    assert 'clearsky_ratio' in strategy.input_handler.data.features
+    out = ForwardPass.run(strategy, 0)
+    arr = next(iter(out.values()))
+    assert arr.shape == (16, 16, 4, 1)
+    assert np.isfinite(arr).all()
+
+
+def test_fwp_input_cache_reload(tmp_path):
+    """cache_kwargs in input_handler_kwargs: the first strategy writes
+    the derived-input cache, the second reloads it (no rasterize pass)
+    and produces identical outputs (reference:
+    test_forward_pass.py:253-300)."""
+    gcm_fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (8, 8, 4),
+                               ['rsds'], freq='D')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (12, 12, 96), start='2023-01-01')
+    mdir = _csr_model(tmp_path)
+    cache_pattern = str(tmp_path / 'cache_{feature}.h5')
+    kwargs = dict(
+        file_paths=gcm_fp, model_class='Sup3rGan',
+        model_kwargs={'model_dir': mdir},
+        input_handler_name='DataHandlerNCforCC',
+        input_handler_kwargs={
+            'nsrdb_source_fp': nsrdb_fp,
+            'cache_kwargs': {'cache_pattern': cache_pattern}},
+        fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=0,
+        out_pattern=None)
+    s1 = ForwardPassStrategy(**kwargs)
+    out1 = next(iter(ForwardPass.run(s1, 0).values()))
+    import os
+
+    assert os.path.exists(
+        cache_pattern.format(feature='clearsky_ratio'))
+    s2 = ForwardPassStrategy(**kwargs)
+    assert s2.input_handler.rasterizer is None  # cache hit
+    out2 = next(iter(ForwardPass.run(s2, 0).values()))
+    np.testing.assert_allclose(out2, out1, rtol=1e-5, atol=1e-5)
