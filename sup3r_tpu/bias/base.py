@@ -20,6 +20,37 @@ from sup3r_tpu.preprocessing.loaders import LoaderH5
 logger = logging.getLogger(__name__)
 
 
+class _FlatNCBase:
+    """Adapter exposing a gridded NC dataset through the flattened
+    (gid-indexed) base-loader API the bias calculators use — lets NC
+    files serve as the baseline 'observations' (reference:
+    tests/bias/test_bias_correction.py:662 test_nc_base_file)."""
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._dset = loader.data
+
+    @property
+    def lat_lon_flat(self):
+        return self._dset.lat_lon.reshape(-1, 2)
+
+    @property
+    def time_index(self):
+        return self._dset.time_index
+
+    def get(self, dset, time_slice=slice(None), gids=None):
+        """(t, sites) block for flattened gid indexing."""
+        arr = np.asarray(self._dset[dset], dtype=np.float32)
+        flat = arr.reshape(-1, arr.shape[-1]).T
+        flat = flat[time_slice]
+        return flat if gids is None else flat[:, gids]
+
+    def close(self):
+        close = getattr(self._loader, 'close', None)
+        if close:
+            close()
+
+
 class DataRetrievalBase:
     """Load + spatially pair (base observations, biased model) data."""
 
@@ -60,6 +91,9 @@ class DataRetrievalBase:
             base_handler = resolved
         self.base_loader = base_handler(base_fps,
                                         **(base_handler_kwargs or {}))
+        if not hasattr(self.base_loader, 'lat_lon_flat'):
+            # gridded NC baseline: expose it through the flat gid API
+            self.base_loader = _FlatNCBase(self.base_loader)
         self._map_base_gids(distance_upper_bound)
 
     def _map_base_gids(self, distance_upper_bound=None):

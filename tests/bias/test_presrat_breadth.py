@@ -242,3 +242,50 @@ def test_match_zero_rate_linear_correction(tmp_path):
     a, b = out_plain[k], out_zr[k]
     finite = np.isfinite(a) & np.isfinite(b)
     assert not np.allclose(a[finite], b[finite])
+
+
+def test_nc_base_file(tmp_path):
+    """Gridded NC files serve as the baseline 'observations' via the
+    flat-API adapter (reference:
+    tests/bias/test_bias_correction.py:662-710)."""
+    from sup3r_tpu.bias import ScalarCorrection
+
+    base_fp = make_fake_nc_file(
+        str(tmp_path / 'base.nc'), (12, 12, 200), ['u_100m'],
+        freq='D', lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'bias.nc'), (6, 6, 200), ['u_100m'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    calc = ScalarCorrection(base_fp, bias_fp, 'u_100m', 'u_100m',
+                            base_handler='LoaderNC')
+    out = calc.run(fill_extend=True, daily_reduction=None)
+    key = 'u_100m_scalar'
+    assert key in out
+    assert np.isfinite(out[key]).all()
+    assert out[key].shape[:2] == (6, 6)
+    assert (out[key] > 0).all()
+
+
+def test_fill_and_smooth_semantics(tmp_path):
+    """fill_extend fills NaN gids from neighbors; smooth_interior
+    relaxes inland variance (reference:
+    tests/bias/test_bias_correction.py:38-95)."""
+    from sup3r_tpu.bias.bias_calc import FillAndSmoothMixin
+
+    class _T(FillAndSmoothMixin):
+        pass
+
+    rng = np.random.default_rng(0)
+    arr = rng.random((8, 8, 1)).astype(np.float32)
+    arr[2:4, 2:4, :] = np.nan
+    filled = _T().fill_and_smooth({'k': arr.copy()},
+                                  fill_extend=True)['k']
+    assert not np.isnan(filled).any()
+    # untouched entries preserved
+    keep = ~np.isnan(arr)
+    np.testing.assert_allclose(filled[keep], arr[keep])
+
+    smoothed = _T().fill_and_smooth(
+        {'k': arr.copy()}, fill_extend=True, smooth_interior=1.0)['k']
+    assert not np.isnan(smoothed).any()
+    assert smoothed[:, :, 0].var() < filled[:, :, 0].var()
