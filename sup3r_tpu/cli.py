@@ -20,17 +20,21 @@ from sup3r_tpu.utilities.cli import BaseCLI, Status, load_config
 logger = logging.getLogger(__name__)
 
 
-def _node_cmd(module, config, node_index, run_dir):
+def _node_cmd(module, config, node_index, run_dir,
+              status_module=None):
     """python -c command running one node of a module, reading its
     config from a file (robust to shell quoting; analogous to the
     reference's get_node_cmd strings, reference:
-    sup3r/pipeline/forward_pass.py:339-382)."""
+    sup3r/pipeline/forward_pass.py:339-382). ``status_module``
+    disambiguates node-config file names when the same module appears
+    multiple times in one pipeline."""
     cfg = dict(config)
     cfg['node_index'] = node_index
     cfg.pop('execution_control', None)
     cfg.pop('run_dir', None)
     os.makedirs(run_dir, exist_ok=True)
-    cfg_fp = os.path.join(run_dir, f'.{module}_node{node_index}.json')
+    cfg_fp = os.path.join(
+        run_dir, f'.{status_module or module}_node{node_index}.json')
     with open(cfg_fp, 'w') as f:
         json.dump(cfg, f)
     runners = {
@@ -86,6 +90,13 @@ def main(ctx, config_file, verbose):
     logging.basicConfig(level=level)
 
 
+def _status_module(ctx, default):
+    """Status-store key for this command invocation — the pipeline
+    runner overrides it when a module appears more than once so two
+    forward-pass steps don't collide in .status.json."""
+    return (ctx.obj or {}).get('STATUS_MODULE', default)
+
+
 def _get_config(ctx):
     config_file = ctx.obj.get('CONFIG_FILE')
     if config_file is None:
@@ -131,9 +142,10 @@ def forward_pass(ctx):
         strategy = ForwardPassStrategy(
             **{**run_cfg, 'head_node': True})
         n_nodes = len(strategy.node_chunks)
-    cmds = [_node_cmd('forward-pass', run_cfg, i,
-                      config['run_dir']) for i in range(n_nodes)]
-    codes = BaseCLI.kickoff_jobs('forward-pass', cmds, config)
+    module = _status_module(ctx, 'forward-pass')
+    cmds = [_node_cmd('forward-pass', run_cfg, i, config['run_dir'],
+                      status_module=module) for i in range(n_nodes)]
+    codes = BaseCLI.kickoff_jobs(module, cmds, config)
     if any(codes):
         raise click.ClickException('Some forward-pass jobs failed')
 
@@ -145,8 +157,10 @@ def solar(ctx):
     config = _get_config(ctx)
     run_cfg = {k: v for k, v in config.items()
                if k not in ('execution_control', 'run_dir')}
-    cmds = [_node_cmd('solar', run_cfg, 0, config['run_dir'])]
-    codes = BaseCLI.kickoff_jobs('solar', cmds, config)
+    module = _status_module(ctx, 'solar')
+    cmds = [_node_cmd('solar', run_cfg, 0, config['run_dir'],
+                      status_module=module)]
+    codes = BaseCLI.kickoff_jobs(module, cmds, config)
     if any(codes):
         raise click.ClickException('Solar job failed')
 
@@ -160,21 +174,22 @@ def bias_calc(ctx):
 
     config = _get_config(ctx)
     status = Status(config['run_dir'])
+    module = _status_module(ctx, 'bias-calc')
     for i, job in enumerate(config['jobs']):
         job = dict(job)
         cls_name = job.pop('bias_calc_class')
         fp_out = job.pop('fp_out', None)
         run_kwargs = job.pop('run_kwargs', {})
         cls = getattr(bias_mod, cls_name)
-        status.update('bias-calc', f'bias_calc_{i}',
+        status.update(module, f'bias_calc_{i}',
                       job_status='running')
         try:
             calc = cls(**job)
             calc.run(fp_out=fp_out, **run_kwargs)
-            status.update('bias-calc', f'bias_calc_{i}',
+            status.update(module, f'bias_calc_{i}',
                           job_status='successful')
         except Exception as e:
-            status.update('bias-calc', f'bias_calc_{i}',
+            status.update(module, f'bias_calc_{i}',
                           job_status='failed', error=str(e))
             raise
 
@@ -186,9 +201,10 @@ def data_collect(ctx):
     config = _get_config(ctx)
     run_cfg = {k: v for k, v in config.items()
                if k not in ('execution_control', 'run_dir')}
-    cmds = [_node_cmd('data-collect', run_cfg, 0,
-                      config['run_dir'])]
-    codes = BaseCLI.kickoff_jobs('data-collect', cmds, config)
+    module = _status_module(ctx, 'data-collect')
+    cmds = [_node_cmd('data-collect', run_cfg, 0, config['run_dir'],
+                      status_module=module)]
+    codes = BaseCLI.kickoff_jobs(module, cmds, config)
     if any(codes):
         raise click.ClickException('Collection failed')
 
@@ -200,8 +216,10 @@ def qa(ctx):
     config = _get_config(ctx)
     run_cfg = {k: v for k, v in config.items()
                if k not in ('execution_control', 'run_dir')}
-    cmds = [_node_cmd('qa', run_cfg, 0, config['run_dir'])]
-    codes = BaseCLI.kickoff_jobs('qa', cmds, config)
+    module = _status_module(ctx, 'qa')
+    cmds = [_node_cmd('qa', run_cfg, 0, config['run_dir'],
+                      status_module=module)]
+    codes = BaseCLI.kickoff_jobs(module, cmds, config)
     if any(codes):
         raise click.ClickException('QA failed')
 
@@ -304,17 +322,25 @@ def pipeline(ctx, monitor, cancel):
         'qa': qa,
     }
     poll_interval = float(config.get('poll_interval', 10))
-    for step in steps:
+    # repeated module names (e.g. two forward-pass steps, the
+    # sup3rwind chain pattern) get indexed status keys so their jobs
+    # don't collide in .status.json
+    names = [next(iter(step)) for step in steps]
+    step_keys = [
+        m if names.count(m) == 1 else f'{m}-{i}'
+        for i, m in enumerate(names)]
+    for step, skey in zip(steps, step_keys):
         (module, step_config_file), = step.items()
-        status.poll(module)  # pick up finished SLURM jobs first
-        if status.module_successful(module):
+        status.poll(skey)  # pick up finished SLURM jobs first
+        if status.module_successful(skey):
             logger.info('Pipeline step "%s" already successful.',
-                        module)
+                        skey)
             continue
-        logger.info('Running pipeline step "%s"', module)
-        status.clear_failed(module)  # retry failed jobs of this step
+        logger.info('Running pipeline step "%s"', skey)
+        status.clear_failed(skey)  # retry failed jobs of this step
         step_ctx = click.Context(commands[module],
-                                 obj={'CONFIG_FILE': os.path.join(
+                                 obj={'STATUS_MODULE': skey,
+                                      'CONFIG_FILE': os.path.join(
                                      run_dir, step_config_file)
                                      if not os.path.isabs(
                                          step_config_file)
@@ -326,10 +352,10 @@ def pipeline(ctx, monitor, cancel):
             # setup failures (bad config, missing model dir) happen
             # before any node job records status — record them so
             # `.status.json` always explains why the pipeline stopped
-            status.update(module, f'{module}_setup',
+            status.update(skey, f'{skey}_setup',
                           job_status='failed', stderr=str(e)[-2000:])
             raise click.ClickException(
-                f'Pipeline step "{module}" failed during setup: '
+                f'Pipeline step "{skey}" failed during setup: '
                 f'{e}') from e
         if not monitor:
             break
@@ -337,19 +363,19 @@ def pipeline(ctx, monitor, cancel):
         # next step only starts on success (reference: gaps Pipeline
         # monitoring, sup3r/utilities/cli.py:214-267)
         while True:
-            status.poll(module)
-            if status.module_successful(module):
+            status.poll(skey)
+            if status.module_successful(skey):
                 break
-            if status.module_failed(module):
+            if status.module_failed(skey):
                 raise click.ClickException(
-                    f'Pipeline step "{module}" failed; see '
+                    f'Pipeline step "{skey}" failed; see '
                     f'{status.fp}')
             pending = any(
                 j.get('job_status') in ('submitted', 'running')
-                for j in status.read().get(module, {}).values())
+                for j in status.read().get(skey, {}).values())
             if not pending:
                 raise click.ClickException(
-                    f'Pipeline step "{module}" did not complete; see '
+                    f'Pipeline step "{skey}" did not complete; see '
                     f'{status.fp}')
             time.sleep(poll_interval)
 

@@ -139,3 +139,33 @@ def test_batch_runs_permutation_projects(project):
         assert collected.exists(), f'missing output in {d}'
         with h5py.File(collected, 'r') as f:
             assert f['windspeed_100m'].shape == (4, 400)
+
+
+def test_multiple_fwp_steps_in_one_pipeline(project):
+    """Two forward-pass steps in one pipeline (the sup3rwind chain
+    pattern) run independently: indexed status keys prevent the
+    second step from being skipped as 'already successful' (reference:
+    tests/pipeline/test_pipeline.py:384)."""
+    tmp_path, input_file, model_dir, out_pattern, fwp_cfg = project
+    cfg1 = dict(fwp_cfg,
+                out_pattern=str(tmp_path / 'o1' / 'c_{file_id}.h5'))
+    cfg2 = dict(fwp_cfg,
+                out_pattern=str(tmp_path / 'o2' / 'c_{file_id}.h5'))
+    _write(tmp_path / 'config_fwp1.json', cfg1)
+    _write(tmp_path / 'config_fwp2.json', cfg2)
+    pipe_fp = _write(tmp_path / 'config_pipeline.json', {'pipeline': [
+        {'forward-pass': 'config_fwp1.json'},
+        {'forward-pass': 'config_fwp2.json'}]})
+
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--monitor'], obj={})
+    assert result.exit_code == 0, result.output
+    assert list((tmp_path / 'o1').glob('*.h5'))
+    assert list((tmp_path / 'o2').glob('*.h5'))
+    status = Status(str(tmp_path)).read()
+    assert 'forward-pass-0' in status
+    assert 'forward-pass-1' in status
+    for key in ('forward-pass-0', 'forward-pass-1'):
+        assert all(j['job_status'] == 'successful'
+                   for j in status[key].values())
