@@ -6,6 +6,7 @@ JSON configs with an execution_control block).
 """
 
 import contextlib
+import hashlib
 import itertools
 import json
 import logging
@@ -90,6 +91,14 @@ def main(ctx, config_file, verbose):
     logging.basicConfig(level=level)
 
 
+def _cfg_tag(run_cfg):
+    """Stable short hash of a run config — job names carry it so two
+    different configs sharing a run_dir never skip each other's jobs
+    through the already-successful check."""
+    blob = json.dumps(run_cfg, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()[:6]
+
+
 def _status_module(ctx, default):
     """Status-store key for this command invocation — the pipeline
     runner overrides it when a module appears more than once so two
@@ -145,7 +154,8 @@ def forward_pass(ctx):
     module = _status_module(ctx, 'forward-pass')
     cmds = [_node_cmd('forward-pass', run_cfg, i, config['run_dir'],
                       status_module=module) for i in range(n_nodes)]
-    codes = BaseCLI.kickoff_jobs(module, cmds, config)
+    codes = BaseCLI.kickoff_jobs(module, cmds, config,
+                                 job_tag=_cfg_tag(run_cfg))
     if any(codes):
         raise click.ClickException('Some forward-pass jobs failed')
 
@@ -160,7 +170,8 @@ def solar(ctx):
     module = _status_module(ctx, 'solar')
     cmds = [_node_cmd('solar', run_cfg, 0, config['run_dir'],
                       status_module=module)]
-    codes = BaseCLI.kickoff_jobs(module, cmds, config)
+    codes = BaseCLI.kickoff_jobs(module, cmds, config,
+                                 job_tag=_cfg_tag(run_cfg))
     if any(codes):
         raise click.ClickException('Solar job failed')
 
@@ -204,7 +215,8 @@ def data_collect(ctx):
     module = _status_module(ctx, 'data-collect')
     cmds = [_node_cmd('data-collect', run_cfg, 0, config['run_dir'],
                       status_module=module)]
-    codes = BaseCLI.kickoff_jobs(module, cmds, config)
+    codes = BaseCLI.kickoff_jobs(module, cmds, config,
+                                 job_tag=_cfg_tag(run_cfg))
     if any(codes):
         raise click.ClickException('Collection failed')
 
@@ -219,7 +231,8 @@ def qa(ctx):
     module = _status_module(ctx, 'qa')
     cmds = [_node_cmd('qa', run_cfg, 0, config['run_dir'],
                       status_module=module)]
-    codes = BaseCLI.kickoff_jobs(module, cmds, config)
+    codes = BaseCLI.kickoff_jobs(module, cmds, config,
+                                 job_tag=_cfg_tag(run_cfg))
     if any(codes):
         raise click.ClickException('QA failed')
 

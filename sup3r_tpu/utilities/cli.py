@@ -239,15 +239,19 @@ class BaseCLI:
         return rc
 
     @classmethod
-    def kickoff_jobs(cls, module, cmds, config):
-        """Dispatch one command per node by execution_control."""
+    def kickoff_jobs(cls, module, cmds, config, job_tag=None):
+        """Dispatch one command per node by execution_control.
+        ``job_tag`` (e.g. a config hash) disambiguates job names so
+        two DIFFERENT configs sharing a run_dir never skip each
+        other's work via the already-successful check."""
         run_dir = config.get('run_dir', './')
         exec_ctrl = config.get('execution_control',
                                {'option': 'local'})
         option = exec_ctrl.get('option', 'local')
         codes = []
         for i, cmd in enumerate(cmds):
-            job_name = f'{module}_{i}'
+            job_name = (f'{module}_{job_tag}_{i}' if job_tag
+                        else f'{module}_{i}')
             if option == 'local':
                 codes.append(cls.run_local(cmd, module, job_name,
                                            run_dir))

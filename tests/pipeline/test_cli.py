@@ -184,3 +184,50 @@ def test_cli_qa(fwp_setup):
     result = runner.invoke(main, ['-c', qa_fp, 'qa'], obj={})
     assert result.exit_code == 0, result.output
     assert os.path.exists(qa_cfg['qa_fp'])
+
+
+def test_cli_fwp_with_bias_correction(tmp_path):
+    """CLI forward-pass with bias_correct_method/kwargs in the config
+    (reference: tests/pipeline/test_cli.py:195-290): corrected outputs
+    differ from uncorrected by the configured scalar."""
+    import numpy as np
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (10, 10, 4), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,
+                               is_5d=False)
+
+    def run(tag, **extra):
+        out_pattern = str(tmp_path / tag / 'chunk_{file_id}.h5')
+        cfg = {
+            'file_paths': input_file,
+            'model_kwargs': {'model_dir': model_dir},
+            'model_class': 'Sup3rGan',
+            'fwp_chunk_shape': [10, 10, 4],
+            'spatial_pad': 0, 'temporal_pad': 0,
+            'out_pattern': out_pattern,
+            'execution_control': {'option': 'local'},
+            **extra,
+        }
+        fp = str(tmp_path / f'config_{tag}.json')
+        with open(fp, 'w') as f:
+            json.dump(cfg, f)
+        runner = CliRunner()
+        result = runner.invoke(main, ['-c', fp, 'forward-pass'],
+                               obj={})
+        assert result.exit_code == 0, result.output
+        return sorted((tmp_path / tag).glob('*.h5'))[0]
+
+    plain_fp = run('plain')
+    bc_fp = run('bc', bias_correct_method='global_linear_bc',
+                bias_correct_kwargs={
+                    'u_100m': {'scalar': 1.0, 'adder': 5.0},
+                    'v_100m': {'scalar': 1.0, 'adder': 5.0}})
+    with h5py.File(plain_fp, 'r') as f1, h5py.File(bc_fp, 'r') as f2:
+        ws1 = f1['windspeed_100m'][:] / f1['windspeed_100m'].attrs[
+            'scale_factor']
+        ws2 = f2['windspeed_100m'][:] / f2['windspeed_100m'].attrs[
+            'scale_factor']
+    assert not np.allclose(ws1, ws2)
+    # +5 m/s on both components raises mean windspeed
+    assert ws2.mean() > ws1.mean()
