@@ -21,6 +21,14 @@ from sup3r_tpu.utilities.cli import BaseCLI, Status, load_config
 logger = logging.getLogger(__name__)
 
 
+def _cfg_tag(run_cfg):
+    """Stable short hash of a run config — job names carry it so two
+    different configs sharing a run_dir never skip each other's jobs
+    through the already-successful check."""
+    blob = json.dumps(run_cfg, sort_keys=True, default=str)
+    return hashlib.md5(blob.encode()).hexdigest()[:6]
+
+
 def _node_cmd(module, config, node_index, run_dir,
               status_module=None):
     """python -c command running one node of a module, reading its
@@ -34,8 +42,9 @@ def _node_cmd(module, config, node_index, run_dir,
     cfg.pop('execution_control', None)
     cfg.pop('run_dir', None)
     os.makedirs(run_dir, exist_ok=True)
+    name = (status_module or module).replace('#', '-')
     cfg_fp = os.path.join(
-        run_dir, f'.{status_module or module}_node{node_index}.json')
+        run_dir, f'.{name}_{_cfg_tag(config)}_node{node_index}.json')
     with open(cfg_fp, 'w') as f:
         json.dump(cfg, f)
     runners = {
@@ -89,14 +98,6 @@ def main(ctx, config_file, verbose):
     ctx.obj['CONFIG_FILE'] = config_file
     level = logging.DEBUG if verbose else logging.INFO
     logging.basicConfig(level=level)
-
-
-def _cfg_tag(run_cfg):
-    """Stable short hash of a run config — job names carry it so two
-    different configs sharing a run_dir never skip each other's jobs
-    through the already-successful check."""
-    blob = json.dumps(run_cfg, sort_keys=True, default=str)
-    return hashlib.md5(blob.encode()).hexdigest()[:6]
 
 
 def _status_module(ctx, default):
@@ -335,13 +336,21 @@ def pipeline(ctx, monitor, cancel):
         'qa': qa,
     }
     poll_interval = float(config.get('poll_interval', 10))
-    # repeated module names (e.g. two forward-pass steps, the
-    # sup3rwind chain pattern) get indexed status keys so their jobs
-    # don't collide in .status.json
-    names = [next(iter(step)) for step in steps]
-    step_keys = [
-        m if names.count(m) == 1 else f'{m}-{i}'
-        for i, m in enumerate(names)]
+    # step identity = module + config hash: repeated modules (the
+    # sup3rwind two-fwp chain), edited configs, and reordered steps
+    # all resolve to the right skip/rerun behavior — identical
+    # (module, config) pairs genuinely ARE the same work
+    def _step_key(step):
+        (module, cfg_file), = step.items()
+        fp = (cfg_file if os.path.isabs(cfg_file)
+              else os.path.join(run_dir, cfg_file))
+        try:
+            tag = _cfg_tag(load_config(fp))
+        except FileNotFoundError:
+            tag = _cfg_tag({'file': cfg_file})
+        return f'{module}#{tag}'
+
+    step_keys = [_step_key(step) for step in steps]
     for step, skey in zip(steps, step_keys):
         (module, step_config_file), = step.items()
         status.poll(skey)  # pick up finished SLURM jobs first

@@ -190,8 +190,6 @@ def test_cli_fwp_with_bias_correction(tmp_path):
     """CLI forward-pass with bias_correct_method/kwargs in the config
     (reference: tests/pipeline/test_cli.py:195-290): corrected outputs
     differ from uncorrected by the configured scalar."""
-    import numpy as np
-
     input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
                                    (10, 10, 4), ['u100', 'v100'])
     model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,

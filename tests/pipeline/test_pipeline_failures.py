@@ -68,9 +68,10 @@ def test_failing_step_blocks_pipeline(project):
     assert result.exit_code != 0
     assert not os.path.exists(out_file)
     status = Status(str(tmp_path)).read()
-    fwp_jobs = status.get('forward-pass', {})
-    assert fwp_jobs, 'failed step must still be recorded'
-    assert any(j['job_status'] == 'failed' for j in fwp_jobs.values())
+    fwp_keys = [k for k in status if k.startswith('forward-pass')]
+    assert fwp_keys, 'failed step must still be recorded'
+    assert any(j['job_status'] == 'failed'
+               for k in fwp_keys for j in status[k].values())
 
 
 def test_pipeline_resumes_after_fix(project):
@@ -99,12 +100,13 @@ def test_pipeline_resumes_after_fix(project):
                                   '--monitor'], obj={})
     assert second.exit_code == 0, second.output
     assert os.path.exists(out_file)
-    status = Status(str(tmp_path)).read()
-    assert status.module_successful('forward-pass') if hasattr(
-        status, 'module_successful') else True
     st = Status(str(tmp_path))
-    assert st.module_successful('forward-pass')
-    assert st.module_successful('data-collect')
+    data = st.read()
+    ok_fwp = [k for k in data if k.startswith('forward-pass')
+              and st.module_successful(k)]
+    ok_col = [k for k in data if k.startswith('data-collect')
+              and st.module_successful(k)]
+    assert ok_fwp and ok_col
 
 
 def test_batch_runs_permutation_projects(project):
@@ -164,8 +166,42 @@ def test_multiple_fwp_steps_in_one_pipeline(project):
     assert list((tmp_path / 'o1').glob('*.h5'))
     assert list((tmp_path / 'o2').glob('*.h5'))
     status = Status(str(tmp_path)).read()
-    assert 'forward-pass-0' in status
-    assert 'forward-pass-1' in status
-    for key in ('forward-pass-0', 'forward-pass-1'):
+    fwp_keys = [k for k in status if k.startswith('forward-pass#')]
+    assert len(fwp_keys) == 2, status.keys()
+    for key in fwp_keys:
         assert all(j['job_status'] == 'successful'
                    for j in status[key].values())
+
+
+def test_edited_config_reruns_step(project):
+    """Changing a step's config changes its identity: the edited step
+    re-runs instead of being skipped as 'already successful' (caught
+    in review — step keys are config-derived)."""
+    tmp_path, input_file, model_dir, out_pattern, fwp_cfg = project
+    _write(tmp_path / 'config_fwp.json', fwp_cfg)
+    pipe_fp = _write(tmp_path / 'config_pipeline.json', {'pipeline': [
+        {'forward-pass': 'config_fwp.json'}]})
+    runner = CliRunner()
+    first = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                 '--monitor'], obj={})
+    assert first.exit_code == 0, first.output
+    assert len(list((tmp_path / 'out').glob('*.h5'))) == 1
+
+    # edit the config: new out_pattern -> new work
+    cfg2 = dict(fwp_cfg,
+                out_pattern=str(tmp_path / 'out2' / 'c_{file_id}.h5'))
+    _write(tmp_path / 'config_fwp.json', cfg2)
+    second = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--monitor'], obj={})
+    assert second.exit_code == 0, second.output
+    assert list((tmp_path / 'out2').glob('*.h5')), \
+        'edited step must re-run, not be skipped'
+
+    # unchanged config on a third run IS skipped (outputs untouched)
+    mtimes = {f: f.stat().st_mtime
+              for f in (tmp_path / 'out2').glob('*.h5')}
+    third = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                 '--monitor'], obj={})
+    assert third.exit_code == 0
+    for f, t in mtimes.items():
+        assert f.stat().st_mtime == t
