@@ -195,3 +195,46 @@ def test_bilinear_resize_shape():
     arr = RNG.random((4, 4, 3))
     out = bilinear_resize(arr, 8, 8)
     assert out.shape == (8, 8, 3)
+
+
+def test_solar_zenith_physical_sanity():
+    """Solar zenith physics: minimum near local solar noon, >90 at
+    night, seasonal symmetry about the equator at the equinox."""
+    import pandas as pd
+
+    from sup3r_tpu.ops.solar_pos import solar_zenith
+
+    # Denver-ish in June: UTC noon-ish minimum around 19:00 UTC
+    ti = pd.date_range('2023-06-21', periods=24, freq='h')
+    ll = np.array([[[39.7, -105.0]]])
+    sza = solar_zenith(ti, ll)[0, 0]
+    assert sza.shape == (24,)
+    assert 17 <= int(np.argmin(sza)) <= 21  # local solar noon ~19 UTC
+    assert sza.min() < 20  # near-summer-solstice midday sun is high
+    assert sza.max() > 90  # night exists
+    # equinox symmetry: +40 and -40 latitude see the same noon zenith
+    ti_eq = pd.date_range('2023-03-20 12:00', periods=1, freq='h')
+    n = solar_zenith(ti_eq, np.array([[[40.0, 0.0]]]))[0, 0, 0]
+    s = solar_zenith(ti_eq, np.array([[[-40.0, 0.0]]]))[0, 0, 0]
+    np.testing.assert_allclose(n, s, atol=1.0)
+    # and the equator sees the sun nearly overhead
+    e = solar_zenith(ti_eq, np.array([[[0.0, 0.0]]]))[0, 0, 0]
+    assert e < 5
+
+
+def test_wind_transform_meridian_consistency():
+    """(ws, wd) -> (u, v) -> (ws, wd) roundtrips on grids crossing the
+    180-degree meridian."""
+    from sup3r_tpu.ops import invert_uv, transform_rotate_wind
+
+    lat = np.linspace(60, 59, 4)
+    lon = ((178.0 + np.arange(4) * 1.2 + 180) % 360) - 180
+    ll = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    rng = np.random.default_rng(0)
+    ws = (5 + 10 * rng.random((4, 4, 3))).astype(np.float32)
+    wd = (360 * rng.random((4, 4, 3))).astype(np.float32)
+    u, v = transform_rotate_wind(ws, wd, ll)
+    ws2, wd2 = invert_uv(u, v, ll)
+    np.testing.assert_allclose(ws2, ws, atol=0.05)
+    dd = np.abs(((wd2 - wd) + 180) % 360 - 180)
+    assert dd.max() < 1.0
