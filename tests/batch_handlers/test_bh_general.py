@@ -117,3 +117,28 @@ def test_temporal_coarsening_methods_in_queue(method):
     expected = temporal_coarsening(hr, 4, method)
     np.testing.assert_allclose(np.asarray(batch.low_res), expected,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_multi_container_sampling_proportional_to_size():
+    """The queue draws from containers proportional to data size
+    (reference: collections/base.py:53 container_weights)."""
+    from sup3r_tpu.preprocessing.batch_queues import SingleBatchQueue
+    from sup3r_tpu.preprocessing.samplers import Sampler
+
+    small = make_fake_dset((10, 10, 20), FEATURES)
+    big = make_fake_dset((10, 10, 80), FEATURES)
+    # tag the containers with distinct constant values
+    small.data[:] = 1.0
+    big.data[:] = 2.0
+    samplers = [Sampler(small, sample_shape=(4, 4, 1), batch_size=1),
+                Sampler(big, sample_shape=(4, 4, 1), batch_size=1)]
+    queue = SingleBatchQueue(samplers, batch_size=1, n_batches=1,
+                             s_enhance=1, t_enhance=1)
+    w = queue.container_weights
+    np.testing.assert_allclose(w, [0.2, 0.8], atol=1e-6)
+    counts = {1.0: 0, 2.0: 0}
+    for _ in range(200):
+        s = queue.get_random_container()
+        counts[float(np.asarray(s.data.data).flat[0])] += 1
+    frac_big = counts[2.0] / 200
+    assert 0.68 < frac_big < 0.92  # ~0.8 +/- sampling noise
