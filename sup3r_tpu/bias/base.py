@@ -82,12 +82,30 @@ class DataRetrievalBase:
         if isinstance(base_handler, str):
             import sup3r_tpu.preprocessing.loaders as _loaders
 
-            resolved = getattr(_loaders, base_handler, None)
+            # rex handler names from reference configs all read
+            # flattened H5 resource files (reference default
+            # base_handler='Resource', sup3r/bias/base.py:40)
+            rex_aliases = {'resource', 'multifileresource', 'windx',
+                           'multifilewindx', 'nsrdbx',
+                           'multifilensrdbx'}
+            if base_handler.lower() in rex_aliases:
+                resolved = LoaderH5
+            else:
+                resolved = getattr(_loaders, base_handler, None)
+            if resolved is None:
+                from sup3r_tpu.preprocessing.data_handlers import (
+                    get_input_handler_class as _get_handler_cls,
+                )
+
+                try:
+                    resolved = _get_handler_cls(base_handler)
+                except Exception:
+                    resolved = None
             if resolved is None:
                 raise KeyError(
                     f'Unknown base_handler "{base_handler}" — not a '
-                    'class in sup3r_tpu.preprocessing.loaders '
-                    '(expected e.g. LoaderH5 / LoaderNC)')
+                    'loaders class, rex alias (Resource/WindX/...), '
+                    'or DataHandler name')
             base_handler = resolved
         self.base_loader = base_handler(base_fps,
                                         **(base_handler_kwargs or {}))

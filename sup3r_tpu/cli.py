@@ -152,6 +152,15 @@ def forward_pass(ctx):
         strategy = ForwardPassStrategy(
             **{**run_cfg, 'head_node': True})
         n_nodes = len(strategy.node_chunks)
+        # ship expensive head-computed preflight scalars to the nodes
+        # (the chunked_io NCforCC domain clearsky scale is a full
+        # NSRDB scan — workers must not redo it N times)
+        scale = getattr(strategy, '_chunk_ihk', {}).get(
+            'clearsky_scale')
+        if scale is not None:
+            ihk = dict(run_cfg.get('input_handler_kwargs') or {})
+            ihk['clearsky_scale'] = scale
+            run_cfg = {**run_cfg, 'input_handler_kwargs': ihk}
     module = _status_module(ctx, 'forward-pass')
     cmds = [_node_cmd('forward-pass', run_cfg, i, config['run_dir'],
                       status_module=module) for i in range(n_nodes)]

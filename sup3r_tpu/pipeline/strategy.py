@@ -123,11 +123,15 @@ class ForwardPassStrategy:
         if self.chunked_io:
             self.input_handler = self._init_chunked_io(ihk)
         elif self.head_node and ihk.get('hr_spatial_coarsen') in (
-                None, 0, 1):
+                None, 0, 1) and not any(
+                ihk.get(k) for k in ('nan_method_kwargs', 'time_roll',
+                                     'time_shift')):
             # planning pass: geometry + time index only — no variable
             # reads (reference: strategy.py head_node semantics).
-            # hr_spatial_coarsen changes the planning grid shape, so
-            # it falls through to the full handler.
+            # hr_spatial_coarsen changes the planning grid shape and
+            # nan-masking/time-remap kwargs can change the time index,
+            # so those fall through to the full handler (planner and
+            # workers MUST agree on chunk geometry).
             from sup3r_tpu.preprocessing.rasterizers import Rasterizer
 
             meta_keys = ('target', 'shape', 'threshold', 'raster_file',
@@ -416,6 +420,12 @@ class ForwardPassStrategy:
                       for f in (self.features or []))
         if (not issubclass(HandlerClass, DataHandlerNCforCC)
                 or nsrdb_fp is None or not need_cs):
+            return
+        if ihk.get('clearsky_scale') is not None:
+            # precomputed (e.g. by the head node, shipped through the
+            # node config) — don't redo the full-domain NSRDB scan on
+            # every worker
+            self._chunk_ihk['clearsky_scale'] = ihk['clearsky_scale']
             return
         gcm_ti = self._meta_rast.data.time_index
         grid = self._meta_rast.lat_lon.reshape(-1, 2)

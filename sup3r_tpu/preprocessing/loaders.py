@@ -106,7 +106,11 @@ def decode_cf_time(values, units, calendar='standard'):
         else:
             month_len = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
         cum = np.cumsum([0, *month_len])
-        days = values * seconds_per / 86400.0 + cum[m - 1] + (d - 1)
+        tparts = [int(x) for x in time_part.split(':')] + [0, 0]
+        frac_day = (tparts[0] * 3600 + tparts[1] * 60
+                    + tparts[2]) / 86400.0
+        days = (values * seconds_per / 86400.0 + cum[m - 1]
+                + (d - 1) + frac_day)
         years = y + (days // dpy).astype(int)
         doy = days % dpy
         out = []

@@ -50,11 +50,15 @@ def wavenumber_spectrum(var, x_range=None, axis=None):
     spec2d = np.abs(np.fft.fft2(var)) ** 2
     s1, s2 = var.shape
     if axis is not None:
+        # reference 1D spectrum semantics (qa/utilities.py:131-168):
+        # k^2-weight the FULL spectrum on the (possibly physical)
+        # wavenumber axis, then fold the halves
         e_k = spec2d.mean(axis=axis)
+        k_full = _map_axis(np.arange(len(e_k)), x_range)
+        e_k = k_full ** 2 * e_k
         n = len(e_k) // 2
         folded = e_k[1:n + 1] + e_k[-n:][::-1]
-        kbins = np.arange(1, n + 1)
-        return _map_axis(kbins, x_range), folded
+        return k_full[:n], folded
     k1 = np.fft.fftfreq(s1) * s1
     k2 = np.fft.fftfreq(s2) * s2
     kmag = np.hypot(*np.meshgrid(k1, k2, indexing='ij'))
@@ -67,10 +71,13 @@ def wavenumber_spectrum(var, x_range=None, axis=None):
 
 def tke_wavenumber_spectrum(u, v, x_range=None, axis=None):
     """Spatial spectrum of turbulent kinetic energy (radial by
-    default; ``axis`` selects the 1D zonal/meridional spectrum)."""
+    default; ``axis`` selects the 1D zonal/meridional spectrum).
+    Amplitudes follow the reference convention |u_k|^2 + |v_k|^2
+    (no 1/2 factor) so spectra compare against reference QA output
+    (reference: qa/utilities.py:87-128)."""
     k, su = wavenumber_spectrum(u, x_range=x_range, axis=axis)
     _, sv = wavenumber_spectrum(v, x_range=x_range, axis=axis)
-    return k, 0.5 * (su + sv)
+    return k, su + sv
 
 
 def _finish_dist(diffs, bins, range, diff_max, percentile, interpolate):

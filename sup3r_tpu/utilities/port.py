@@ -238,8 +238,14 @@ def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
     n_feats = len(meta.get('lr_features') or []) or 2
     is_5d = model.generator.is_5d
     if lr_shape is None:
-        lr_shape = ((1, 8, 8, 8, n_feats) if is_5d
-                    else (1, 8, 8, n_feats))
+        # default spatial extent sized so the DISC init input is
+        # >= 64 px after enhancement — production 'valid'-padding
+        # discriminators need >= 61 px (CLAUDE.md gotcha); tiny
+        # defaults crash net.init with negative conv dims
+        s_enh = max(int(meta.get('s_enhance') or 1), 1)
+        s_lr = max(8, -(-64 // s_enh))
+        lr_shape = ((1, s_lr, s_lr, 8, n_feats) if is_5d
+                    else (1, s_lr, s_lr, n_feats))
     _, gen_params = import_phygnn_network(gen_cfg, gen_w, lr_shape)
     model.gen_params = gen_params
     if disc_cfg is not None:

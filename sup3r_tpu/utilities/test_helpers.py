@@ -91,9 +91,12 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
     lat = np.linspace(lat0, lat1, s1).astype(np.float32)
     lon = np.linspace(*lon_range, s2).astype(np.float32)
     time_index = pd.date_range(start, periods=t, freq=freq)
-    if calendar in ('noleap', '365_day'):
-        days = np.arange(t, dtype='float64') / 24.0
-        hours = days * 24.0
+    if calendar in ('noleap', '365_day', '360_day'):
+        # offsets relative to `start` (the units attr says 'hours
+        # since {start}' for these calendars), honoring freq
+        step_h = ((time_index[1] - time_index[0]).total_seconds()
+                  / 3600 if t > 1 else 1.0)
+        hours = np.arange(t, dtype='float64') * step_h
     else:
         hours = ((time_index - pd.Timestamp('1900-01-01'))
                  .total_seconds() / 3600).astype('float64')
