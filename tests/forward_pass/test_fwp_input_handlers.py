@@ -91,3 +91,47 @@ def test_fwp_input_cache_reload(tmp_path):
     assert s2.input_handler.rasterizer is None  # cache hit
     out2 = next(iter(ForwardPass.run(s2, 0).values()))
     np.testing.assert_allclose(out2, out1, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_chunked_nc_cc_ships_clearsky_scale(tmp_path):
+    """CLI forward-pass with chunked_io x NCforCC: the head node
+    computes the domain clearsky scale once and ships it to workers
+    through the node config (caught in review — every worker redid
+    the full NSRDB scan)."""
+    import json
+    import glob
+
+    from click.testing import CliRunner
+
+    from sup3r_tpu.cli import main
+
+    gcm_fp = make_fake_nc_file(str(tmp_path / 'gcm.nc'), (8, 8, 4),
+                               ['rsds'], freq='D')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (12, 12, 96), start='2023-01-01')
+    mdir = _csr_model(tmp_path)
+    out_pattern = str(tmp_path / 'out' / 'chunk_{file_id}.h5')
+    cfg = {
+        'file_paths': gcm_fp,
+        'model_kwargs': {'model_dir': mdir},
+        'model_class': 'Sup3rGan',
+        'input_handler_name': 'DataHandlerNCforCC',
+        'input_handler_kwargs': {'nsrdb_source_fp': nsrdb_fp},
+        'fwp_chunk_shape': [8, 8, 4],
+        'spatial_pad': 0, 'temporal_pad': 0,
+        'chunked_io': True,
+        'out_pattern': out_pattern,
+        'execution_control': {'option': 'local'},
+    }
+    fp = str(tmp_path / 'config_fwp.json')
+    with open(fp, 'w') as f:
+        json.dump(cfg, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', fp, 'forward-pass'], obj={})
+    assert result.exit_code == 0, result.output
+    assert list((tmp_path / 'out').glob('*.h5'))
+    node_cfgs = glob.glob(str(tmp_path / '.forward-pass*node0.json'))
+    assert node_cfgs
+    node_cfg = json.load(open(node_cfgs[0]))
+    scale = node_cfg['input_handler_kwargs'].get('clearsky_scale')
+    assert scale is not None and scale > 0
