@@ -68,7 +68,7 @@ class CollectorH5:
     @classmethod
     def collect(cls, file_paths, out_file, features='all',
                 max_workers=None, n_writes=None, target_meta_file=None,
-                threshold=1e-4, join_times=False):
+                threshold=1e-4):
         """Collect chunk files into ``out_file``.
 
         Each write group is gathered into one in-memory slab
@@ -77,9 +77,7 @@ class CollectorH5:
         one group per temporal chunk — peak memory is ONE temporal
         chunk's rows; an explicit ``n_writes`` merges temporal chunks
         into that many (larger) groups. ``max_workers`` bounds the read
-        thread pool (1 = serial). ``join_times`` is accepted for reference-config
-        compatibility (time indices are always unioned here).
-        ``target_meta_file`` masks the
+        thread pool (1 = serial). ``target_meta_file`` masks the
         output meta to coordinates within ``threshold`` degrees of the
         target coordinates (reference: collectors/h5.py:83-104)."""
         collector = cls(file_paths)
