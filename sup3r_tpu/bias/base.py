@@ -93,13 +93,9 @@ class DataRetrievalBase:
             else:
                 resolved = getattr(_loaders, base_handler, None)
             if resolved is None:
-                from sup3r_tpu.preprocessing.data_handlers import (
-                    get_input_handler_class as _get_handler_cls,
-                )
-
                 try:
-                    resolved = _get_handler_cls(base_handler)
-                except Exception:
+                    resolved = get_input_handler_class(base_handler)
+                except KeyError:
                     resolved = None
             if resolved is None:
                 raise KeyError(

@@ -106,7 +106,11 @@ def decode_cf_time(values, units, calendar='standard'):
         else:
             month_len = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
         cum = np.cumsum([0, *month_len])
-        tparts = [int(x) for x in time_part.split(':')] + [0, 0]
+        import re as _re
+
+        clean = _re.sub(r'[Zz]$|[+-]\d{1,2}:?\d{0,2}$', '',
+                        time_part).strip() or '0:0:0'
+        tparts = [int(x) for x in clean.split(':') if x != ''] + [0, 0]
         frac_day = (tparts[0] * 3600 + tparts[1] * 60
                     + tparts[2]) / 86400.0
         days = (values * seconds_per / 86400.0 + cum[m - 1]

@@ -15,27 +15,36 @@ def _map_axis(vals, vrange):
     return np.linspace(vrange[0], vrange[1], len(vals))
 
 
+def _fold_freq_spectrum(e_f, f_range):
+    """Reference frequency-spectrum convention (qa/utilities.py:10-85):
+    f^2-weight the full spectrum on the (possibly physical) frequency
+    axis, then fold the positive/negative halves."""
+    f_full = _map_axis(np.arange(len(e_f)), f_range)
+    e_f = f_full ** 2 * e_f
+    n = len(e_f) // 2
+    folded = e_f[:n] + e_f[-n:][::-1]
+    return f_full[:n], folded
+
+
 def tke_frequency_spectrum(u, v, f_range=None):
     """Turbulent kinetic energy spectrum over frequency (time axis
-    last). ``f_range=[f_min, f_max]`` relabels the frequency axis to
-    physical units (e.g. 1/max_time .. 1/min_time)."""
+    last). Reference convention: |u_f|^2 + |v_f|^2 with f^2 weighting
+    and folded halves (reference: qa/utilities.py:10-48);
+    ``f_range=[f_min, f_max]`` maps the frequency axis to physical
+    units (e.g. 1/max_time .. 1/min_time)."""
     u_f = np.abs(np.fft.fft(u, axis=-1)) ** 2
     v_f2 = np.abs(np.fft.fft(v, axis=-1)) ** 2
-    spectrum = 0.5 * (u_f + v_f2)
-    spectrum = spectrum.reshape(-1, spectrum.shape[-1]).mean(axis=0)
-    freq = np.fft.fftfreq(u.shape[-1])
-    pos = freq > 0
-    return _map_axis(freq[pos], f_range), spectrum[pos]
+    spectrum = (u_f + v_f2).reshape(-1, u_f.shape[-1]).mean(axis=0)
+    return _fold_freq_spectrum(spectrum, f_range)
 
 
 def frequency_spectrum(var, f_range=None):
-    """Mean power spectrum along the time axis (last axis).
-    ``f_range`` relabels the frequency axis to physical units."""
+    """Mean power spectrum along the time axis (last axis), reference
+    convention (f^2-weighted, folded halves; qa/utilities.py:50-85).
+    ``f_range`` maps the frequency axis to physical units."""
     spec = np.abs(np.fft.fft(var, axis=-1)) ** 2
     spec = spec.reshape(-1, spec.shape[-1]).mean(axis=0)
-    freq = np.fft.fftfreq(var.shape[-1])
-    pos = freq > 0
-    return _map_axis(freq[pos], f_range), spec[pos]
+    return _fold_freq_spectrum(spec, f_range)
 
 
 def wavenumber_spectrum(var, x_range=None, axis=None):

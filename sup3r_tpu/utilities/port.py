@@ -243,8 +243,10 @@ def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
         # discriminators need >= 61 px (CLAUDE.md gotcha); tiny
         # defaults crash net.init with negative conv dims
         s_enh = max(int(meta.get('s_enhance') or 1), 1)
+        t_enh = max(int(meta.get('t_enhance') or 1), 1)
         s_lr = max(8, -(-64 // s_enh))
-        lr_shape = ((1, s_lr, s_lr, 8, n_feats) if is_5d
+        t_lr = max(8, -(-64 // t_enh))
+        lr_shape = ((1, s_lr, s_lr, t_lr, n_feats) if is_5d
                     else (1, s_lr, s_lr, n_feats))
     _, gen_params = import_phygnn_network(gen_cfg, gen_w, lr_shape)
     model.gen_params = gen_params

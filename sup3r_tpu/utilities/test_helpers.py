@@ -93,7 +93,7 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
     time_index = pd.date_range(start, periods=t, freq=freq)
     if calendar in ('noleap', '365_day', '360_day'):
         # offsets relative to `start` (the units attr says 'hours
-        # since {start}' for these calendars), honoring freq
+        # since {start}' for exactly these calendars), honoring freq
         step_h = ((time_index[1] - time_index[0]).total_seconds()
                   / 3600 if t > 1 else 1.0)
         hours = np.arange(t, dtype='float64') * step_h
@@ -108,8 +108,9 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
         if include_time:
             tv = f.create_dataset('time', data=hours)
             tv.attrs['units'] = np.bytes_(
-                'hours since 1900-01-01' if calendar == 'standard'
-                else f'hours since {start}')
+                f'hours since {start}'
+                if calendar in ('noleap', '365_day', '360_day')
+                else 'hours since 1900-01-01')
             tv.attrs['calendar'] = np.bytes_(calendar)
             tv.make_scale('time')
         latv = f.create_dataset('lat', data=lat)

