@@ -142,6 +142,70 @@ def test_train_cc_with_topo_exo(tmp_path):
     assert np.isfinite(model.history['train_loss_gen'].values).all()
 
 
+@pytest.mark.parametrize('custom_layer', ['Sup3rAdder', 'Sup3rConcat'])
+def test_train_cc_exo_with_lr_only_feature(tmp_path, custom_layer):
+    """Wind-CC exo training with an lr-only feature in the mix
+    (reference: tests/training/test_train_exo_cc.py parameter sets
+    with lr_only_features=['temperature_100m']): temperature feeds
+    the generator input only, topography is mid-network exo, and the
+    disc/content losses see exactly the two hr output channels."""
+    import os
+
+    from sup3r_tpu.models import Sup3rGan
+
+    paired = _daily_hourly(solar=False)
+    topo = RANDOM_GENERATOR.random(
+        (*paired.hourly.data.shape[:2], 1)).astype(np.float32)
+    temp = RANDOM_GENERATOR.random(
+        (*paired.hourly.data.shape[:2], 1)).astype(np.float32)
+    for member in (paired.daily, paired.hourly):
+        t = member.data.shape[2]
+        member['temperature_100m'] = np.repeat(temp, t, axis=2)
+        member['topography'] = np.repeat(topo, t, axis=2)
+
+    handler = BatchHandlerCC(
+        [paired], batch_size=2, n_batches=2, s_enhance=1, t_enhance=24,
+        sample_shape=(8, 8, 24),
+        feature_sets={'features': ['temperature_100m', 'u_100m',
+                                   'v_100m', 'topography'],
+                      'lr_only_features': ['temperature_100m'],
+                      'hr_exo_features': ['topography']})
+    gen = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatioTemporalExpansion', 'temporal_mult': 24,
+         'temporal_method': 'nearest'},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': custom_layer, 'name': 'topography'},
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'}]}
+    disc = {'hidden_layers': [
+        {'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+         'strides': 2, 'padding': 'same'},
+        {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]}
+    model = Sup3rGan(gen, disc, learning_rate=1e-4)
+    model.train(handler, input_resolution={'spatial': '4km',
+                                           'temporal': '1440min'},
+                n_epoch=1, weight_gen_advers=1e-4, train_gen=True,
+                train_disc=True,
+                out_dir=os.path.join(tmp_path, 'cc_{epoch}'))
+    # lr feature order follows the container's channel order (u/v
+    # pre-existing, temperature/topography appended above)
+    assert model.lr_features == ['u_100m', 'v_100m',
+                                 'temperature_100m', 'topography']
+    assert model.hr_out_features == ['u_100m', 'v_100m']
+    assert model.hr_exo_features == ['topography']
+    assert np.isfinite(model.history['train_loss_gen'].values).all()
+    # inference: 4 lr features in, topo exo at hr, 2 channels out
+    x = RANDOM_GENERATOR.random((1, 8, 8, 1, 4)).astype(np.float32)
+    hr_topo = RANDOM_GENERATOR.random((1, 8, 8, 24, 1)).astype(
+        np.float32)
+    exo = {'topography': {'steps': [
+        {'model': 0, 'combine_type': 'layer', 'data': hr_topo}]}}
+    y = model.generate(x, exogenous_data=exo)
+    assert y.shape == (1, 8, 8, 24, 2)
+
+
 def test_dual_sampler_cc_lr_matches_daily_mean():
     """Non-solar t_enhance=24: the LR sample equals the day-mean of
     the HR sample (lr comes from the daily member, hr from the hourly

@@ -1,7 +1,7 @@
-"""REAL multi-host (DCN) validation: two separate processes form a
-jax.distributed group over localhost, build one global 4-device mesh
+"""REAL multi-host (DCN) validation: N separate processes form a
+jax.distributed group over localhost, build one global 2N-device mesh
 (2 local CPU devices each), and run a data-parallel train step with
-process-local batch shards. Both controllers must report identical
+process-local batch shards. All controllers must report identical
 finite losses (SURVEY §2.7 multi-node scale-out — beyond the
 reference, which never couples nodes)."""
 
@@ -16,6 +16,7 @@ WORKER = r'''
 import os, sys
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
+nproc = int(sys.argv[3])
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
 os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax
@@ -23,9 +24,9 @@ jax.config.update('jax_platforms', 'cpu')
 sys.path.insert(0, '/root/repo')
 import numpy as np
 from sup3r_tpu.parallel import get_mesh, init_multihost
-idx, count = init_multihost(f'127.0.0.1:{port}', num_processes=2,
+idx, count = init_multihost(f'127.0.0.1:{port}', num_processes=nproc,
                             process_id=proc_id)
-assert count == 2 and jax.device_count() == 4
+assert count == nproc and jax.device_count() == 2 * nproc
 
 from sup3r_tpu.models import Sup3rGan
 gen = [{'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
@@ -39,13 +40,14 @@ disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
 model = Sup3rGan(gen, disc, learning_rate=1e-3)
 model.init_weights((1, 4, 4, 2), (1, 8, 8, 2), seed=7)
 
-mesh = get_mesh()  # all 4 global devices
+mesh = get_mesh()  # all 2N global devices
 model.attach_mesh(mesh)
 
-# one seeded GLOBAL batch of 4; this process feeds its local half
+# one seeded GLOBAL batch of 2N; this process feeds its local slice
 rng = np.random.default_rng(0)
-lr_g = rng.random((4, 4, 4, 2)).astype(np.float32)
-hr_g = rng.random((4, 8, 8, 2)).astype(np.float32)
+gbatch = 2 * nproc
+lr_g = rng.random((gbatch, 4, 4, 2)).astype(np.float32)
+hr_g = rng.random((gbatch, 8, 8, 2)).astype(np.float32)
 lr_local = lr_g[proc_id * 2:(proc_id + 1) * 2]
 hr_local = hr_g[proc_id * 2:(proc_id + 1) * 2]
 details = model.run_gradient_descent(lr_local, hr_local,
@@ -56,8 +58,7 @@ print('LOSSES', ' '.join(f'{k}={v:.8f}'
 '''
 
 
-@pytest.mark.skipif(sys.platform != 'linux', reason='linux only')
-def test_two_process_dcn_train_step(tmp_path):
+def _run_dcn(tmp_path, nproc, timeout=180):
     worker_fp = str(tmp_path / 'worker.py')
     with open(worker_fp, 'w') as f:
         f.write(WORKER)
@@ -68,12 +69,12 @@ def test_two_process_dcn_train_step(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
     procs = [subprocess.Popen(
-        [sys.executable, worker_fp, str(i), str(port)],
+        [sys.executable, worker_fp, str(i), str(port), str(nproc)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for i in range(2)]
+        env=env) for i in range(nproc)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=180)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
     losses = []
@@ -82,6 +83,20 @@ def test_two_process_dcn_train_step(tmp_path):
                  if ln.startswith('LOSSES')]
         assert lines, out[-2000:]
         losses.append(lines[-1])
-    # both controllers computed the SAME global step
-    assert losses[0] == losses[1]
+    # every controller computed the SAME global step
+    assert all(x == losses[0] for x in losses[1:])
     assert 'nan' not in losses[0].lower()
+    return losses[0]
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='linux only')
+def test_two_process_dcn_train_step(tmp_path):
+    _run_dcn(tmp_path, 2)
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='linux only')
+def test_four_process_dcn_train_step(tmp_path):
+    """Scale the controller count past two: a 4-process / 8-device
+    global mesh runs the same data-parallel step (each process feeds
+    its 2-sample shard of the global batch of 8)."""
+    _run_dcn(tmp_path, 4, timeout=300)
