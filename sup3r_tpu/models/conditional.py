@@ -181,6 +181,10 @@ class Sup3rCondMom(AbstractSingleModel):
             self.save_network_params(
                 self.gen_params, os.path.join(out_dir,
                                               'model_gen.msgpack'))
+            if self._gen_opt_state is not None:
+                self.save_network_params(
+                    self._gen_opt_state,
+                    os.path.join(out_dir, 'opt_state.msgpack'))
         self.save_params(out_dir)
         self.save_history(out_dir)
 
@@ -199,6 +203,13 @@ class Sup3rCondMom(AbstractSingleModel):
             model.gen_params = cls.load_network_params(
                 model.gen_params,
                 os.path.join(model_dir, 'model_gen.msgpack'))
+            fp_opt = os.path.join(model_dir, 'opt_state.msgpack')
+            if os.path.exists(fp_opt):
+                model._gen_opt_state = cls.load_network_params(
+                    model._gen_opt_state, fp_opt)
+        fp_history = os.path.join(model_dir, 'history.csv')
+        if os.path.exists(fp_history):
+            model._history = pd.read_csv(fp_history, index_col=0)
         return model
 
     # ------------------------------------------------------------------

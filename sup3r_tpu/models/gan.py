@@ -658,6 +658,12 @@ class Sup3rGan(AbstractSingleModel):
         logger.info('Saved GAN to %s', out_dir)
 
     @classmethod
+    def _extra_load_kwargs(cls, params):
+        """Subclass hook: extra constructor kwargs pulled from the
+        saved model_params (e.g. WithObs observation settings)."""
+        return {}
+
+    @classmethod
     def load(cls, model_dir, verbose=True):
         """Load a saved GAN (reference: sup3r/models/base.py:184-214)."""
         params = cls.load_saved_params(model_dir, verbose=verbose)
@@ -667,7 +673,8 @@ class Sup3rGan(AbstractSingleModel):
             optimizer_disc=params.get('optimizer_disc'),
             loss=params.get('loss', 'MeanSquaredError'),
             meta=params.get('meta', {}),
-            means=params.get('means'), stdevs=params.get('stdevs'))
+            means=params.get('means'), stdevs=params.get('stdevs'),
+            **cls._extra_load_kwargs(params))
         gen_in = params.get('gen_in_shape')
         disc_in = params.get('disc_in_shape')
         if gen_in is not None:

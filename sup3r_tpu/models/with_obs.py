@@ -131,28 +131,14 @@ class Sup3rGanWithObs(Sup3rGan):
         return params
 
     @classmethod
-    def load(cls, model_dir, verbose=True):
-        params = cls.load_saved_params(model_dir, verbose=verbose)
-        model = cls(
-            params['gen_config'], params['disc_config'],
-            optimizer=params.get('optimizer'),
-            optimizer_disc=params.get('optimizer_disc'),
-            loss=params.get('loss', 'MeanSquaredError'),
-            meta=params.get('meta', {}),
-            means=params.get('means'), stdevs=params.get('stdevs'),
-            onshore_obs_frac=params.get('onshore_obs_frac'),
-            offshore_obs_frac=params.get('offshore_obs_frac'),
-            loss_obs_weight=params.get('loss_obs_weight', 0.1))
-        gen_in = params.get('gen_in_shape')
-        if gen_in is not None:
-            import os
-
-            model.init_weights(tuple(gen_in),
-                               tuple(params['disc_in_shape']))
-            model.gen_params = cls.load_network_params(
-                model.gen_params,
-                os.path.join(model_dir, 'model_gen.msgpack'))
-            model.disc_params = cls.load_network_params(
-                model.disc_params,
-                os.path.join(model_dir, 'model_disc.msgpack'))
-        return model
+    def _extra_load_kwargs(cls, params):
+        """Restore the observation settings alongside the base GAN
+        state (the base ``load`` also restores optimizer state and
+        training history, which the previous standalone override
+        silently dropped)."""
+        return {
+            'onshore_obs_frac': params.get('onshore_obs_frac'),
+            'offshore_obs_frac': params.get('offshore_obs_frac'),
+            'loss_obs': params.get('loss_obs'),
+            'loss_obs_weight': params.get('loss_obs_weight', 0.1),
+        }

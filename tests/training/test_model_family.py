@@ -257,6 +257,47 @@ def test_gan_with_obs_training():
     assert 0 < model.history['train_obs_frac'].values[-1] < 1
 
 
+def test_gan_with_obs_load_resume(tmp_path):
+    """Save/load/resume a trained WithObs model: obs configuration
+    (fractions, loss weight, loss name) must survive the round trip
+    and training must continue from the loaded weights (reference:
+    tests/training/test_train_conditioned_obs.py:76-78)."""
+    features = ['u_100m', 'v_100m']
+    gen = [
+        {'class': 'Conv2D', 'filters': 16, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatialExpansion', 'spatial_mult': 2},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'Sup3rConcatObs', 'name': 'u_100m_obs'},
+        {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    handler = BatchHandler(
+        [make_fake_dset((20, 20, 30), features)], batch_size=2,
+        n_batches=1, s_enhance=2, t_enhance=1, sample_shape=(8, 8, 1))
+    model = Sup3rGanWithObs(
+        gen, _small_disc(),
+        onshore_obs_frac={'spatial_frac': [0.2, 0.4]},
+        loss_obs_weight=0.5)
+    out_dir = os.path.join(tmp_path, 'obs_{epoch}')
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=out_dir)
+    loaded = Sup3rGanWithObs.load(os.path.join(tmp_path, 'obs_0'))
+    assert loaded.onshore_obs_frac == {'spatial_frac': [0.2, 0.4]}
+    assert loaded.loss_obs_weight == 0.5
+    assert loaded.loss_obs_name == model.loss_obs_name
+    assert loaded.obs_features == ['u_100m_obs']
+    np.testing.assert_array_equal(
+        np.asarray(loaded.gen_params[0]['kernel']),
+        np.asarray(model.gen_params[0]['kernel']))
+    loaded.train(handler, input_resolution={'spatial': '30km',
+                                            'temporal': '60min'},
+                 n_epoch=1, out_dir=out_dir)
+    assert len(loaded.history) == 2
+    assert 'train_loss_obs' in loaded.history
+
+
 def test_solar_multi_step_gan(tmp_path):
     """3-branch Sup3rCC chain: solar csr + wind -> temporal solar."""
     # spatial solar: csr only, 2x

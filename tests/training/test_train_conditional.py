@@ -124,6 +124,34 @@ def test_train_conditional(tmp_path, BatcherClass, spatiotemporal,
     handler.stop()
 
 
+def test_cond_mom_load_resume(tmp_path):
+    """load() restores history + optimizer state so a resumed train
+    continues the epoch index instead of restarting (reference
+    semantics: sup3r/models/conditional.py train loop continues from
+    len(history))."""
+    train = make_fake_dset((20, 20, 24), FEATURES)
+    model = Sup3rCondMom(_gen_s(), learning_rate=5e-3)
+    handler = BatchHandlerMom1(
+        [train], batch_size=2, n_batches=1, s_enhance=2, t_enhance=1,
+        sample_shape=(8, 8, 1))
+    out_dir = str(tmp_path / 'mom_{epoch}')
+    model.train(handler, input_resolution={'spatial': '12km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=out_dir)
+    loaded = Sup3rCondMom.load(str(tmp_path / 'mom_0'))
+    assert loaded.history is not None and len(loaded.history) == 1
+    assert loaded._gen_opt_state is not None
+    np.testing.assert_array_equal(
+        np.asarray(loaded.gen_params[0]['kernel']),
+        np.asarray(model.gen_params[0]['kernel']))
+    loaded.train(handler, input_resolution={'spatial': '12km',
+                                            'temporal': '60min'},
+                 n_epoch=1, out_dir=out_dir)
+    assert len(loaded.history) == 2
+    assert list(loaded.history.index) == [0, 1]
+    handler.stop()
+
+
 def test_end_t_padding_masks_tail():
     """end_t_padding zeroes the mask for the padded tail timesteps so
     the moment loss ignores them."""
