@@ -179,6 +179,16 @@ class SingleBatchQueue(AbstractBatchQueue):
         self._is_4d = self.sample_shape[2] == 1 and self.t_enhance == 1
         # fail at construction, not in the producer thread (reference:
         # batch_queues/abstract.py preflight asserts)
+        bad = [tuple(x.sample_shape) for x in self.samplers
+               if tuple(x.sample_shape) != tuple(self.sample_shape)]
+        assert not bad, (
+            'All samplers in a queue must share one sample_shape; got '
+            f'{tuple(self.sample_shape)} and {bad}')
+        bad_feats = [list(x.features) for x in self.samplers
+                     if list(x.features) != list(self.features)]
+        assert not bad_feats, (
+            'All samplers in a queue must share one feature list; got '
+            f'{list(self.features)} and {bad_feats}')
         assert self.sample_shape[0] % self.s_enhance == 0 and (
             self.sample_shape[1] % self.s_enhance == 0), (
             f's_enhance={self.s_enhance} must evenly divide the '
@@ -264,6 +274,11 @@ class DualBatchQueue(AbstractBatchQueue):
         for s in self.samplers:
             assert s.s_enhance == self.s_enhance
             assert s.t_enhance == self.t_enhance
+            assert tuple(s.hr_sample_shape) == tuple(
+                self.sample_shape), (
+                'All dual samplers in a queue must share one '
+                f'hr_sample_shape; got {tuple(self.sample_shape)} and '
+                f'{tuple(s.hr_sample_shape)}')
 
     @property
     def lr_shape(self):

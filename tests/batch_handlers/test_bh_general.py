@@ -13,6 +13,28 @@ from sup3r_tpu.utilities.test_helpers import make_fake_dset
 FEATURES = ['u_100m', 'v_100m']
 
 
+def test_bad_sample_shapes_rejected_at_construction():
+    """Samplers with inconsistent sample shapes fail queue
+    construction, not mid-producer-thread (reference:
+    tests/batch_queues/test_bq_general.py:256-285)."""
+    from sup3r_tpu.preprocessing.batch_queues import SingleBatchQueue
+    from sup3r_tpu.preprocessing.samplers import Sampler
+
+    s1 = Sampler(make_fake_dset((10, 10, 20), FEATURES),
+                 sample_shape=(4, 4, 5))
+    s2 = Sampler(make_fake_dset((12, 12, 15), FEATURES),
+                 sample_shape=(3, 3, 5))
+    with pytest.raises(AssertionError, match='sample_shape'):
+        SingleBatchQueue([s1, s2], s_enhance=1, t_enhance=1,
+                         batch_size=4, n_batches=3)
+    # mismatched feature lists are equally fatal
+    s3 = Sampler(make_fake_dset((10, 10, 20), FEATURES[:1]),
+                 sample_shape=(4, 4, 5))
+    with pytest.raises(AssertionError, match='feature'):
+        SingleBatchQueue([s1, s3], s_enhance=1, t_enhance=1,
+                         batch_size=4, n_batches=3)
+
+
 def test_multi_container_normalization_stats():
     """means/stds are size-weighted across containers and match the
     pooled data (reference: test_bh_general.py:190-307)."""
