@@ -198,3 +198,30 @@ def test_daily_dh_caching_roundtrip(tmp_path):
         np.asarray(dh2.daily['temperature_2m']),
         np.asarray(dh.daily['temperature_2m']), atol=1e-2)
     assert dh2.daily.time_index.equals(dh.daily.time_index)
+
+
+def test_daily_dh_caching_with_hr_coarsen(tmp_path):
+    """DailyDataHandler + hr_spatial_coarsen + caching: the cache
+    stores the coarsened hourly member and a cache hit rebuilds the
+    matching daily view (reference:
+    tests/derivers/test_deriver_caching.py:230-270)."""
+    from sup3r_tpu.preprocessing.data_handlers import (
+        DataHandlerH5WindCC,
+    )
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+
+    fp = make_fake_h5_file(str(tmp_path / 'wtk.h5'), (12, 12, 72),
+                           ['windspeed_100m', 'winddirection_100m'],
+                           value_range=(0, 20))
+    pattern = str(tmp_path / 'cc_{feature}.h5')
+    kw = {'features': ['u_100m', 'v_100m'], 'hr_spatial_coarsen': 2,
+          'cache_kwargs': {'cache_pattern': pattern, 'max_workers': 1}}
+    d1 = DataHandlerH5WindCC(fp, **kw)
+    assert d1.hourly.data.shape[:2] == (6, 6)
+    assert d1.daily.data.shape == (6, 6, 3, 2)
+    d2 = DataHandlerH5WindCC(fp, **kw)
+    assert np.array_equal(np.asarray(d1.hourly.data),
+                          np.asarray(d2.hourly.data))
+    np.testing.assert_allclose(np.asarray(d1.daily.data),
+                               np.asarray(d2.daily.data), atol=1e-6)
+    assert d2.daily.time_index.equals(d1.daily.time_index)
