@@ -13,7 +13,7 @@ Reference parity: sup3r/utilities/utilities.py:345 (temporal_coarsening),
 """
 
 import numpy as np
-from scipy.ndimage import gaussian_filter, zoom
+from scipy.ndimage import gaussian_filter
 
 from sup3r_tpu.ops._dispatch import array_module
 
@@ -157,8 +157,3 @@ def smooth_data(low_res, training_features, smoothing_ignore,
                     low_res[i, ..., j], smoothing, mode='nearest')
     return low_res
 
-
-def zoom_resize(arr, target_shape, order=1):
-    """Host-side spline resize of an nd array to ``target_shape``."""
-    factors = [t / s for t, s in zip(target_shape, arr.shape)]
-    return zoom(arr, factors, order=order)

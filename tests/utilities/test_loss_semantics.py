@@ -116,3 +116,67 @@ def test_mmd_mse_combination_is_sum_like():
     y = RANDOM_GENERATOR.random((2, 8, 8, 4, 1)).astype(np.float32)
     combo = float(mmd_mse_loss(x, y))
     assert combo >= float(mse(x, y)) * 0.5
+
+
+def test_derivative_losses_detect_gradient_mismatch():
+    """Derivative losses respond to sharpened gradients more than to a
+    constant offset (which leaves derivatives untouched) — reference:
+    sup3r/utilities/loss_metrics.py:228-296."""
+    from sup3r_tpu.ops.losses import (
+        spatial_derivative_loss,
+        temporal_derivative_loss,
+    )
+
+    x = RANDOM_GENERATOR.random((2, 12, 12, 8, 2)).astype(np.float32)
+    offset = x + 1.0          # derivatives identical
+    sharp = x * 3.0           # derivatives scaled 3x
+    assert float(spatial_derivative_loss(x, offset)) < 1e-6
+    assert float(temporal_derivative_loss(x, offset)) < 1e-6
+    assert float(spatial_derivative_loss(x, sharp)) > 1e-3
+    assert float(temporal_derivative_loss(x, sharp)) > 1e-3
+
+
+def test_exp_loss_matches_reference_form():
+    """ExpLoss is mean(1 - exp(-(x1-x2)^2)): bounded in [0, 1) and
+    saturating for large errors (reference:
+    sup3r/utilities/loss_metrics.py:98-118)."""
+    from sup3r_tpu.ops.losses import exp_loss
+
+    x = np.zeros((2, 8, 8, 1), np.float32)
+    np.testing.assert_allclose(float(exp_loss(x, x + 0.1)),
+                               1 - np.exp(-0.01), rtol=1e-5)
+    np.testing.assert_allclose(float(exp_loss(x, x + 2.0)),
+                               1 - np.exp(-4.0), rtol=1e-5)
+    assert float(exp_loss(x, x + 100.0)) <= 1.0  # saturates
+
+
+def test_loss_registry_every_name_resolves_and_runs():
+    """Every LOSS_REGISTRY name resolves through get_loss_fun and
+    produces a finite scalar on well-shaped 5D data (reference name
+    resolution: sup3r/models/abstract.py:461-541)."""
+    from sup3r_tpu.ops.losses import LOSS_REGISTRY, get_loss_fun
+
+    x = RANDOM_GENERATOR.random((2, 12, 12, 8, 2)).astype(np.float32)
+    y = RANDOM_GENERATOR.random((2, 12, 12, 8, 2)).astype(np.float32)
+    for name in LOSS_REGISTRY:
+        if name == 'LowResLoss':
+            fn = get_loss_fun({name: {'s_enhance': 2, 't_enhance': 2}})
+        elif name == 'PerceptualLoss':
+            continue  # needs its feature-extractor checkpoint; has
+            # dedicated tests in tests/utilities/test_misc_components
+        else:
+            fn = get_loss_fun(name)
+        try:
+            val = float(fn(x, y))
+        except (TypeError, ValueError, AssertionError):
+            # spatial-only losses take 4D (n, s1, s2, f) input
+            val = float(fn(x[..., 0, :], y[..., 0, :]))
+        assert np.isfinite(val), name
+        assert val >= 0, name
+    # weighted multi-term spec
+    fn = get_loss_fun([('MeanAbsoluteError', 0.5),
+                       ('SpatialExtremesLoss', 0.5)])
+    assert np.isfinite(float(fn(x, y)))
+    # unknown names are loud
+    with pytest.raises(KeyError):
+        get_loss_fun('NotALoss')
