@@ -211,3 +211,46 @@ def test_reference_json_configs_load(path):
     y = net.apply(params, jnp.ones(in_shape, jnp.float32), exo=exo)
     assert y.shape == out_shape
     assert y.shape[-1] == n_out
+
+
+def test_dropout_layer_train_vs_inference():
+    """Dropout zeros ~rate of activations (inverted scaling preserves
+    the mean) in train mode with a key, and is an exact no-op at
+    inference (reference layer DSL: phygnn Dropout in hidden_layers
+    configs)."""
+    net = Network([{'class': 'Dropout', 'rate': 0.5}])
+    p, shape = net.init(KEY, (1, 32, 32, 4))
+    assert shape == (1, 32, 32, 4)
+    x = jnp.ones((1, 32, 32, 4))
+    # inference (no key / train=False): identity
+    np.testing.assert_array_equal(np.asarray(net.apply(p, x)),
+                                  np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(net.apply(p, x, train=True)), np.asarray(x))
+    # train mode with a key: some zeros, survivors scaled by 1/keep
+    y = np.asarray(net.apply(p, x, train=True, dropout_key=KEY))
+    dropped = float((y == 0).mean())
+    assert 0.3 < dropped < 0.7
+    assert np.allclose(y[y != 0], 2.0)
+    assert abs(y.mean() - 1.0) < 0.1  # inverted dropout keeps E[x]
+
+
+def test_sup3r_obs_model_layer():
+    """Sup3rObsModel learns a (obs, mask) -> channels projection added
+    to the activation; NaN holes in the obs never reach the output
+    (reference: sup3r custom obs-fusion layers,
+    models/with_obs.py usage)."""
+    net = Network([{'class': 'Sup3rObsModel', 'name': 'u_obs'}])
+    p, shape = net.init(KEY, (1, 4, 4, 3))
+    assert shape == (1, 4, 4, 3)  # additive: channel count unchanged
+    assert net.obs_features == ['u_obs']
+    obs = jnp.full((1, 4, 4, 1), jnp.nan).at[0, 1, 2, 0].set(5.0)
+    x = jnp.ones((1, 4, 4, 3))
+    y = np.asarray(net.apply(p, x, exo={'u_obs': obs}))
+    assert np.isfinite(y).all()
+    # unobserved cells still shift by the mask-channel projection;
+    # the observed cell must differ from unobserved ones
+    assert not np.allclose(y[0, 1, 2], y[0, 0, 0])
+    # missing exo is loud
+    with pytest.raises(KeyError, match='u_obs'):
+        net.apply(p, x, exo={})
