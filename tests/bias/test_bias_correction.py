@@ -132,6 +132,26 @@ def test_monthly_correction(paired_files, tmp_path):
     assert corrected.shape == data.shape
 
 
+def test_monthly_scalar_correction(paired_files, tmp_path):
+    """MonthlyScalarCorrection: 12 monthly mean-ratio factors with
+    zero adders (reference: bias_calc.py:344-377)."""
+    from sup3r_tpu.bias import MonthlyScalarCorrection
+
+    base_fp, bias_fp = paired_files
+    calc = MonthlyScalarCorrection(base_fp, bias_fp, 'windspeed_100m',
+                                   'u_100m')
+    out = calc.run(fp_out=str(tmp_path / 'bc_ms.h5'))
+    assert out['u_100m_scalar'].shape == (10, 10, 12)
+    # adders are identically zero wherever a month had data (months
+    # beyond the fixture's ~100-day span stay NaN)
+    adder = out['u_100m_adder']
+    assert np.isfinite(adder).any()
+    np.testing.assert_allclose(adder[np.isfinite(adder)], 0)
+    # populated months carry strictly positive wind mean-ratios
+    jan = out['u_100m_scalar'][..., 0]
+    assert np.isfinite(jan).any() and np.nanmin(jan) > 0
+
+
 def test_scalar_correction(paired_files, tmp_path):
     base_fp, bias_fp = paired_files
     calc = ScalarCorrection(base_fp, bias_fp, 'windspeed_100m',
