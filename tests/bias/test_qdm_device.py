@@ -94,3 +94,75 @@ def test_window_mask_reference_parity():
     # end-of-year wrap
     np.testing.assert_array_equal(d[window_mask(d, 365, 3)],
                                   [1, 364, 365])
+
+
+def test_sampled_quantiles_modes():
+    """linear/log/invlog quantile grids (reference:
+    rex bc_utils sample_q_linear/log/invlog via sup3r/bias/qdm.py
+    sampling kwarg): all span [0, 1] monotonically; log concentrates
+    near 0, invlog concentrates near 1."""
+    n = 11
+    lin = sampled_quantiles(n, 'linear')
+    lg = sampled_quantiles(n, 'log')
+    inv = sampled_quantiles(n, 'invlog')
+    for q in (lin, lg, inv):
+        assert q.shape == (n,)
+        assert q[0] == 0.0 and q[-1] == pytest.approx(1.0)
+        assert np.all(np.diff(q) > 0)
+    # log: denser near 0 (first gap smaller than linear's);
+    # invlog mirrors log around 0.5
+    assert lg[1] < lin[1]
+    assert inv[-2] > lin[-2]
+    np.testing.assert_allclose(inv, 1 - lg[::-1], atol=1e-12)
+    with pytest.raises(KeyError):
+        sampled_quantiles(n, 'nope')
+
+
+def test_qdm_run_with_invlog_sampling(tmp_path):
+    """QDM end-to-end with sampling='invlog' (tail-focused quantiles):
+    params rasters are monotone along the quantile axis and the
+    sampling choice is recorded in the output attrs for the runtime
+    transform (reference: sup3r/bias/qdm.py sampling/log_base
+    plumbing)."""
+    import h5py
+
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (8, 8, 24 * 100), ['ghi'],
+        freq='h', value_range=(0, 1000))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist.nc'), (4, 4, 100), ['rsds'], freq='D')
+    fut_fp = make_fake_nc_file(
+        str(tmp_path / 'fut.nc'), (4, 4, 100), ['rsds'], freq='D')
+    calc = QuantileDeltaMappingCorrection(
+        base_fp, bias_fp, fut_fp, 'ghi', 'rsds', n_quantiles=9,
+        n_time_steps=2, sampling='invlog', log_base=10)
+    fp_out = str(tmp_path / 'qdm_invlog.h5')
+    out = calc.run(fp_out=fp_out)
+    key = 'bias_rsds_params'
+    params = out[key]
+    finite_rows = np.isfinite(params).all(axis=-1)
+    assert finite_rows.any()
+    diffs = np.diff(params, axis=-1)[finite_rows]
+    assert np.all(diffs >= 0)
+    import json
+
+    with h5py.File(fp_out) as f:
+        cfg = json.loads(f.attrs['cfg'])
+        assert cfg['sampling'] == 'invlog'
+        assert float(cfg['log_base']) == 10
+    # the runtime transform reconstructs the invlog quantile grid from
+    # the file's cfg and applies cleanly
+    from sup3r_tpu.bias.transforms import (
+        get_date_range_kwargs,
+        local_qdm_bc,
+    )
+
+    lat_lon = calc.bias_dh.lat_lon
+    data = np.random.default_rng(0).random((4, 4, 50)).astype(
+        np.float32) * 300
+    ti = __import__('pandas').date_range('2023-01-01', periods=50,
+                                         freq='D')
+    corrected = local_qdm_bc(data, lat_lon, 'ghi', 'rsds', fp_out,
+                             get_date_range_kwargs(ti))
+    assert corrected.shape == data.shape
+    assert np.isfinite(corrected).any()
