@@ -253,3 +253,20 @@ def test_run_qa(tmp_path):
     info = EraDownloader.run_qa(fp)
     assert info['features'] == ['u_100m']
     assert info['shape'][2] == 6
+
+
+def test_default_hours_by_product_type():
+    """Hour lists per CDS product type (reference:
+    era_downloader.py:129-144): hourly reanalysis = 24 steps,
+    monthly means = one step, ensemble products = 3-hourly."""
+    from sup3r_tpu.utilities.era_downloader import default_hours
+
+    assert default_hours('reanalysis') == [
+        f'{h:02d}:00' for h in range(24)]
+    assert default_hours('monthly_averaged_reanalysis') == ['00:00']
+    assert default_hours('monthly_averaged_ensemble_members') == [
+        '00:00']
+    assert default_hours('monthly_averaged_reanalysis_by_hour_of_day'
+                         ) == [f'{h:02d}:00' for h in range(24)]
+    assert default_hours('ensemble_mean') == [
+        f'{h:02d}:00' for h in range(0, 24, 3)]
