@@ -195,6 +195,10 @@ def get_dset_attrs(feature):
 
 def _safe_cast(obj):
     """Cast non-JSON-serializable values for serialization."""
+    if isinstance(obj, np.bool_):
+        # before np.integer: str(np.False_) == 'False' is TRUTHY on
+        # json reload, silently flipping boolean meta flags
+        return bool(obj)
     if isinstance(obj, (np.integer,)):
         return int(obj)
     if isinstance(obj, (np.floating,)):

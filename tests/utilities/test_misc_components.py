@@ -117,3 +117,56 @@ def test_stats_cache_roundtrip(tmp_path):
     s2 = StatsCollection(other, means=means_fp, stds=stds_fp)
     assert s2.means == s1.means
     assert s2.stds == s1.stds
+
+
+def test_safe_serialize_numpy_and_slices():
+    """safe_serialize handles numpy scalars/arrays and slices the way
+    model_params/meta writing requires (reference:
+    sup3r/utilities/utilities.py safe_serialize)."""
+    import json
+
+    import numpy as np
+
+    from sup3r_tpu.utilities import safe_serialize
+
+    payload = {
+        'i': np.int64(3), 'f': np.float32(1.5),
+        'arr': np.arange(3, dtype=np.float64),
+        'sl': slice(2, 10, 2), 'nested': {'b': np.bool_(True)},
+    }
+    out = json.loads(safe_serialize(payload))
+    assert out['i'] == 3 and abs(out['f'] - 1.5) < 1e-6
+    assert out['arr'] == [0.0, 1.0, 2.0]
+    assert out['nested']['b'] is True  # np.bool_ -> real bool
+    assert json.loads(safe_serialize(
+        {'flag': np.bool_(False)}))['flag'] is False
+
+
+def test_get_dset_attrs_known_and_unknown():
+    """Known output features resolve their OUTPUT_ATTRS (scale factor,
+    dtype); unknown features warn and fall back to float32
+    (reference: sup3r/utilities/utilities.py get_dset_attrs +
+    OUTPUT_ATTRS table)."""
+    import warnings
+
+    from sup3r_tpu.utilities import get_dset_attrs
+
+    attrs, dtype = get_dset_attrs('windspeed_100m')
+    assert 'scale_factor' in attrs
+    assert dtype == attrs.get('dtype', 'float32')
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        attrs, dtype = get_dset_attrs('totally_novel_feature')
+    assert attrs == {} and dtype == 'float32'
+    assert any('OUTPUT_ATTRS' in str(x.message) for x in w)
+
+
+def test_timer_accumulates():
+    from sup3r_tpu.utilities import Timer
+
+    timer = Timer()
+    def work(n):
+        return sum(range(n))
+    assert timer(work)(100) == sum(range(100))
+    assert 'work' in timer.log
+    assert timer.log['work'] >= 0
