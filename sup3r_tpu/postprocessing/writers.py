@@ -266,12 +266,14 @@ class OutputHandlerNC(OutputHandler):
                       meta_data=None, max_workers=None, gids=None,
                       invert_uv=False, nn_fill=False):
         # NC output keeps raw u/v by default (gridded intermediate
-        # chunks feed downstream models, not rex consumers)
-        if invert_uv or nn_fill:
-            data, features = cls._transform_output(
-                np.asarray(data, dtype=np.float32), list(features),
-                lat_lon, max_workers, invert_uv=invert_uv,
-                nn_fill=nn_fill)
+        # chunks feed downstream models, not rex consumers) but still
+        # enforces physical limits like the reference NC writer
+        # (reference: tests/output/test_output_handling.py:240-259
+        # caps clearsky_ratio to [0, 1] through _write_output)
+        data, features = cls._transform_output(
+            np.asarray(data, dtype=np.float32), list(features),
+            lat_lon, max_workers, invert_uv=invert_uv,
+            nn_fill=nn_fill)
         from scipy.io import netcdf_file
 
         data = np.asarray(data, dtype=np.float32)

@@ -195,3 +195,28 @@ def test_collect_h5_n_writes(tmp_path):
     with h5py.File(out1, 'r') as f1, h5py.File(out2, 'r') as f2:
         np.testing.assert_array_equal(f1['windspeed_100m'][:],
                                       f2['windspeed_100m'][:])
+
+
+def test_nc_writer_enforces_limits(tmp_path):
+    """The NC writer caps physically bounded features on write even in
+    its default raw-u/v mode — clearsky_ratio lands in [0, 1]
+    (reference: tests/output/test_output_handling.py:240-259)."""
+    import pandas as pd
+
+    from sup3r_tpu.postprocessing.writers import OutputHandlerNC
+    from sup3r_tpu.preprocessing.loaders import Loader
+
+    data = np.random.default_rng(0).uniform(
+        -100, 100, (10, 10, 10, 1)).astype(np.float32)
+    lat, lon = np.meshgrid(np.linspace(40, 39, 10),
+                           np.linspace(-105, -104, 10), indexing='ij')
+    lat_lon = np.dstack([lat, lon])
+    times = pd.date_range('2021-01-01', periods=10, freq='D')
+    fp = str(tmp_path / 'out_csr.nc')
+    OutputHandlerNC._write_output(data=data,
+                                  features=['clearsky_ratio'],
+                                  lat_lon=lat_lon, times=times,
+                                  out_file=fp)
+    arr = np.asarray(Loader(fp).data['clearsky_ratio'])
+    assert float(arr.max()) <= 1.0
+    assert float(arr.min()) >= 0.0
