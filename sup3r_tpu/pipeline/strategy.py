@@ -81,11 +81,20 @@ class ForwardPassStrategy:
     bias_correct_kwargs: dict = field(default_factory=dict)
     allowed_const: Union[bool, list] = False
     incremental: bool = True
+    #: minimum padded chunk widths required by the generator; None =
+    #: derived from the model's layer config (reference default is a
+    #: user-supplied (4, 4, 4), strategy.py:109)
+    min_width: Optional[tuple] = None
     #: invert u/v output pairs to windspeed/winddirection on write;
     #: None = the reference default (True for H5, False for NetCDF)
     invert_uv: Optional[bool] = None
     #: NN-fill out-of-physical-range output values instead of clipping
-    nn_fill: bool = False
+    #: (reference default True, strategy.py:177)
+    nn_fill: bool = True
+    #: accepted for reference-config compatibility; a no-op here (the
+    #: reference uses it to pin TF inference onto CPU,
+    #: strategy.py:201 — device placement is explicit in this build)
+    use_cpu: bool = True
     output_workers: int = 1
     pass_workers: int = 1
     max_nodes: int = 1
@@ -150,11 +159,13 @@ class ForwardPassStrategy:
             for i, c in enumerate(self.fwp_chunk_shape))
         self.fwp_chunk_shape = chunk_shape
 
-        min_width = getattr(model, 'min_input_width', None)
-        if callable(min_width):
-            min_width = None
-        if min_width is None and hasattr(model, '_gen'):
-            min_width = model._gen.min_input_width
+        min_width = self.min_width
+        if min_width is None:
+            min_width = getattr(model, 'min_input_width', None)
+            if callable(min_width):
+                min_width = None
+            if min_width is None and hasattr(model, '_gen'):
+                min_width = model._gen.min_input_width
         if min_width is not None and len(min_width) == 2:
             min_width = (*min_width, 1)
 

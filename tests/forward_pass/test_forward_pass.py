@@ -347,3 +347,24 @@ def test_fwp_invert_uv_option(tmp_path):
         assert f['u_100m'].dtype == np.int16
         assert u.min() < 50, 'suspicious wrap to large positives'
         assert abs(u).max() <= 120
+
+
+def test_strategy_reference_compat_kwargs(tmp_path):
+    """Reference-config strategy kwargs: min_width overrides the
+    model-derived value and reaches the slicer; use_cpu is accepted
+    (documented no-op); nn_fill defaults True like the reference
+    (reference: strategy.py:109,177,201)."""
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (12, 12, 8), ['u_100m', 'v_100m'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+    strategy = ForwardPassStrategy(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(6, 6, 4),
+        spatial_pad=1, temporal_pad=1,
+        min_width=(5, 5, 3), use_cpu=True,
+        out_pattern=None)
+    assert strategy.fwp_slicer.min_width == (5, 5, 3)
+    assert strategy.nn_fill is True
+    outputs = ForwardPass.run(strategy, 0)
+    assert outputs and all(o is not None for o in outputs.values())
