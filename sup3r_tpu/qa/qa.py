@@ -23,13 +23,23 @@ class Sup3rQa:
 
     def __init__(self, source_file_paths, out_file_path, s_enhance,
                  t_enhance, temporal_coarsening_method='average',
-                 features=None, input_handler_name=None,
+                 features=None, source_features=None, output_names=None,
+                 input_handler_name=None,
                  input_handler_kwargs=None, bias_correct_method=None,
-                 bias_correct_kwargs=None, qa_fp=None):
+                 bias_correct_kwargs=None, qa_fp=None,
+                 save_sources=True):
+        """``source_features``: source dataset names when they differ
+        from the output feature names (e.g. features='ghi',
+        source_features='rsds'); ``output_names``: qa-file dataset
+        names per feature; ``temporal_coarsening_method`` may be a
+        list with one method per feature; ``save_sources`` also writes
+        the re-coarsened synthetic + true low-res data to qa_fp
+        (reference: qa.py:45-152)."""
         self.s_enhance = s_enhance
         self.t_enhance = t_enhance
         self.t_method = temporal_coarsening_method
         self.qa_fp = qa_fp
+        self.save_sources = save_sources
         self.output_type = get_source_type(out_file_path)
         self.out_file_path = out_file_path
 
@@ -45,11 +55,24 @@ class Sup3rQa:
         self.features = features or [
             f for f in out_features
             if f not in ('topography',)]
+        if isinstance(self.features, str):
+            self.features = [self.features]
+        if isinstance(source_features, str):
+            source_features = [source_features]
+        if isinstance(output_names, str):
+            output_names = [output_names]
+        self._explicit_sources = list(source_features or [])
+        self.output_names = list(output_names or self.features)
+        assert len(self.output_names) == len(self.features), (
+            'output_names must align with features')
+        if self._explicit_sources:
+            assert len(self._explicit_sources) == len(self.features), (
+                'source_features must align with features')
 
         # source (low-res) data
         HandlerClass = get_input_handler_class(input_handler_name)
-        source_features = [self._source_feature(f)
-                           for f in self.features]
+        source_features = [self._source_feature(f, i)
+                           for i, f in enumerate(self.features)]
         flat_source = [f for grp in source_features
                        for f in (grp if isinstance(grp, list)
                                  else [grp])]
@@ -70,9 +93,14 @@ class Sup3rQa:
                 self.input_handler.time_index,
                 bias_correct_method, self.bias_correct_kwargs)
 
-    def _source_feature(self, feature):
-        """Source feature name(s) for an output feature: windspeed_100m
-        output comes from u/v_100m source (reference: qa.py:282)."""
+    def _source_feature(self, feature, idx=None):
+        """Source feature name(s) for an output feature: explicit
+        ``source_features`` mapping wins, else windspeed_100m output
+        comes from u/v_100m source (reference: qa.py:220-282)."""
+        if self._explicit_sources and idx is not None:
+            return self._explicit_sources[idx]
+        if self._explicit_sources and feature in self.features:
+            return self._explicit_sources[self.features.index(feature)]
         if feature.startswith('windspeed_'):
             h = feature.split('_')[-1]
             return [f'u_{h}', f'v_{h}']
@@ -91,14 +119,18 @@ class Sup3rQa:
             return flat.T.reshape(s1, s2, -1)
         return np.asarray(self.output_handler.data[name])
 
-    def coarsen_data(self, data):
-        """HR (s1, s2, t) -> LR by block mean + temporal reduction."""
+    def coarsen_data(self, data, idx=None):
+        """HR (s1, s2, t) -> LR by block mean + temporal reduction.
+        ``temporal_coarsening_method`` may be a per-feature list
+        (reference: qa.py:81-86)."""
+        method = self.t_method
+        if isinstance(method, (list, tuple)):
+            method = method[idx or 0]
         out = spatial_coarsening(data[..., None], self.s_enhance,
                                  obs_axis=False)[..., 0]
         if self.t_enhance > 1:
             out = temporal_coarsening(
-                out[None, ..., None], self.t_enhance,
-                self.t_method)[0, ..., 0]
+                out[None, ..., None], self.t_enhance, method)[0, ..., 0]
         return out
 
     def get_source_dset(self, feature):
@@ -111,22 +143,32 @@ class Sup3rQa:
             v = self.input_handler.data[source[1]]
             ws, wd = invert_uv(u, v, self.input_handler.lat_lon)
             return ws if feature.startswith('windspeed') else wd
-        return self.input_handler.data[feature]
+        return self.input_handler.data[source]
 
     def run(self):
-        """Compute per-feature error arrays; optionally write qa_fp."""
+        """Compute per-feature error arrays; optionally write qa_fp
+        (with the re-coarsened synthetic + true source data too when
+        ``save_sources`` — reference: qa.py:505-510)."""
         errors = {}
-        for feature in self.features:
+        to_write = {}
+        for i, feature in enumerate(self.features):
+            dset_out = self.output_names[i]
             synth = self.get_dset_out(feature)
-            coarse = self.coarsen_data(synth)
+            coarse = self.coarsen_data(synth, i)
             source = np.asarray(self.get_source_dset(feature))
             t = min(coarse.shape[2], source.shape[2])
-            err = coarse[:, :, :t] - source[:, :, :t]
-            errors[f'{feature}_error'] = err.astype(np.float32)
+            coarse, source = coarse[:, :, :t], source[:, :, :t]
+            err = (coarse - source).astype(np.float32)
+            errors[f'{dset_out}_error'] = err
+            to_write[f'{dset_out}_error'] = err
+            if self.save_sources:
+                to_write[f'{dset_out}_synthetic'] = coarse.astype(
+                    np.float32)
+                to_write[f'{dset_out}_true'] = source.astype(np.float32)
             logger.info('QA "%s": mean abs error %.4f', feature,
                         float(np.abs(err).mean()))
         if self.qa_fp is not None:
-            self.export(self.qa_fp, errors)
+            self.export(self.qa_fp, to_write)
         return errors
 
     def export(self, qa_fp, errors):

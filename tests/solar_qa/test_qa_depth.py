@@ -92,3 +92,52 @@ def test_qa_bias_corrected_source(h5_qa_setup):
     ws, _ = invert_uv(np.asarray(src['u_100m']),
                       np.asarray(src['v_100m']), src.lat_lon)
     np.testing.assert_allclose(bc, base - ws, atol=0.05)
+
+
+def test_qa_source_features_and_output_names(tmp_path):
+    """features='ghi' validated against source_features='rsds' (simple
+    alternative-name lookup) with output_names renaming the qa
+    datasets; save_sources also writes synthetic/true rasters
+    (reference: qa.py:90-129, 505-510)."""
+    import h5py
+
+    from sup3r_tpu.postprocessing.writers import OutputHandlerNC
+    from sup3r_tpu.qa import Sup3rQa
+
+    src_fp = make_fake_nc_file(str(tmp_path / 'src.nc'), (6, 6, 8),
+                               ['rsds'])
+    src = LoaderNC(src_fp).data
+    hr = _enhanced(np.asarray(src['rsds']), 2, 2)
+    lat = np.linspace(40.0, 39.0, 12)
+    lon = np.linspace(-105.5, -104.3, 12)
+    lat_lon = np.dstack(np.meshgrid(lat, lon, indexing='ij'))
+    times = pd.date_range('2023-01-01', periods=16, freq='30min')
+    out_fp = str(tmp_path / 'out.nc')
+    OutputHandlerNC._write_output(hr[..., None].astype(np.float32),
+                                  ['ghi'], lat_lon, times, out_fp)
+    qa_fp = str(tmp_path / 'qa.h5')
+    qa = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                 temporal_coarsening_method=['average'],
+                 features='ghi', source_features='rsds',
+                 output_names='ghi_qa', qa_fp=qa_fp)
+    errors = qa.run()
+    qa.close()
+    assert set(errors) == {'ghi_qa_error'}
+    # constant-enhanced output re-coarsens exactly back to the source
+    np.testing.assert_allclose(errors['ghi_qa_error'], 0, atol=1e-4)
+    with h5py.File(qa_fp) as f:
+        assert 'ghi_qa_error' in f
+        assert 'ghi_qa_synthetic' in f and 'ghi_qa_true' in f
+        np.testing.assert_allclose(f['ghi_qa_synthetic'][:],
+                                   f['ghi_qa_true'][:], atol=1e-4)
+
+    # save_sources=False writes only the error dataset
+    qa_fp2 = str(tmp_path / 'qa2.h5')
+    qa2 = Sup3rQa(src_fp, out_fp, s_enhance=2, t_enhance=2,
+                  features='ghi', source_features='rsds',
+                  qa_fp=qa_fp2, save_sources=False)
+    qa2.run()
+    qa2.close()
+    with h5py.File(qa_fp2) as f:
+        assert 'ghi_error' in f
+        assert 'ghi_synthetic' not in f
