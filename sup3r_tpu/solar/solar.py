@@ -26,7 +26,7 @@ class Solar:
     """Compute irradiance for one spatiotemporal chunk of GAN csr
     output."""
 
-    def __init__(self, sup3r_fps, nsrdb_fp, t_slice=slice(None), tz=-6,
+    def __init__(self, sup3r_fps, nsrdb_fp, t_slice=slice(None), tz=-7,
                  agg_factor=1, nn_threshold=0.5, cloud_threshold=0.99):
         """
         Parameters
@@ -260,7 +260,7 @@ class Solar:
 
     @classmethod
     def run_temporal_chunks(cls, fp_pattern, nsrdb_fp,
-                            fp_out_suffix='irradiance', tz=-6,
+                            fp_out_suffix='irradiance', tz=-7,
                             agg_factor=1, nn_threshold=0.5,
                             cloud_threshold=0.99, features=('ghi',
                                                             'dni',
