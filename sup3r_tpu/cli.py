@@ -307,6 +307,8 @@ def pipeline(ctx, monitor, cancel):
         # (reference: gaps Pipeline.cancel_all)
         n = 0
         for module, jobs in status.read().items():
+            if module.startswith('__'):
+                continue
             for job_name, job in jobs.items():
                 if job.get('job_status') not in ('submitted',
                                                  'running'):

@@ -18,6 +18,31 @@ logger = logging.getLogger(__name__)
 
 STATUS_FILE = '.status.json'
 
+#: Store format version. v2 = module keys ``module#cfghash`` and job
+#: names ``module#cfghash_cfgtag_i``. Unversioned (legacy) stores used
+#: plain ``module`` / ``module-{idx}`` keys with ``..._{i}`` job names;
+#: they are read through :meth:`Status._legacy_lookup` so old runs
+#: still skip previously successful jobs (parity with gaps Status
+#: stability, reference: sup3r/utilities/cli.py:214-267).
+STATUS_VERSION = 2
+
+
+def _legacy_module_keys(status, module):
+    """Keys in an unversioned store that could be legacy spellings of
+    ``module``: the bare module name (round-1 format) and indexed
+    ``module-{n}`` names (repeated-module format)."""
+    base = module.split('#')[0]
+    out = []
+    for key in status:
+        if key == module or key.startswith('__'):
+            continue
+        if key == base:
+            out.append(key)
+        elif (key.startswith(base + '-')
+              and key[len(base) + 1:].isdigit()):
+            out.append(key)
+    return out
+
 
 class Status:
     """Tiny file-backed job status store."""
@@ -33,17 +58,62 @@ class Status:
                 return json.load(f)
         return {}
 
+    @staticmethod
+    def _is_legacy(status):
+        """Whether a loaded store predates the versioned key format."""
+        return bool(status) and '__version__' not in status
+
     def _write(self, status):
         """Atomically persist the full status dict."""
         os.makedirs(self.run_dir, exist_ok=True)
+        status.setdefault('__version__', STATUS_VERSION)
         tmp = self.fp + '.tmp'
         with open(tmp, 'w') as f:
             json.dump(status, f, indent=2)
         os.replace(tmp, self.fp)
 
+    def _legacy_lookup(self, status, module, job_name=None):
+        """Resolve a (module[, job]) query against legacy key
+        spellings. Returns the module's job dict (possibly merged
+        across aliases) or, with ``job_name``, that job's record or
+        None. Consulted for unversioned stores and for keys recorded
+        in ``__legacy__`` at migration time — new versioned keys keep
+        the strict config-hash isolation."""
+        legacy = (None if self._is_legacy(status)
+                  else set(status.get('__legacy__', [])))
+        keys = [k for k in _legacy_module_keys(status, module)
+                if legacy is None or k in legacy]
+        if not keys:
+            return {} if job_name is None else None
+        merged = {}
+        for key in keys:
+            merged.update(status.get(key, {}))
+        if job_name is None:
+            return merged
+        # current job names carry the module key + a config tag:
+        # ``{module}_{cfgtag}_{i}``; legacy names were ``{key}_{i}``
+        tail = job_name.rsplit('_', 1)[-1]
+        if not tail.isdigit():
+            return merged.get(job_name)
+        for key in keys:
+            rec = status.get(key, {}).get(f'{key}_{tail}')
+            if rec is not None:
+                return rec
+        return None
+
+    @staticmethod
+    def _mark_legacy(status):
+        """When mutating a store that predates versioning, record its
+        pre-existing keys so they keep resolving as legacy aliases
+        after the write stamps ``__version__``."""
+        if Status._is_legacy(status):
+            status['__legacy__'] = [
+                k for k in status if not k.startswith('__')]
+
     def update(self, module, job_name, **kwargs):
         """Merge a job record."""
         status = self.read()
+        self._mark_legacy(status)
         job = status.setdefault(module, {}).setdefault(job_name, {})
         job.update(kwargs)
         job['time'] = time.strftime('%Y-%m-%d %H:%M:%S')
@@ -54,6 +124,7 @@ class Status:
         (mirrors gaps' resubmit behavior; successful jobs keep their
         skip-on-rerun records)."""
         status = self.read()
+        self._mark_legacy(status)
         jobs = status.get(module, {})
         failed = [k for k, j in jobs.items()
                   if j.get('job_status') == 'failed']
@@ -65,19 +136,27 @@ class Status:
 
     def job_status(self, module, job_name):
         """'successful' | 'failed' | 'running' | None."""
-        return self.read().get(module, {}).get(job_name, {}).get(
-            'job_status')
+        status = self.read()
+        rec = status.get(module, {}).get(job_name)
+        if rec is None:
+            rec = self._legacy_lookup(status, module, job_name)
+        return (rec or {}).get('job_status')
 
     def module_successful(self, module):
         """True if the module has jobs and all are successful."""
-        jobs = self.read().get(module, {})
+        status = self.read()
+        jobs = status.get(module, {}) or self._legacy_lookup(
+            status, module)
         return bool(jobs) and all(
             j.get('job_status') == 'successful' for j in jobs.values())
 
     def module_failed(self, module):
         """True if any job of the module is failed."""
+        status = self.read()
+        jobs = status.get(module, {}) or self._legacy_lookup(
+            status, module)
         return any(j.get('job_status') == 'failed'
-                   for j in self.read().get(module, {}).values())
+                   for j in jobs.values())
 
     def poll(self, module=None, squeue_fn=None, sacct_fn=None):
         """Transition submitted/running SLURM jobs to their real state
@@ -94,7 +173,8 @@ class Status:
         squeue_fn = squeue_fn or _squeue_state
         sacct_fn = sacct_fn or _sacct_state
         status = self.read()
-        modules = [module] if module is not None else list(status)
+        modules = ([module] if module is not None
+                   else [m for m in status if not m.startswith('__')])
         for mod in modules:
             for job_name, job in status.get(mod, {}).items():
                 state = job.get('job_status')
