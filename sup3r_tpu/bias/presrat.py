@@ -118,49 +118,219 @@ class PresRat(QuantileDeltaMappingCorrection):
                                                         np.float32)
         return out
 
+    # ------------------------------------------------------------------
+    # batched all-gid path
+    def _feature_raster(self, dh):
+        """(s1, s2, T) float32 feature raster with decimals rounding
+        (same preprocessing as the per-gid ``get_bias_data``)."""
+        arr = np.asarray(dh.data[self.bias_feature], dtype=np.float32)
+        if self.decimals is not None:
+            arr = np.round(arr, self.decimals)
+        return arr
+
+    def _correct_fut_raster(self, bias_params, fut_params, base_params,
+                            fut_arr, fut_ti, use_device=False):
+        """Windowed relative QDM of the future raster for ALL gids at
+        once: (s1, s2, Tf). Window-by-window application preserves the
+        per-gid path's later-window-overwrites semantics for
+        overlapping custom window sizes."""
+        from sup3r_tpu.bias.qdm_math import (
+            qdm_transform_device,
+            sampled_quantiles,
+        )
+
+        s1, s2, _ = fut_arr.shape
+        nq = self.n_quantiles
+        corrected = np.full(fut_arr.shape, np.nan, np.float32)
+        quantiles = sampled_quantiles(nq, self.sampling, self.log_base)
+        if use_device:
+            import jax
+
+            transform = jax.jit(
+                lambda d, oh, mh, mf: qdm_transform_device(
+                    d, oh, mh, mf,
+                    np.asarray(quantiles, np.float32),
+                    relative=self.relative,
+                    delta_denom_min=self.zero_rate_threshold))
+        for nt, d0 in enumerate(self.time_window_center):
+            fut_idx = window_mask(fut_ti.dayofyear, d0,
+                                  self.window_size)
+            if not fut_idx.any():
+                continue
+            oh = base_params[:, :, nt, :].reshape(-1, nq)
+            mh = bias_params[:, :, nt, :].reshape(-1, nq)
+            mf = fut_params[:, :, nt, :].reshape(-1, nq)
+            data = fut_arr[:, :, fut_idx].reshape(s1 * s2, -1)
+            if use_device:
+                res = np.asarray(transform(data, oh, mh, mf))
+            else:
+                qdm = QuantileDeltaMapping(
+                    oh, mh, mf, relative=self.relative,
+                    sampling=self.sampling, log_base=self.log_base,
+                    delta_denom_min=self.zero_rate_threshold)
+                res = qdm(data.T).T
+            corrected[:, :, fut_idx] = res.reshape(s1, s2, -1)
+        return corrected
+
+    @staticmethod
+    def _tau_fut_raster(bias_arr, fut_arr, corrected, zero_rate):
+        """Vectorized ``calc_tau_fut`` over all gids: per-gid dry-day
+        thresholds from sorted series (reference: presrat.py:96)."""
+        s1, s2, tb = bias_arr.shape
+        valid_gid = np.isfinite(zero_rate)
+        zr = np.where(valid_gid, zero_rate, 0.0)
+        nth = np.minimum(np.round(zr * tb), tb - 1).astype(np.int64)
+        tau = np.take_along_axis(np.sort(bias_arr, axis=-1),
+                                 nth[..., None], axis=-1)[..., 0]
+        valid = np.isfinite(corrected)
+        n_valid = valid.sum(axis=-1)
+        cnt = ((fut_arr < tau[..., None]) & valid).sum(axis=-1)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            z_fg = cnt / n_valid
+        idx = np.minimum(np.round(np.where(n_valid > 0, z_fg, 0)
+                                  * n_valid),
+                         np.maximum(n_valid - 1, 0)).astype(np.int64)
+        # NaNs sort last, so the first n_valid entries are the finite
+        # corrected values the per-gid path sorted
+        sc = np.sort(corrected, axis=-1)
+        tau_fut = np.take_along_axis(sc, idx[..., None],
+                                     axis=-1)[..., 0]
+        bad = ~valid_gid | (n_valid == 0)
+        tau_fut = np.where(bad, np.nan, tau_fut).astype(np.float32)
+        return tau_fut
+
+    def _k_factor_raster(self, bias_arr, fut_arr, corrected, mean_oh,
+                         bias_ti, fut_ti):
+        """Vectorized ``calc_k_factor``: K = (<mf>/<mh>) / (<qdm(mf)>
+        /<oh>) per window per gid (reference: presrat.py:253)."""
+        import warnings
+
+        s1, s2 = bias_arr.shape[:2]
+        k = np.full((s1, s2, self.n_time_steps), np.nan, np.float32)
+        for nt, d0 in enumerate(self.time_window_center):
+            bias_idx = window_mask(bias_ti.dayofyear, d0,
+                                   self.window_size)
+            fut_idx = window_mask(fut_ti.dayofyear, d0,
+                                  self.window_size)
+            if not (bias_idx.any() and fut_idx.any()):
+                continue
+            # float32 accumulation on purpose: matches the per-gid
+            # scalar math (base/bias series are float32) bit-for-bit
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore', RuntimeWarning)
+                mean_mh = np.nanmean(bias_arr[:, :, bias_idx],
+                                     axis=-1)
+                mean_mf = np.nanmean(fut_arr[:, :, fut_idx], axis=-1)
+                mean_corr = np.nanmean(corrected[:, :, fut_idx],
+                                       axis=-1)
+            denom = mean_corr * mean_mh
+            with np.errstate(divide='ignore', invalid='ignore'):
+                kk = (mean_mf * mean_oh[:, :, nt]) / denom
+            ok = np.isfinite(denom) & (denom != 0) & np.isfinite(kk)
+            k[:, :, nt] = np.where(ok, kk, np.nan).astype(np.float32)
+        return k
+
     def run(self, fp_out=None, max_workers=1, daily_reduction='avg',
-            fill_extend=True, smooth_extend=0, smooth_interior=0):
+            fill_extend=True, smooth_extend=0, smooth_interior=0,
+            use_device=None):
+        """Compute QDM params + tau/zero-rate/K rasters for every gid.
+
+        All-gid batched: the windowed CDFs, the QDM correction of the
+        future series, and the tau/K statistics are vectorized over
+        the full raster (``use_device=True`` routes the percentiles
+        and the QDM transform through jitted dispatches; ``None``
+        auto-enables that on TPU). Only the per-gid baseline retrieval
+        — irregular neighbor aggregation — runs in the threaded gid
+        loop. Replaces the reference's per-gid ProcessPoolExecutor
+        (reference: sup3r/bias/bias_calc.py:191-255, presrat.py:96-253;
+        SURVEY §2.7 per-gid parallelism row)."""
+        use_device = self._resolve_use_device(use_device)
         out = self._init_out()
+        from sup3r_tpu.bias.qdm import _run_gid_loop
+        from sup3r_tpu.bias.qdm_math import sampled_quantiles
+
+        quantiles = sampled_quantiles(self.n_quantiles, self.sampling,
+                                      self.log_base) * 100
+        shape = self.bias_gid_raster.shape
+        zero_rate = np.full(shape, np.nan, np.float32)
+        mean_oh = np.full((*shape, self.n_time_steps), np.nan,
+                          np.float32)
+        base_key = f'base_{self.base_dset}_params'
+        bias_key = f'bias_{self.bias_feature}_params'
+        fut_key = f'bias_fut_{self.bias_feature}_params'
+        valid_gids = np.zeros(self.bias_gid_raster.size, dtype=bool)
+        base_tis = {}
 
         def one_gid(bias_gid):
             base_data, base_ti = self.get_base_data(
                 bias_gid, daily_reduction=daily_reduction)
             if base_data is None:
                 return bias_gid, None
-            bias_data = self.get_bias_data(bias_gid)
-            fut_data = self.get_bias_fut_data(bias_gid)
-            bias_ti = self.bias_time_index
-            fut_ti = self.bias_fut_dh.time_index
-            single = self._windowed_params(
-                bias_data, fut_data, base_data, bias_ti, fut_ti,
-                base_ti)
-            corrected = self._correct_fut(
-                bias_data, fut_data, base_data, bias_ti, fut_ti,
-                base_ti)
-            valid = np.isfinite(corrected)
-            tau_fut, zero_rate = self.calc_tau_fut(
-                base_data, bias_data, fut_data[valid],
-                corrected[valid], self.zero_rate_threshold)
-            k = self.calc_k_factor(base_data, bias_data, fut_data,
-                                   corrected, base_ti, bias_ti, fut_ti)
-            return bias_gid, (single, tau_fut, zero_rate, k)
-
-        from sup3r_tpu.bias.qdm import _run_gid_loop
+            rows = np.full((self.n_time_steps, self.n_quantiles),
+                           np.nan, np.float32)
+            moh = np.full(self.n_time_steps, np.nan, np.float32)
+            for nt, d0 in enumerate(self.time_window_center):
+                mask = window_mask(base_ti.dayofyear, d0,
+                                   self.window_size)
+                if mask.any():
+                    rows[nt] = np.nanpercentile(base_data[mask],
+                                                quantiles)
+                    moh[nt] = np.nanmean(base_data[mask])
+            zr = zero_precipitation_rate(base_data,
+                                         self.zero_rate_threshold)
+            return bias_gid, (rows, moh, zr, base_ti)
 
         results = _run_gid_loop(one_gid, self.bias_gid_raster.size,
                                 max_workers)
         for bias_gid, res in results:
             if res is None:
                 continue
-            single, tau_fut, zero_rate, k = res
-            row, col = np.unravel_index(bias_gid,
-                                        self.bias_gid_raster.shape)
-            for key, v in single.items():
-                out[key][row, col] = v
-            out[f'{self.bias_feature}_tau_fut'][row, col, 0] = tau_fut
-            out[f'{self.bias_feature}_k_factor'][row, col] = k
-            out[f'{self.bias_feature}_zero_rate'][row, col, 0] = \
-                zero_rate
+            rows, moh, zr, base_ti = res
+            valid_gids[bias_gid] = True
+            base_tis.setdefault('ti', base_ti)
+            row, col = np.unravel_index(bias_gid, shape)
+            out[base_key][row, col] = rows
+            mean_oh[row, col] = moh
+            zero_rate[row, col] = zr
+
+        bias_ti = self.bias_time_index
+        fut_ti = self.bias_fut_dh.time_index
+        bias_arr = self._feature_raster(self.bias_dh)
+        fut_arr = self._feature_raster(self.bias_fut_dh)
+        out[bias_key] = self._windowed_params_raster(
+            bias_arr, bias_ti, use_device=use_device)
+        out[fut_key] = self._windowed_params_raster(
+            fut_arr, fut_ti, use_device=use_device)
+
+        corrected = self._correct_fut_raster(
+            out[bias_key], out[fut_key], out[base_key], fut_arr,
+            fut_ti, use_device=use_device)
+        invalid = ~valid_gids.reshape(shape)
+        corrected[invalid] = np.nan
+
+        out[f'{self.bias_feature}_tau_fut'][..., 0] = \
+            self._tau_fut_raster(bias_arr, fut_arr, corrected,
+                                 zero_rate)
+        out[f'{self.bias_feature}_k_factor'][:] = self._k_factor_raster(
+            bias_arr, fut_arr, corrected, mean_oh, bias_ti, fut_ti)
+        out[f'{self.bias_feature}_zero_rate'][..., 0] = zero_rate
+
+        # reference semantics (qdm.py:415-430): a window's params only
+        # exist when base AND bias AND fut all have samples in it
+        if 'ti' in base_tis:
+            window_ok = np.array([
+                window_mask(base_tis['ti'].dayofyear, d0,
+                            self.window_size).any()
+                and window_mask(bias_ti.dayofyear, d0,
+                                self.window_size).any()
+                and window_mask(fut_ti.dayofyear, d0,
+                                self.window_size).any()
+                for d0 in self.time_window_center])
+            for key in (base_key, bias_key, fut_key):
+                out[key][:, :, ~window_ok, :] = np.nan
+        out[bias_key][invalid] = np.nan
+        out[fut_key][invalid] = np.nan
+
         flat = {k: v.reshape(*v.shape[:2], -1) for k, v in out.items()}
         flat = self.fill_and_smooth(flat, fill_extend, smooth_extend,
                                     smooth_interior)

@@ -192,16 +192,32 @@ class QuantileDeltaMappingCorrection(FillAndSmoothMixin,
             out[:, :, nt, :] = np.transpose(res, (1, 2, 0))
         return out
 
+    @staticmethod
+    def _resolve_use_device(use_device):
+        """``use_device=None`` auto-enables the device path when an
+        accelerator backs jax (TPU here; the host path is the right
+        default on CPU where numpy float64 is both exact and fast)."""
+        if use_device is not None:
+            return bool(use_device)
+        try:
+            import jax
+
+            return jax.default_backend() not in ('cpu',)
+        except Exception:  # pragma: no cover - jax always importable
+            return False
+
     def run(self, fp_out=None, max_workers=1, daily_reduction='avg',
             fill_extend=True, smooth_extend=0, smooth_interior=0,
-            use_device=False):
+            use_device=None):
         """Compute QDM parameter rasters for every gid; write to H5.
 
         The bias / bias_fut windowed CDFs are computed for all gids in
         batched percentile calls (``use_device=True`` runs them as one
-        jitted dispatch on the accelerator); only the baseline series
-        — irregular per-gid neighbor aggregations — runs in the
-        threaded gid loop (reference: bias_calc.py:191-255)."""
+        jitted dispatch on the accelerator; ``None`` auto-enables that
+        on TPU); only the baseline series — irregular per-gid neighbor
+        aggregations — runs in the threaded gid loop (reference:
+        bias_calc.py:191-255)."""
+        use_device = self._resolve_use_device(use_device)
         from sup3r_tpu.bias.transforms import window_mask
 
         out = self._init_out()

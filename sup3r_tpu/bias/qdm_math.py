@@ -126,3 +126,81 @@ class QuantileDeltaMapping:
                 delta = np.clip(delta, *self.delta_range)
             out = x_oh + delta
         return out.astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# device (jax) variant: same piecewise-linear empirical QDM, fp32, one
+# jitted dispatch — used by the batched all-gid bias calibrations
+# (SURVEY §2.7 per-gid parallelism row; reference fans out a
+# ProcessPoolExecutor instead, sup3r/bias/bias_calc.py:191-255).
+
+def _jx_interp_to_quantiles(x, xp, q):
+    """jax CDF evaluation for one column: values ``x`` (T,) against
+    sorted x-values ``xp`` (N,) with quantile y-values ``q`` (N,)."""
+    import jax.numpy as jnp
+
+    n = xp.shape[0]
+    idx = jnp.clip(jnp.searchsorted(xp, x, side='right'), 1, n - 1)
+    x0 = xp[idx - 1]
+    x1 = xp[idx]
+    q0 = q[idx - 1]
+    q1 = q[idx]
+    denom = jnp.where(x1 == x0, 1.0, x1 - x0)
+    frac = jnp.clip((x - x0) / denom, 0, 1)
+    return jnp.clip(q0 + frac * (q1 - q0), 0, 1)
+
+
+def _jx_interp_from_quantiles(tau, xp, q):
+    """jax inverse CDF for one column."""
+    import jax.numpy as jnp
+
+    n = xp.shape[0]
+    idx = jnp.clip(jnp.searchsorted(q, tau, side='right'), 1, n - 1)
+    q0 = q[idx - 1]
+    q1 = q[idx]
+    x0 = xp[idx - 1]
+    x1 = xp[idx]
+    denom = jnp.where(q1 == q0, 1.0, q1 - q0)
+    frac = jnp.clip((tau - q0) / denom, 0, 1)
+    return x0 + frac * (x1 - x0)
+
+
+def qdm_transform_device(data, params_oh, params_mh, params_mf,
+                         quantiles, relative=True, delta_denom_min=None,
+                         delta_denom_zero=None, delta_range=None):
+    """Traceable QDM of per-column series (vmapped over columns).
+
+    data: (C, T) biased values; params_*: (C, N) CDF x-values;
+    quantiles: (N,). Returns corrected (C, T) float32. Mirrors
+    :class:`QuantileDeltaMapping` (host/float64) at fp32 tolerance;
+    NaN params rows (invalid gids / empty windows) propagate to NaN
+    output like the host path."""
+    import jax
+    import jax.numpy as jnp
+
+    quantiles = jnp.asarray(quantiles, dtype=jnp.float32)
+
+    def one(col, oh, mh, mf):
+        tau = _jx_interp_to_quantiles(col, mf, quantiles)
+        x_oh = _jx_interp_from_quantiles(tau, oh, quantiles)
+        x_mh = _jx_interp_from_quantiles(tau, mh, quantiles)
+        if relative:
+            denom = x_mh
+            if delta_denom_zero is not None:
+                denom = jnp.where(denom == 0, delta_denom_zero, denom)
+            if delta_denom_min is not None:
+                denom = jnp.maximum(denom, delta_denom_min)
+            delta = col / denom
+            delta = jnp.where(jnp.isfinite(delta), delta, 1.0)
+            if delta_range is not None:
+                delta = jnp.clip(delta, *delta_range)
+            # x_oh NaN (invalid column) must still yield NaN even
+            # where delta was repaired to 1.0
+            return x_oh * delta
+        delta = col - x_mh
+        if delta_range is not None:
+            delta = jnp.clip(delta, *delta_range)
+        return x_oh + delta
+
+    return jax.vmap(one)(data, params_oh, params_mh,
+                         params_mf).astype(jnp.float32)
