@@ -38,7 +38,57 @@ INFER_BASELINE = 3.34e4   # TF-CPU HR voxels/s, inference (docstring)
 TRAIN_BASELINE = 9.05e3   # TF-CPU HR voxels/s, full GAN train step
                           # (scripts/baseline_tf_train.py, batch 4:
                           # 27.5 s/step measured in this image)
+TRAIN_BASELINE_BATCH = 4  # TF batch size the baseline was measured at
+                          # (per-voxel normalized; TPU step uses 16)
 V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _bench_fwp_e2e():
+    """End-to-end chunked ForwardPass (disk -> chunk prep -> device
+    batches -> crop/stitch -> H5), the BASELINE.md north-star metric's
+    system form. Small domain to bound runtime; returns voxels/s or
+    None on failure (the device-apply metrics still print)."""
+    import shutil
+    import tempfile
+
+    from sup3r_tpu.configs import get_config
+    from sup3r_tpu.models import Sup3rGan
+    from sup3r_tpu.pipeline import ForwardPass, ForwardPassStrategy
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc4_file
+
+    tmp = tempfile.mkdtemp(prefix='bench_fwp_')
+    try:
+        s1 = s2 = 40
+        t = 40
+        input_file = make_fake_nc4_file(
+            f'{tmp}/input.nc', (s1, s2, t), ['u100', 'v100'],
+            lat_range=(45.0, 42.0), lon_range=(-110.0, -107.0))
+        model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
+                         get_config('spatiotemporal/disc_test'))
+        model.meta.update(
+            lr_features=['u_100m', 'v_100m'],
+            hr_out_features=['u_100m', 'v_100m'],
+            input_resolution={'spatial': '12km', 'temporal': '60min'})
+        model.set_norm_stats({'u_100m': 0.5, 'v_100m': 0.5},
+                             {'u_100m': 0.3, 'v_100m': 0.3})
+        model.init_weights((1, 20, 20, 24, 2), (1, 60, 60, 96, 2))
+        model_dir = f'{tmp}/model'
+        model.save(model_dir)
+        strategy = ForwardPassStrategy(
+            file_paths=input_file,
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(16, 16, 20), spatial_pad=2,
+            temporal_pad=2,
+            out_pattern=f'{tmp}/out/chunk_{{file_id}}.h5',
+            device_batch_size=8, chunked_io=True)
+        t0 = time.perf_counter()
+        ForwardPass.run(strategy, 0)
+        dt = time.perf_counter() - t0
+        return (s1 * 3) * (s2 * 3) * (t * 4) / dt
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _flops(fn, *args):
@@ -148,7 +198,13 @@ def main():
         'vs_baseline': round(voxels_per_sec / INFER_BASELINE, 2),
         'train_hr_voxels_per_sec': round(train_vps, 1),
         'train_vs_baseline': round(train_vps / TRAIN_BASELINE, 2),
+        'train_baseline_batch': TRAIN_BASELINE_BATCH,
     }
+    e2e = _bench_fwp_e2e()
+    if e2e is not None:
+        # system number: single-vCPU host + ~30 MB/s tunnel fetch
+        # bound this far below the device-apply rate in this image
+        rec['fwp_e2e_hr_voxels_per_sec'] = round(e2e, 1)
     if infer_tflops is not None:
         rec['inference_tflops'] = round(infer_tflops, 2)
         rec['mfu_pct_bf16_peak'] = round(
