@@ -246,18 +246,53 @@ class SlicedWassersteinLoss:
         return jnp.mean((jnp.sort(p1, axis=1) - jnp.sort(p2, axis=1)) ** 2)
 
 
-class PerceptualLoss:
-    """Feature-map MSE with a FIXED multi-scale conv extractor.
+#: VGG16 feature-trunk topology (layer name order and pool placement;
+#: channel counts come from the imported weights themselves).
+#: Reference: keras.applications.VGG16, used at
+#: sup3r/utilities/loss_metrics.py:656.
+_VGG16_TOPOLOGY = (
+    'block1_conv1', 'block1_conv2', 'block1_pool',
+    'block2_conv1', 'block2_conv2', 'block2_pool',
+    'block3_conv1', 'block3_conv2', 'block3_conv3', 'block3_pool',
+    'block4_conv1', 'block4_conv2', 'block4_conv3', 'block4_pool',
+    'block5_conv1', 'block5_conv2', 'block5_conv3', 'block5_pool',
+)
 
-    The reference uses pretrained VGG16 feature maps (reference:
-    sup3r/utilities/loss_metrics.py:641-723); ImageNet weights are
-    unavailable offline, so this uses frozen random-projection conv
-    filters — random projections preserve feature-map geometry
-    (Johnson-Lindenstrauss) and are a standard offline stand-in.
-    NOTE: this is therefore a DIFFERENT loss surface than the
-    reference's VGG-based one; training runs that used PerceptualLoss
-    will not be numerically reproduced, only the API and the
-    multi-scale-feature-matching behavior.
+#: keras.applications.vgg16.preprocess_input 'caffe' channel means;
+#: the inputs are grayscale-replicated to 3 channels so the RGB->BGR
+#: flip is a no-op and only the per-channel mean subtraction matters.
+_VGG16_MEANS = np.array([103.939, 116.779, 123.68], dtype=np.float32)
+
+
+class PerceptualLoss:
+    """Feature-map MSE, either with imported VGG16 weights (the
+    reference's exact loss surface) or a FIXED random-projection
+    extractor (the offline default).
+
+    The reference computes MSE between pretrained-VGG16 feature maps
+    (reference: sup3r/utilities/loss_metrics.py:641-723). Pass
+    ``weights='/path/to/vgg16.npz'`` to reproduce it numerically: the
+    file maps ``<layer>/kernel`` / ``<layer>/bias`` (or
+    ``<layer>_kernel``/``_bias``) HWIO conv weights onto the VGG16
+    trunk, features are extracted at ``layer_names`` (default
+    ``['block1_conv2', 'block2_conv2']``) after caffe-style
+    ``preprocess_input`` mean subtraction. Export recipe from any
+    machine with Keras::
+
+        vgg = keras.applications.VGG16(weights='imagenet',
+                                       include_top=False)
+        arrs = {}
+        for lyr in vgg.layers:
+            if 'conv' in lyr.name:
+                k, b = lyr.get_weights()
+                arrs[f'{lyr.name}/kernel'] = k
+                arrs[f'{lyr.name}/bias'] = b
+        np.savez('vgg16.npz', **arrs)
+
+    Without ``weights``, frozen random-projection conv filters are
+    used — random projections preserve feature-map geometry
+    (Johnson-Lindenstrauss) and are a standard offline stand-in; that
+    is a DIFFERENT loss surface than VGG's, documented as such.
 
     Determinism: the default filters are a committed, versioned
     checkpoint (``perceptual_v1.npz``) loaded from disk, so the loss
@@ -282,7 +317,56 @@ class PerceptualLoss:
             c_in = c_out
         return kernels
 
-    def __init__(self, layer_names=None, n_filters=(64, 128), seed=0):
+    @classmethod
+    def _load_vgg_weights(cls, weights):
+        """{layer: (kernel, bias)} from an npz/dict of VGG16 conv
+        weights; accepts '<layer>/kernel' or '<layer>_kernel' keys."""
+        if isinstance(weights, str):
+            with np.load(weights) as f:
+                raw = {k: np.asarray(f[k]) for k in f.files}
+        else:
+            raw = {k: np.asarray(v) for k, v in dict(weights).items()}
+        out = {}
+        for key, val in raw.items():
+            norm = key.replace('/', '_')
+            for suffix in ('_kernel', '_bias'):
+                if norm.endswith(suffix):
+                    layer = norm[: -len(suffix)]
+                    out.setdefault(layer, [None, None])
+                    out[layer][suffix == '_bias'] = val.astype(
+                        np.float32)
+        missing = [k for k, v in out.items() if v[0] is None]
+        if missing:
+            raise ValueError(
+                f'VGG16 weights missing kernels for {missing}')
+        return {k: (v[0], v[1] if v[1] is not None
+                    else np.zeros(v[0].shape[-1], np.float32))
+                for k, v in out.items()}
+
+    def __init__(self, layer_names=None, n_filters=(64, 128), seed=0,
+                 weights=None):
+        self.layer_names = (list(layer_names) if layer_names is not None
+                            else ['block1_conv2', 'block2_conv2'])
+        self._vgg = None
+        if weights is not None:
+            vgg = self._load_vgg_weights(weights)
+            unknown = [n for n in self.layer_names
+                       if n not in _VGG16_TOPOLOGY]
+            if unknown:
+                raise ValueError(
+                    f'Unknown VGG16 layer_names {unknown}; expected '
+                    f'among {[n for n in _VGG16_TOPOLOGY]}')
+            deepest = max(_VGG16_TOPOLOGY.index(n)
+                          for n in self.layer_names)
+            trunk = _VGG16_TOPOLOGY[:deepest + 1]
+            need = [n for n in trunk if not n.endswith('_pool')]
+            absent = [n for n in need if n not in vgg]
+            if absent:
+                raise ValueError(
+                    f'VGG16 weights file lacks layers {absent} '
+                    f'needed for {self.layer_names}')
+            self._vgg = [(n, vgg.get(n)) for n in trunk]
+            return
         self._n_filters = tuple(n_filters)
         default = self._n_filters == (64, 128) and seed == 0
         if default and os.path.exists(self.WEIGHTS_V1):
@@ -292,6 +376,25 @@ class PerceptualLoss:
             self._kernels = self.make_kernels(self._n_filters, seed)
 
     def _feature_maps(self, x):
+        if self._vgg is not None:
+            # caffe preprocess_input: BGR flip (no-op on replicated
+            # grayscale) + per-channel mean subtraction
+            x = x - jnp.asarray(_VGG16_MEANS, dtype=x.dtype)
+            maps = {}
+            for name, wb in self._vgg:
+                if name.endswith('_pool'):
+                    x = jax.lax.reduce_window(
+                        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                        (1, 2, 2, 1), 'VALID')
+                    continue
+                kernel, bias = wb
+                x = jax.lax.conv_general_dilated(
+                    x, jnp.asarray(kernel, x.dtype), (1, 1), 'SAME',
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                x = jax.nn.relu(x + jnp.asarray(bias, x.dtype))
+                if name in self.layer_names:
+                    maps[name] = x
+            return [maps[n] for n in self.layer_names]
         maps = []
         for k in self._kernels:
             x = jax.lax.conv_general_dilated(
