@@ -347,12 +347,23 @@ def pipeline(ctx, monitor, cancel):
         'qa': qa,
     }
     poll_interval = float(config.get('poll_interval', 10))
+
+    def _parse_step(step):
+        """(module, cfg_file) from either step spelling: the plain
+        ``{module: cfg}`` form, or the reference's named form
+        ``{'<any-name>': cfg, 'command': module}`` (reference:
+        examples/sup3rcc/run_configs/solar/config_pipeline.json)."""
+        step = dict(step)
+        module = step.pop('command', None)
+        (name, cfg_file), = step.items()
+        return module or name, cfg_file
+
     # step identity = module + config hash: repeated modules (the
     # sup3rwind two-fwp chain), edited configs, and reordered steps
     # all resolve to the right skip/rerun behavior — identical
     # (module, config) pairs genuinely ARE the same work
     def _step_key(step):
-        (module, cfg_file), = step.items()
+        module, cfg_file = _parse_step(step)
         fp = (cfg_file if os.path.isabs(cfg_file)
               else os.path.join(run_dir, cfg_file))
         try:
@@ -363,7 +374,7 @@ def pipeline(ctx, monitor, cancel):
 
     step_keys = [_step_key(step) for step in steps]
     for step, skey in zip(steps, step_keys):
-        (module, step_config_file), = step.items()
+        module, step_config_file = _parse_step(step)
         status.poll(skey)  # pick up finished SLURM jobs first
         if status.module_successful(skey):
             logger.info('Pipeline step "%s" already successful.',

@@ -30,6 +30,7 @@ from sup3r_tpu.models.layers import (
     Layer,
     LeakyReLU,
 )
+from sup3r_tpu.ops.conv_ad import reflect_conv_ad
 from sup3r_tpu.ops.pallas_kernels import (
     reflect_conv,
     reflect_conv_reference,
@@ -111,7 +112,11 @@ class FusedReflectConv(Layer):
                       and self._fits_vmem(x, kernel.shape[-1]))
         if use_pallas:
             return reflect_conv(x, kernel, bias, alpha=self.alpha)
-        return reflect_conv_reference(x, kernel, bias, alpha=self.alpha)
+        # custom-VJP block: identical forward ops; backward avoids
+        # XLA's slow reflect-pad transpose chain (measured ~1 ms/layer
+        # at train shapes — see ops/conv_ad.py)
+        return reflect_conv_ad(x, kernel, bias, self.n_spatial,
+                               self.alpha)
 
 
 def _inner_pads(pad_layer):
