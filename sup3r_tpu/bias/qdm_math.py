@@ -78,12 +78,16 @@ class QuantileDeltaMapping:
                  delta_denom_zero=None, delta_range=None):
         """params_*: (space, N) empirical CDF x-values for observed-
         historical, modeled-historical, modeled-future. ``params_mf``
-        None means ordinary quantile mapping (no trend)."""
+        None (the no-trend case) defaults to ``params_mh`` — matching
+        rex's QuantileDeltaMapping, which keeps the delta term so
+        out-of-range values still scale/offset consistently
+        (reference delegation: sup3r/bias/bias_transforms.py:586-591
+        -> rex bc_utils)."""
         assert str(dist).casefold() == 'empirical', (
             'Only empirical distributions are implemented')
         self.params_oh = np.asarray(params_oh, dtype=np.float64)
         self.params_mh = np.asarray(params_mh, dtype=np.float64)
-        self.params_mf = (None if params_mf is None
+        self.params_mf = (self.params_mh if params_mf is None
                           else np.asarray(params_mf, dtype=np.float64))
         self.relative = relative
         self.quantiles = sampled_quantiles(
@@ -95,13 +99,6 @@ class QuantileDeltaMapping:
     def __call__(self, data):
         """data: (time, space) biased values -> corrected values."""
         data = np.asarray(data, dtype=np.float64)
-        if self.params_mf is None:
-            # ordinary QM: x_oh(CDF_mh(x))
-            tau = _interp_to_quantiles(data, self.params_mh,
-                                       self.quantiles)
-            return _interp_from_quantiles(
-                tau, self.params_oh, self.quantiles).astype(np.float32)
-
         tau = _interp_to_quantiles(data, self.params_mf, self.quantiles)
         x_oh = _interp_from_quantiles(tau, self.params_oh,
                                       self.quantiles)
