@@ -105,7 +105,12 @@ class SurfaceSpatialMetModel(AbstractInterface):
 
     @property
     def hr_exo_features(self):
-        return ['topography']
+        # no mid-network exo layers; topography routes as the
+        # input + output exo steps the sfc-model rule adds in
+        # ExoDataHandler.get_exo_steps (reference: exo.py:370-382;
+        # the reference model inherits the empty default,
+        # interface.py:392)
+        return []
 
     @property
     def input_dims(self):

@@ -359,13 +359,16 @@ class ExoDataHandler:
         (reference: exo.py:363)."""
         steps = []
         for i, model in enumerate(models):
-            if feature in model.lr_features:
+            # the physics surface downscaler always consumes lr topo
+            # and re-emits hr topo (reference: exo.py:370-382)
+            is_sfc = type(model).__name__ == 'SurfaceSpatialMetModel'
+            if feature in model.lr_features or is_sfc:
                 steps.append({'model': i, 'combine_type': 'input'})
             if feature in getattr(model, 'hr_exo_features', []):
                 steps.append({'model': i, 'combine_type': 'layer'})
             if feature in getattr(model, 'obs_features', []):
                 steps.append({'model': i, 'combine_type': 'layer'})
-            if feature in model.hr_out_features:
+            if feature in model.hr_out_features or is_sfc:
                 steps.append({'model': i, 'combine_type': 'output'})
         return steps
 
