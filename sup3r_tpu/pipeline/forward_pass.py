@@ -44,6 +44,43 @@ class ForwardPass:
         self._invert_uv = (out_type == 'h5') if invert is None \
             else bool(invert)
         self._nn_fill = bool(getattr(strategy, 'nn_fill', False))
+        self._resolve_auto_batch()
+
+    def _resolve_auto_batch(self):
+        """Resolve device_batch_size='auto' into an int (possibly
+        switching on spatial mesh sharding) from the HBM estimate of
+        one padded chunk (see pipeline/memory.py)."""
+        strategy = self.strategy
+        if getattr(strategy, 'device_batch_size', 1) != 'auto':
+            return
+        from sup3r_tpu.pipeline.memory import (
+            estimate_halo_bytes,
+            resolve_device_batch_size,
+        )
+
+        slicer = strategy.fwp_slicer
+        pads = (2 * strategy.spatial_pad, 2 * strategy.spatial_pad,
+                2 * strategy.temporal_pad)
+        padded = tuple(int(c) + p
+                       for c, p in zip(slicer.chunk_shape, pads))
+        n_feats = len(self.model.lr_features)
+        batch, use_spatial = resolve_device_batch_size(
+            self.model, padded, n_feats)
+        strategy.device_batch_size = batch
+        if use_spatial and not strategy.use_mesh:
+            strategy.use_mesh = 'spatial'
+            try:
+                import jax
+
+                n_dev = len(jax.local_devices())
+            except Exception:  # pragma: no cover
+                n_dev = 1
+            halo = estimate_halo_bytes(
+                self.model, (*padded, n_feats), n_dev)
+            logger.info(
+                'auto batching -> use_mesh="spatial" over %d '
+                'device(s); estimated halo exchange ~%.2f MB per '
+                'generator application', n_dev, halo / 1024 ** 2)
 
     @property
     def meta(self):
@@ -420,9 +457,10 @@ class ForwardPass:
             i for i in strategy.node_chunks[node_index]
             if not strategy.chunk_finished(i)]
         outputs = {}
-        if getattr(strategy, 'device_batch_size', 1) > 1:
+        if (getattr(strategy, 'device_batch_size', 1) > 1
+                or getattr(strategy, 'use_mesh', False)):
             outputs = fwp.run_chunks_batched(
-                chunk_ids, strategy.device_batch_size)
+                chunk_ids, max(1, strategy.device_batch_size))
         elif strategy.pass_workers > 1:
             with ThreadPoolExecutor(strategy.pass_workers) as pool:
                 futures = {

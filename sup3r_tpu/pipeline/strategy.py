@@ -101,8 +101,11 @@ class ForwardPassStrategy:
     head_node: bool = False
     redistribute_chunks: bool = False
     #: stack this many same-shaped padded chunks into one device batch
-    #: (TPU throughput: amortizes dispatch + fills the MXU)
-    device_batch_size: int = 1
+    #: (TPU throughput: amortizes dispatch + fills the MXU). 'auto'
+    #: sizes the batch from a per-chunk HBM estimate of the generator
+    #: and falls back to use_mesh='spatial' when one padded chunk
+    #: exceeds the chip's HBM (see pipeline/memory.py)
+    device_batch_size: Union[int, str] = 1
     #: shard device batches over all local devices: True = chunk
     #: fan-out over the mesh data axis (dp); 'spatial' = split each
     #: chunk's s1 dim over the mesh with XLA-inserted conv halo
