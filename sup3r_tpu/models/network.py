@@ -106,9 +106,12 @@ class Network:
             params.append(p)
         return params, shape
 
-    def apply(self, params, x, exo=None, train=False, dropout_key=None):
+    def apply(self, params, x, exo=None, train=False, dropout_key=None,
+              allow_pending_skips=False):
         """Run the network. ``exo`` maps feature name -> tensor for
-        mid-network injection layers (exo and obs alike)."""
+        mid-network injection layers (exo and obs alike).
+        ``allow_pending_skips`` permits running a layer-list PREFIX
+        that cuts inside a residual span (profiling tooling only)."""
         ctx = {'exo': exo or {}, 'train': train,
                'dropout_key': dropout_key, 'skips': {}}
         for p, lyr in zip(params, self.layers):
@@ -116,7 +119,7 @@ class Network:
                 dropout_key, sub = jax.random.split(dropout_key)
                 ctx['dropout_key'] = sub
             x = lyr.apply(p, x, ctx)
-        if ctx['skips']:
+        if ctx['skips'] and not allow_pending_skips:
             raise ValueError(
                 'Unclosed skip connections: '
                 f'{sorted(ctx["skips"])} — each SkipConnection name must '
