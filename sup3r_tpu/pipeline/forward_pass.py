@@ -353,11 +353,18 @@ class ForwardPass:
             import jax
 
             from sup3r_tpu.parallel import get_mesh, shard_spatial
+            from sup3r_tpu.pipeline.memory import estimate_halo_bytes
 
             mesh = get_mesh()
-            logger.info(
-                'use_mesh=spatial: s1=%d split over %d device(s)',
-                lr.shape[1], mesh.devices.size)
+            if not getattr(self, '_sp_halo_logged', False):
+                self._sp_halo_logged = True
+                halo = lr.shape[0] * estimate_halo_bytes(
+                    self.model, lr.shape[1:], int(mesh.devices.size))
+                logger.info(
+                    'use_mesh=spatial: s1=%d split over %d device(s); '
+                    'estimated conv halo exchange ~%.2f MB per '
+                    'batched generator application',
+                    lr.shape[1], mesh.devices.size, halo / 1024 ** 2)
             lr = shard_spatial(
                 mesh, np.ascontiguousarray(lr, dtype=np.float32),
                 dim=1)
