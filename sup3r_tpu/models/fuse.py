@@ -88,7 +88,7 @@ class FusedReflectConv(Layer):
     #: channel lane dim to 128 and runs ~2x slower AND in
     #: bf16-rounded-input precision (measured 5.9e-3 abs error vs
     #: float64 truth; the kernel is exact fp32 at 1.5e-6). The kernel
-    #: carries a custom VJP (shifted-einsum adjoints), so it runs in
+    #: carries a custom VJP (conv-formulated adjoints), so it runs in
     #: training too.
     small_channel_kernel = True
 
@@ -108,6 +108,12 @@ class FusedReflectConv(Layer):
                 and self._small_ok(x, kernel)):
             return small_reflect_conv(x, kernel, bias,
                                       alpha=self.alpha)
+        # NOTE the symmetric "wide" case (tiny ci, many co — the
+        # first 2->64 conv) stays on XLA's conv emitter: measured
+        # round 3, every alternative loses (im2col 8.1-11.2 ms,
+        # 27-tap einsums 9.4 ms, VMEM patch-matmul Pallas kernel
+        # spills registers) vs the 5.0 ms conv. See
+        # docs/PERFORMANCE.md round-3 profile.
         use_pallas = (self.use_pallas and on_tpu
                       and self._fits_vmem(x, kernel.shape[-1]))
         if use_pallas:
