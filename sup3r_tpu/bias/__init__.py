@@ -20,3 +20,4 @@ from sup3r_tpu.bias.bias_calc_vortex import (  # noqa: F401
     BiasCorrectUpdate,
     VortexMeanPrepper,
 )
+from sup3r_tpu.bias.utilities import lin_bc, qdm_bc  # noqa: F401

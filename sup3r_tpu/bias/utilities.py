@@ -66,3 +66,92 @@ def bias_correct_features(features, data, feature_names, lat_lon,
             feature, data, feature_names, lat_lon, time_index,
             bc_method, bc_kwargs, lr_padded_slice=lr_padded_slice)
     return data
+
+
+def _h5_dsets(fp):
+    """Lower-cased dataset names in an h5 factor file."""
+    import h5py
+
+    with h5py.File(fp, 'r') as f:
+        return {k.lower() for k in f}
+
+
+def lin_bc(handler, bc_files, bias_feature=None, threshold=0.1):
+    """Bias correct a DataHandler's data IN PLACE with linear factors
+    from LinearCorrection / MonthlyLinearCorrection output files
+    (annual factors have a length-1 last dim, monthly length-12,
+    selected by each timestep's calendar month). Reference parity:
+    sup3r/bias/utilities.py:22-101."""
+    from sup3r_tpu.bias.transforms import _get_spatial_bc_factors
+
+    if isinstance(bc_files, str):
+        bc_files = [bc_files]
+    completed = []
+    for feature in handler.features:
+        ref_feature = bias_feature or feature
+        dset_scalar = f'{ref_feature}_scalar'.lower()
+        dset_adder = f'{ref_feature}_adder'.lower()
+        for fp in bc_files:
+            dsets = _h5_dsets(fp)
+            if feature in completed or not (
+                    dset_scalar in dsets and dset_adder in dsets):
+                continue
+            out = _get_spatial_bc_factors(
+                np.asarray(handler.lat_lon), ref_feature, fp,
+                threshold=threshold)
+            scalar, adder = out['scalar'], out['adder']
+            nt = handler.data[feature].shape[-1]
+            if scalar.shape[-1] == 1:
+                scalar = np.repeat(scalar, nt, axis=2)
+                adder = np.repeat(adder, nt, axis=2)
+            elif scalar.shape[-1] == 12:
+                idm = handler.time_index.month.values - 1
+                scalar = scalar[..., idm]
+                adder = adder[..., idm]
+            else:
+                raise RuntimeError(
+                    'Can only accept bias correction factors with '
+                    'last dim equal to 1 or 12 but received factors '
+                    f'with shape {scalar.shape}')
+            logger.info('Bias correcting "%s" with linear correction '
+                        'from "%s"', feature, fp)
+            handler.data[feature] = (
+                scalar * np.asarray(handler.data[feature]) + adder)
+            completed.append(feature)
+    return completed
+
+
+def qdm_bc(handler, bc_files, bias_feature, relative=True,
+           threshold=0.1, no_trend=False, delta_denom_min=None,
+           delta_denom_zero=None, delta_range=None, out_range=None,
+           max_workers=1):
+    """Bias correct a DataHandler's data IN PLACE with Quantile Delta
+    Mapping from QuantileDeltaMappingCorrection output files.
+    Reference parity: sup3r/bias/utilities.py:104-218."""
+    from sup3r_tpu.bias.transforms import local_qdm_bc
+
+    if isinstance(bc_files, str):
+        bc_files = [bc_files]
+    completed = []
+    dr_kwargs = get_date_range_kwargs(handler.time_index)
+    for feature in handler.features:
+        dset_hist = f'bias_{feature}_params'.lower()
+        dset_fut = f'bias_fut_{feature}_params'.lower()
+        for fp in bc_files:
+            dsets = _h5_dsets(fp)
+            if feature in completed or not (
+                    dset_hist in dsets and dset_fut in dsets):
+                continue
+            logger.info('Bias correcting "%s" with QDM correction '
+                        'from "%s"', feature, fp)
+            handler.data[feature] = local_qdm_bc(
+                np.asarray(handler.data[feature]),
+                np.asarray(handler.lat_lon), bias_feature, feature,
+                bias_fp=fp, date_range_kwargs=dr_kwargs,
+                threshold=threshold, relative=relative,
+                no_trend=no_trend, delta_denom_min=delta_denom_min,
+                delta_denom_zero=delta_denom_zero,
+                delta_range=delta_range, out_range=out_range,
+                max_workers=max_workers)
+            completed.append(feature)
+    return completed
