@@ -299,3 +299,87 @@ def test_monthly_boundary_months(tmp_path):
     jan = ti.month == 1
     assert np.allclose(out[:, :, dec], 100.0)
     assert np.allclose(out[:, :, jan], -100.0)
+
+
+def test_fill_nan_and_save_file(shifted_pair, tmp_path):
+    """Gids outside the baseline's coverage leave NaN params without
+    fill_extend; fill_extend fills them; the saved H5 round-trips
+    with coordinates and cfg attrs (reference:
+    test_qdm_bias_correction.py:186-242)."""
+    from sup3r_tpu.bias import QuantileDeltaMappingCorrection
+
+    base_fp, bias_fp = shifted_pair
+    calc = QuantileDeltaMappingCorrection(
+        base_fp, bias_fp, bias_fp, 'windspeed_100m', 'u_100m',
+        n_quantiles=11, n_time_steps=1,
+        distance_upper_bound=0.03)  # tiny: most gids lose coverage
+    out = calc.run(fill_extend=False)
+    params = [k for k in out if k.endswith('params')]
+    assert params
+    assert all(np.isnan(out[k]).any() for k in params), (
+        'need at least one uncovered gid for this test to bite')
+
+    fp_out = str(tmp_path / 'qdm_filled.h5')
+    calc2 = QuantileDeltaMappingCorrection(
+        base_fp, bias_fp, bias_fp, 'windspeed_100m', 'u_100m',
+        n_quantiles=11, n_time_steps=1, distance_upper_bound=0.03)
+    out2 = calc2.run(fp_out=fp_out)
+    assert all(np.isfinite(out2[k]).all() for k in out2)
+    with h5py.File(fp_out, 'r') as f:
+        assert 'latitude' in f and 'longitude' in f
+        for k in params:
+            assert k in f
+            assert np.isfinite(f[k][...]).all()
+        cfg = json.loads(f.attrs['cfg'])
+        assert 'time_window_center' in cfg
+        assert cfg['n_quantiles'] == 11
+
+
+def test_window_mask_even_window_size():
+    """Even window sizes center correctly (reference:
+    test_qdm_bias_correction.py:61-66)."""
+    from sup3r_tpu.bias.transforms import window_mask
+
+    doy = np.arange(1, 366)
+    idx = window_mask(doy, 180, 10)
+    assert doy[idx].min() >= 175 and doy[idx].max() <= 185
+    assert idx.sum() in (9, 10)  # exclusive bounds
+    # wrap at the start of year
+    idx0 = window_mask(doy, 2, 10)
+    got = set(doy[idx0])
+    assert {1, 2, 3} <= got
+    assert {363, 364, 365} & got  # wrapped tail
+
+
+def test_clearsky_ratio_linear_bc(tmp_path):
+    """Linear correction on clearsky_ratio with NaN night values:
+    NaNs must not poison the factors (reference:
+    test_bias_correction.py:419-452)."""
+    from sup3r_tpu.bias import LinearCorrection
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base_cs.h5'), (10, 10, 500),
+        ['clearsky_ratio'], freq='h', value_range=(0.3, 1.0),
+        scale_factor=10000,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'bias_cs.nc'), (5, 5, 100),
+        ['clearsky_ratio'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    # inject NaNs (night) into the biased data
+    from scipy.io import netcdf_file
+
+    with netcdf_file(bias_fp, 'a', mmap=False) as f:
+        arr = np.array(f.variables['clearsky_ratio'][:])
+        arr[::7] = np.nan
+        f.variables['clearsky_ratio'][:] = arr
+    calc = LinearCorrection(base_fp, bias_fp, 'clearsky_ratio',
+                            'clearsky_ratio')
+    out = calc.run(fill_extend=True)
+    scalar = out['clearsky_ratio_scalar']
+    adder = out['clearsky_ratio_adder']
+    assert np.isfinite(scalar).all() and np.isfinite(adder).all()
+    # factors are sane for a [0.3, 1] field
+    assert np.abs(adder).max() < 2
+    assert (scalar > 0).all()
