@@ -153,3 +153,33 @@ def init_multihost(coordinator_address=None, num_processes=None,
             'init_multihost: distributed runtime already initialized '
             'with matching parameters; reusing it.')
     return jax.process_index(), jax.process_count()
+
+
+def halo_bytes_from_compiled(compiled):
+    """Measured ICI halo-exchange bytes of a compiled SPMD program:
+    sums the operand bytes of every collective-permute / all-to-all
+    in the (per-shard) compiled HLO. Ground truth for the analytic
+    estimate in pipeline/memory.py — log this when validating a
+    spatial sharding on a virtual mesh before committing real chips
+    (round-2 review ask: don't fly blind on halo volume)."""
+    import re
+
+    text = compiled.as_text()
+    dtype_bytes = {'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4, 'f64': 8,
+                   'u32': 4, 's8': 1, 'u8': 1, 'pred': 1}
+    total = 0
+    n_ops = 0
+    for m in re.finditer(
+            r'(collective-permute|all-to-all)[^=]*=\s*'
+            r'(\w+)\[([0-9,]*)\]', text):
+        dt = m.group(2)
+        dims = m.group(3)
+        if dt not in dtype_bytes:
+            continue
+        size = 1
+        for d in dims.split(','):
+            if d:
+                size *= int(d)
+        total += size * dtype_bytes[dt]
+        n_ops += 1
+    return total, n_ops
