@@ -123,3 +123,41 @@ def test_threaded_matches_serial_batched(presrat_files):
         max_workers=4, fill_extend=False)
     for k in out_s:
         np.testing.assert_array_equal(out_p[k], out_s[k])
+
+
+def test_overlapping_windows_match_per_gid(presrat_files):
+    """Custom window_size LARGER than the spacing makes day-of-year
+    windows overlap; the batched correction must preserve the per-gid
+    loop's later-window-overwrites semantics (PresRat._correct_fut
+    window order)."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    kw = dict(n_quantiles=11, n_time_steps=4, window_size=150,
+              zero_rate_threshold=1e-5)
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw)
+    expected = _per_gid_expected(calc)
+    got = calc.run(fill_extend=False, use_device=False)
+    for key in expected:
+        if key.endswith(('_tau_fut', '_k_factor')):
+            np.testing.assert_allclose(got[key], expected[key],
+                                       rtol=1e-5, equal_nan=True,
+                                       err_msg=key)
+        else:
+            np.testing.assert_array_equal(got[key], expected[key],
+                                          err_msg=key)
+
+
+def test_device_overlapping_windows(presrat_files):
+    """Device path handles overlapping windows at fp32 tolerance."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    kw = dict(n_quantiles=11, n_time_steps=4, window_size=150,
+              zero_rate_threshold=1e-5)
+    host = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw).run(
+        fill_extend=False, use_device=False)
+    dev = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw).run(
+        fill_extend=False, use_device=True)
+    for key in host:
+        h, d = host[key], dev[key]
+        assert np.array_equal(np.isnan(h), np.isnan(d)), key
+        hf, df = h[np.isfinite(h)], d[np.isfinite(d)]
+        rel = np.abs(df - hf) / np.maximum(np.abs(hf), 1e-12)
+        assert np.quantile(rel, 0.999) < 5e-4, (key, rel.max())
