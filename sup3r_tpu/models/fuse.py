@@ -217,3 +217,67 @@ def _match_sequence(layers, params, i):
                     'bias': params[i + 1]['bias']}
     return FusedReflectConv(n_spatial, alpha=alpha), fused_params, \
         consumed
+
+
+class SubpixelTailConv(Layer):
+    """Opt-in speed mode: SpatioTemporalExpansion(spatial m) ->
+    LeakyReLU -> FusedReflectConv(tail) folded to PRE-expansion
+    resolution (ops/subpixel.py). ~1.45x over the d2s + Pallas-tail
+    composition on v5e at production shapes, but the conv runs at the
+    platform's bf16-rounded conv precision (max rel err ~3e-3 vs the
+    exact-fp32 Pallas tail), so it is OFF by default — enable with
+    ``Sup3rGan.inference_subpixel_tail = True``."""
+
+    precision = 'default'
+
+    def __init__(self, m, alpha_prev=None, alpha=None):
+        self.m = m
+        self.alpha_prev = alpha_prev
+        self.alpha = alpha
+
+    def out_shape(self, in_shape):
+        raise NotImplementedError(
+            'SubpixelTailConv is created by fuse_subpixel_tail with '
+            'existing params')
+
+    def apply(self, params, x, ctx):
+        from sup3r_tpu.ops.subpixel import subpixel_tail_conv
+
+        return subpixel_tail_conv(
+            x, params['kernel'].astype(x.dtype),
+            params['bias'].astype(x.dtype), self.m,
+            alpha_prev=self.alpha_prev, alpha=self.alpha,
+            precision=self.precision)
+
+
+def fuse_subpixel_tail(layers, params):
+    """Rewrite [SpatioTemporalExpansion(spatial only), LeakyReLU,
+    FusedReflectConv] endings into one SubpixelTailConv. Safe no-op
+    when the pattern is absent."""
+    from sup3r_tpu.models.layers import SpatioTemporalExpansion
+
+    new_layers = list(layers)
+    new_params = list(params)
+    for i in range(len(new_layers) - 2):
+        exp = new_layers[i]
+        act = new_layers[i + 1]
+        tail = new_layers[i + 2]
+        if not (isinstance(exp, SpatioTemporalExpansion)
+                and getattr(exp, 'spatial_mult', 1) > 1
+                and getattr(exp, 'temporal_mult', 1) == 1
+                and isinstance(act, LeakyReLU)
+                and isinstance(tail, FusedReflectConv)
+                and tail.n_spatial == 3):
+            continue
+        kernel = new_params[i + 2].get('kernel')
+        if kernel is None or kernel.shape[:3] != (3, 3, 3):
+            continue
+        fused = SubpixelTailConv(int(exp.spatial_mult),
+                                 alpha_prev=act.alpha,
+                                 alpha=tail.alpha)
+        new_layers[i:i + 3] = [fused]
+        new_params[i:i + 3] = [new_params[i + 2]]
+        logger.info('Fused subpixel tail (m=%d) for inference',
+                    fused.m)
+        break
+    return new_layers, new_params

@@ -464,6 +464,11 @@ class Sup3rGan(AbstractSingleModel):
     #: differs from XLA at the ulp level; XLA's conv emitter wins at
     #: production block sizes).
     inference_pallas = False
+    #: opt-in: fold the final SpatialExpansion+LeakyReLU+tail-conv to
+    #: pre-expansion resolution (ops/subpixel.py) — ~1.45x over the
+    #: exact Pallas tail but at bf16-rounded conv precision (~3e-3
+    #: rel), so off by default
+    inference_subpixel_tail = False
     #: opt-in reduced-precision inference: set to 'bfloat16' to run the
     #: generator's convs on the MXU in bf16 (params/activations cast
     #: in-graph, output cast back to float32). ~2x HBM traffic
@@ -499,14 +504,20 @@ class Sup3rGan(AbstractSingleModel):
         """(jitted_fn, fused_params) with fused blocks; rebuilt when
         gen_params changes identity."""
         key = (self.gen_params, self.inference_pallas,
-               self.inference_dtype)
+               self.inference_dtype, self.inference_subpixel_tail)
         cached = getattr(self, '_fused_cache', None)
         if cached is None or cached[0] != (id(key[0]), *key[1:]):
-            from sup3r_tpu.models.fuse import FusedReflectConv, fuse_network
+            from sup3r_tpu.models.fuse import (
+                FusedReflectConv,
+                fuse_network,
+                fuse_subpixel_tail,
+            )
             from sup3r_tpu.models.network import Network
 
             layers, fparams = fuse_network(self._gen.layers,
                                            self.gen_params)
+            if self.inference_subpixel_tail:
+                layers, fparams = fuse_subpixel_tail(layers, fparams)
             for lyr in layers:
                 if isinstance(lyr, FusedReflectConv):
                     lyr.use_pallas = self.inference_pallas

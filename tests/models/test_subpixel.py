@@ -89,3 +89,34 @@ def test_jit_compiles():
     out = f(z, k, b)
     assert out.shape == (2, 12, 12, 6, co)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gan_subpixel_tail_flag():
+    """Sup3rGan.inference_subpixel_tail folds the flagship tail and
+    generate() stays tolerance-equal to the default fused path."""
+    from sup3r_tpu.configs import get_config
+    from sup3r_tpu.models import Sup3rGan
+    from sup3r_tpu.models.fuse import SubpixelTailConv
+
+    model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
+                     get_config('spatiotemporal/disc_test'))
+    model.init_weights((1, 6, 6, 4, 2), (1, 18, 18, 16, 2))
+    lr = RNG.standard_normal((2, 6, 6, 4, 2)).astype(np.float32)
+    base = model.generate(lr, norm_in=False, un_norm_out=False)
+
+    # the fuse pass structurally replaces expansion+act+tail
+    from sup3r_tpu.models.fuse import fuse_network, fuse_subpixel_tail
+
+    flayers, fparams = fuse_network(model.generator.layers,
+                                    model.gen_params)
+    slayers, sparams = fuse_subpixel_tail(flayers, fparams)
+    assert isinstance(slayers[-1], SubpixelTailConv)
+    assert len(slayers) == len(flayers) - 2
+    assert len(sparams) == len(slayers)
+
+    model.inference_subpixel_tail = True
+    sub = model.generate(lr, norm_in=False, un_norm_out=False)
+    assert sub.shape == base.shape
+    np.testing.assert_allclose(sub, base, rtol=2e-2, atol=2e-2)
+    # on CPU the conv is true fp32, so the match is much tighter
+    np.testing.assert_allclose(sub, base, rtol=1e-4, atol=1e-4)
