@@ -89,3 +89,56 @@ def test_stats_collection_weighted(tmp_path):
     d3 = make_fake_dset((4, 4, 10), ['u_100m'])
     stats2 = StatsCollection([d3], means=means_fp, stds=stds_fp)
     assert stats2.means == stats.means
+
+
+@pytest.mark.parametrize(
+    ('features', 'lr_only_features', 'hr_exo_features'),
+    [
+        # nothing left for hr output
+        (['u_100m'], ['u_100m'], []),
+        (['u_100m'], [], ['u_100m']),
+        # exo features must come LAST in the feature order
+        (['u_100m', 'v_100m'], [], ['u_100m']),
+        (['u_100m', 'v_100m'], [], ['v_100m', 'u_100m']),
+    ],
+)
+def test_feature_set_errors(features, lr_only_features,
+                            hr_exo_features):
+    """Invalid splits raise loudly (reference:
+    tests/samplers/test_feature_sets.py:14-36 test_feature_errors)."""
+    data = make_fake_dset((12, 12, 10), features)
+    with pytest.raises((RuntimeError, AssertionError, ValueError)):
+        sampler = Sampler(
+            data, sample_shape=(4, 4, 2),
+            feature_sets={'features': features,
+                          'lr_only_features': lr_only_features,
+                          'hr_exo_features': hr_exo_features})
+        _ = sampler.lr_features
+        _ = sampler.hr_out_features
+        assert sampler.hr_out_features, 'no hr output features left'
+
+
+@pytest.mark.parametrize(
+    ('features', 'lr_only', 'hr_exo'),
+    [
+        (['u_100m', 'v_100m', 'topography'], ['v_100m'],
+         ['topography']),
+        (['u_100m', 'v_100m', 'topography'], [], ('topography',)),
+        (['u_100m', 'v_100m'], ['v_100m'], []),
+    ],
+)
+def test_feature_set_valid_combos(features, lr_only, hr_exo):
+    """Mixed lr/hr splits that must work (reference:
+    test_mixed_lr_hr_features)."""
+    data = make_fake_dset((12, 12, 10), features)
+    sampler = Sampler(
+        data, sample_shape=(4, 4, 2),
+        feature_sets={'features': features,
+                      'lr_only_features': list(lr_only),
+                      'hr_exo_features': list(hr_exo)})
+    assert sampler.lr_features == features
+    expected_out = [f for f in features
+                    if f not in lr_only and f not in hr_exo]
+    assert sampler.hr_out_features == expected_out
+    sample = next(sampler)
+    assert sample.shape == (4, 4, 2, len(features))
