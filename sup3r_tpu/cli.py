@@ -291,17 +291,38 @@ def import_model(reference_dir, out_dir, lr_shape):
 @click.option('--cancel', is_flag=True,
               help='scancel pending/running SLURM jobs of this '
                    'pipeline and mark them canceled.')
+@click.option('--background', is_flag=True,
+              help='Detach a `pipeline --monitor` process and return '
+                   'immediately (reference: sup3r pipeline '
+                   '--background); pid written to '
+                   '.pipeline_monitor.pid in the run dir.')
 @click.pass_context
-def pipeline(ctx, monitor, cancel):
+def pipeline(ctx, monitor, cancel, background):
     """Run a multi-step pipeline config: {'pipeline': [{'forward-pass':
     'cfg.json'}, {'data-collect': 'cfg.json'}, ...]} — each step runs
     when its predecessor has succeeded (incremental restart via the
     status file)."""
     import subprocess
+    import sys
 
     config = _get_config(ctx)
     run_dir = config['run_dir']
     status = Status(run_dir)
+    if background:
+        cfg_fp = ctx.obj.get('CONFIG_FILE')
+        log_fp = os.path.join(run_dir, 'pipeline_monitor.log')
+        with open(log_fp, 'a') as log:
+            proc = subprocess.Popen(
+                [sys.executable, '-m', 'sup3r_tpu.cli', '-c',
+                 cfg_fp, 'pipeline', '--monitor'],
+                stdout=log, stderr=log, start_new_session=True,
+                cwd=run_dir)
+        pid_fp = os.path.join(run_dir, '.pipeline_monitor.pid')
+        with open(pid_fp, 'w') as f:
+            f.write(str(proc.pid))
+        logger.info('Detached pipeline monitor pid %d (log: %s)',
+                    proc.pid, log_fp)
+        return
     if cancel:
         # cancel every non-terminal job recorded for this project
         # (reference: gaps Pipeline.cancel_all)
@@ -424,16 +445,57 @@ def pipeline(ctx, monitor, cancel):
             time.sleep(poll_interval)
 
 
+def _batch_dirs(config):
+    """Existing batch_* project directories for a batch config."""
+    run_dir = config['run_dir']
+    dirs = []
+    for batch_set in config['sets']:
+        args = batch_set['args']
+        keys = list(args)
+        for combo in itertools.product(*[args[k] for k in keys]):
+            tag = '_'.join(f'{k}_{v}' for k, v in zip(keys, combo))
+            dirs.append(os.path.join(run_dir, f'batch_{tag}'))
+    return dirs
+
+
 @main.command()
 @click.option('--dry-run', is_flag=True,
               help='Only create the batch project directories.')
+@click.option('--cancel', is_flag=True,
+              help='Cancel pending/running jobs of every batch '
+                   'sub-pipeline (reference: gaps BatchJob cancel).')
+@click.option('--delete', is_flag=True,
+              help='Delete all batch job sub-directories created '
+                   'from this config (reference: gaps BatchJob '
+                   'delete).')
 @click.pass_context
-def batch(ctx, dry_run):
+def batch(ctx, dry_run, cancel, delete):
     """Permutation batching: config has 'sets' of [{'args': {k:
     [v1, v2]}, 'files': [...]}] expanded into per-permutation project
     directories (reference: gaps BatchJob semantics)."""
     config = _get_config(ctx)
     run_dir = config['run_dir']
+    if cancel or delete:
+        import shutil
+
+        for job_dir in _batch_dirs(config):
+            if not os.path.isdir(job_dir):
+                continue
+            if cancel:
+                pipeline_fp = os.path.join(job_dir,
+                                           'config_pipeline.json')
+                if os.path.exists(pipeline_fp):
+                    step_ctx = click.Context(
+                        pipeline, obj={'CONFIG_FILE': pipeline_fp})
+                    step_ctx.params = {'monitor': False,
+                                       'cancel': True,
+                                       'background': False}
+                    with step_ctx:
+                        pipeline.invoke(step_ctx)
+            if delete:
+                shutil.rmtree(job_dir)
+                logger.info('Deleted batch dir %s', job_dir)
+        return
     for batch_set in config['sets']:
         args = batch_set['args']
         files = batch_set['files']
@@ -464,7 +526,8 @@ def batch(ctx, dry_run):
                     step_ctx = click.Context(
                         pipeline, obj={'CONFIG_FILE': pipeline_fp})
                     step_ctx.params = {'monitor': True,
-                                       'cancel': False}
+                                       'cancel': False,
+                                       'background': False}
                     with step_ctx:
                         pipeline.invoke(step_ctx)
 

@@ -229,3 +229,58 @@ def test_cli_fwp_with_bias_correction(tmp_path):
     assert not np.allclose(ws1, ws2)
     # +5 m/s on both components raises mean windspeed
     assert ws2.mean() > ws1.mean()
+
+
+def test_batch_cancel_and_delete(tmp_path):
+    """--cancel marks pending jobs canceled per sub-pipeline;
+    --delete removes the batch dirs (reference: gaps BatchJob)."""
+    base_cfg = {'spatial_pad': 0}
+    with open(tmp_path / 'config_fwp.json', 'w') as f:
+        json.dump(base_cfg, f)
+    batch_cfg = {'sets': [{
+        'args': {'spatial_pad': [1, 2]},
+        'files': ['config_fwp.json'],
+    }]}
+    batch_fp = str(tmp_path / 'config_batch.json')
+    with open(batch_fp, 'w') as f:
+        json.dump(batch_cfg, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', batch_fp, 'batch',
+                                  '--dry-run'], obj={})
+    assert result.exit_code == 0, result.output
+    dirs = sorted(p for p in tmp_path.glob('batch_*'))
+    assert len(dirs) == 2
+    # --cancel with no pipelines inside is a no-op that succeeds
+    result = runner.invoke(main, ['-c', batch_fp, 'batch',
+                                  '--cancel'], obj={})
+    assert result.exit_code == 0, result.output
+    # --delete removes the dirs
+    result = runner.invoke(main, ['-c', batch_fp, 'batch',
+                                  '--delete'], obj={})
+    assert result.exit_code == 0, result.output
+    assert not list(tmp_path.glob('batch_*'))
+
+
+def test_pipeline_background(fwp_setup):
+    """--background detaches a monitor process and returns; the
+    detached monitor completes the pipeline."""
+    import time as _time
+
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    pipe_fp = str(tmp_path / 'config_pipeline.json')
+    with open(pipe_fp, 'w') as f:
+        json.dump({'pipeline': [
+            {'forward-pass': 'config_fwp.json'}]}, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--background'], obj={})
+    assert result.exit_code == 0, result.output
+    pid_fp = tmp_path / '.pipeline_monitor.pid'
+    assert pid_fp.exists()
+    # wait for the detached monitor to produce the chunk files
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if len(list((tmp_path / 'out').glob('*.h5'))) == 4:
+            break
+        _time.sleep(2)
+    assert len(list((tmp_path / 'out').glob('*.h5'))) == 4
