@@ -35,11 +35,13 @@ import time
 import numpy as np
 
 INFER_BASELINE = 3.34e4   # TF-CPU HR voxels/s, inference (docstring)
-TRAIN_BASELINE = 9.05e3   # TF-CPU HR voxels/s, full GAN train step
-                          # (scripts/baseline_tf_train.py, batch 4:
-                          # 27.5 s/step measured in this image)
-TRAIN_BASELINE_BATCH = 4  # TF batch size the baseline was measured at
-                          # (per-voxel normalized; TPU step uses 16)
+TRAIN_BASELINE = 1.89e4   # TF-CPU HR voxels/s, full GAN train step
+                          # (scripts/baseline_tf_train.py at batch 16
+                          # — SAME batch as the TPU step below:
+                          # 52.6 s/step measured in this image.
+                          # Round 2 used batch 4 = 9.05e3 voxels/s,
+                          # which overstated the speedup ~2x)
+TRAIN_BASELINE_BATCH = 16
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 

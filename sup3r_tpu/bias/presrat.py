@@ -129,11 +129,21 @@ class PresRat(QuantileDeltaMappingCorrection):
         return arr
 
     def _correct_fut_raster(self, bias_params, fut_params, base_params,
-                            fut_arr, fut_ti, use_device=False):
+                            fut_arr, fut_ti, window_ok=None,
+                            use_device=False):
         """Windowed relative QDM of the future raster for ALL gids at
         once: (s1, s2, Tf). Window-by-window application preserves the
         per-gid path's later-window-overwrites semantics for
-        overlapping custom window sizes."""
+        overlapping custom window sizes. ``window_ok`` marks windows
+        where base AND bias AND fut all have samples — others stay NaN
+        exactly like the per-gid ``_correct_fut`` guard (all-NaN mh
+        params would otherwise leak finite values through the
+        delta-repair in relative mode).
+
+        The device path pads every window to one static length (the
+        ``_window_index_matrix`` pattern) so it compiles ONE program
+        regardless of per-window sample counts — remote compiles are
+        30-90 s each on this platform."""
         from sup3r_tpu.bias.qdm_math import (
             qdm_transform_device,
             sampled_quantiles,
@@ -141,10 +151,28 @@ class PresRat(QuantileDeltaMappingCorrection):
 
         s1, s2, _ = fut_arr.shape
         nq = self.n_quantiles
+        nt_all = self.n_time_steps
         corrected = np.full(fut_arr.shape, np.nan, np.float32)
         quantiles = sampled_quantiles(nq, self.sampling, self.log_base)
+        if window_ok is None:
+            window_ok = np.ones(nt_all, dtype=bool)
         if use_device:
             import jax
+
+            idx, valid = self._window_index_matrix(fut_ti)
+            # (s1, s2, NT, L) -> columns (s1*s2*NT, L) with per-column
+            # params: one vmapped dispatch for every (gid, window)
+            vals = fut_arr[:, :, idx].reshape(s1 * s2 * nt_all, -1)
+            oh = np.transpose(base_params, (2, 0, 1, 3)).reshape(
+                nt_all, s1 * s2, nq)
+            mh = np.transpose(bias_params, (2, 0, 1, 3)).reshape(
+                nt_all, s1 * s2, nq)
+            mf = np.transpose(fut_params, (2, 0, 1, 3)).reshape(
+                nt_all, s1 * s2, nq)
+            # column order must match vals: gid-major, window-minor
+            def cols(p):
+                return np.transpose(p, (1, 0, 2)).reshape(
+                    s1 * s2 * nt_all, nq)
 
             transform = jax.jit(
                 lambda d, oh, mh, mf: qdm_transform_device(
@@ -152,7 +180,19 @@ class PresRat(QuantileDeltaMappingCorrection):
                     np.asarray(quantiles, np.float32),
                     relative=self.relative,
                     delta_denom_min=self.zero_rate_threshold))
+            res = np.asarray(transform(vals, cols(oh), cols(mh),
+                                       cols(mf)))
+            res = res.reshape(s1, s2, nt_all, -1)
+            for nt in range(nt_all):
+                if not window_ok[nt]:
+                    continue
+                w = idx[nt][valid[nt]]
+                if len(w):
+                    corrected[:, :, w] = res[:, :, nt, :len(w)]
+            return corrected
         for nt, d0 in enumerate(self.time_window_center):
+            if not window_ok[nt]:
+                continue
             fut_idx = window_mask(fut_ti.dayofyear, d0,
                                   self.window_size)
             if not fut_idx.any():
@@ -161,14 +201,11 @@ class PresRat(QuantileDeltaMappingCorrection):
             mh = bias_params[:, :, nt, :].reshape(-1, nq)
             mf = fut_params[:, :, nt, :].reshape(-1, nq)
             data = fut_arr[:, :, fut_idx].reshape(s1 * s2, -1)
-            if use_device:
-                res = np.asarray(transform(data, oh, mh, mf))
-            else:
-                qdm = QuantileDeltaMapping(
-                    oh, mh, mf, relative=self.relative,
-                    sampling=self.sampling, log_base=self.log_base,
-                    delta_denom_min=self.zero_rate_threshold)
-                res = qdm(data.T).T
+            qdm = QuantileDeltaMapping(
+                oh, mh, mf, relative=self.relative,
+                sampling=self.sampling, log_base=self.log_base,
+                delta_denom_min=self.zero_rate_threshold)
+            res = qdm(data.T).T
             corrected[:, :, fut_idx] = res.reshape(s1, s2, -1)
         return corrected
 
@@ -302,9 +339,21 @@ class PresRat(QuantileDeltaMappingCorrection):
         out[fut_key] = self._windowed_params_raster(
             fut_arr, fut_ti, use_device=use_device)
 
+        # per-gid `_correct_fut` guard: a window only corrects when
+        # base AND bias AND fut all have samples in it
+        window_ok = np.ones(self.n_time_steps, dtype=bool)
+        if 'ti' in base_tis:
+            window_ok = np.array([
+                window_mask(base_tis['ti'].dayofyear, d0,
+                            self.window_size).any()
+                and window_mask(bias_ti.dayofyear, d0,
+                                self.window_size).any()
+                and window_mask(fut_ti.dayofyear, d0,
+                                self.window_size).any()
+                for d0 in self.time_window_center])
         corrected = self._correct_fut_raster(
             out[bias_key], out[fut_key], out[base_key], fut_arr,
-            fut_ti, use_device=use_device)
+            fut_ti, window_ok=window_ok, use_device=use_device)
         invalid = ~valid_gids.reshape(shape)
         corrected[invalid] = np.nan
 
@@ -317,17 +366,8 @@ class PresRat(QuantileDeltaMappingCorrection):
 
         # reference semantics (qdm.py:415-430): a window's params only
         # exist when base AND bias AND fut all have samples in it
-        if 'ti' in base_tis:
-            window_ok = np.array([
-                window_mask(base_tis['ti'].dayofyear, d0,
-                            self.window_size).any()
-                and window_mask(bias_ti.dayofyear, d0,
-                                self.window_size).any()
-                and window_mask(fut_ti.dayofyear, d0,
-                                self.window_size).any()
-                for d0 in self.time_window_center])
-            for key in (base_key, bias_key, fut_key):
-                out[key][:, :, ~window_ok, :] = np.nan
+        for key in (base_key, bias_key, fut_key):
+            out[key][:, :, ~window_ok, :] = np.nan
         out[bias_key][invalid] = np.nan
         out[fut_key][invalid] = np.nan
 

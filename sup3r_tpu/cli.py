@@ -309,7 +309,7 @@ def pipeline(ctx, monitor, cancel, background):
     run_dir = config['run_dir']
     status = Status(run_dir)
     if background:
-        cfg_fp = ctx.obj.get('CONFIG_FILE')
+        cfg_fp = os.path.abspath(ctx.obj.get('CONFIG_FILE'))
         log_fp = os.path.join(run_dir, 'pipeline_monitor.log')
         with open(log_fp, 'a') as log:
             proc = subprocess.Popen(

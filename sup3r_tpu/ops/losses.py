@@ -276,8 +276,10 @@ class PerceptualLoss:
     ``<layer>_kernel``/``_bias``) HWIO conv weights onto the VGG16
     trunk, features are extracted at ``layer_names`` (default
     ``['block1_conv2', 'block2_conv2']``) after caffe-style
-    ``preprocess_input`` mean subtraction. Export recipe from any
-    machine with Keras::
+    ``preprocess_input`` mean subtraction; 5D batches flatten with
+    the reference's raw reshape so the loss value matches exactly
+    (the offline random extractor instead batches time frames
+    properly). Export recipe from any machine with Keras::
 
         vgg = keras.applications.VGG16(weights='imagenet',
                                        include_top=False)
@@ -410,8 +412,20 @@ class PerceptualLoss:
     def __call__(self, x1, x2):
         if x1.ndim == 5:
             n, s1, s2, t, f = x1.shape
-            x1 = jnp.reshape(jnp.moveaxis(x1, 3, 1), (n * t, s1, s2, f))
-            x2 = jnp.reshape(jnp.moveaxis(x2, 3, 1), (n * t, s1, s2, f))
+            if self._vgg is not None:
+                # numerical parity with the reference, which flattens
+                # 5D batches with a RAW reshape (time interleaves into
+                # spatial rows; reference: loss_metrics.py:701-710) —
+                # required for ``weights=`` runs to reproduce its loss
+                x1 = jnp.reshape(x1, (n * t, s1, s2, f))
+                x2 = jnp.reshape(x2, (n * t, s1, s2, f))
+            else:
+                # the offline extractor batches time frames properly
+                # (a deliberate improvement over the raw reshape)
+                x1 = jnp.reshape(jnp.moveaxis(x1, 3, 1),
+                                 (n * t, s1, s2, f))
+                x2 = jnp.reshape(jnp.moveaxis(x2, 3, 1),
+                                 (n * t, s1, s2, f))
         losses = []
         for i in range(x1.shape[-1]):
             a = jnp.repeat(x1[..., i:i + 1], 3, axis=-1)

@@ -52,7 +52,26 @@ def _layer_shapes(layers, in_shape):
 
 def estimate_activation_bytes(model, lr_shape):
     """Peak activation bytes to run ONE batch element of shape
-    ``lr_shape`` (no batch dim) through the generator, float32."""
+    ``lr_shape`` (no batch dim) through the model, float32.
+
+    Multi-step chains (``model.models``) take the max over their
+    members' estimates at each member's (enhanced) input shape — the
+    first batched dispatch runs every member, so the planner must
+    budget for the hungriest step, not just the chain's endpoints."""
+    members = getattr(model, 'models', None)
+    if members:
+        shape = tuple(lr_shape)
+        peak = 0
+        for member in members:
+            peak = max(peak, estimate_activation_bytes(member, shape))
+            se = int(getattr(member, 's_enhance', 1) or 1)
+            te = int(getattr(member, 't_enhance', 1) or 1)
+            if len(shape) == 4:
+                shape = (shape[0] * se, shape[1] * se,
+                         shape[2] * te, shape[3])
+            else:
+                shape = (shape[0] * se, shape[1] * se, shape[2])
+        return peak
     gen = getattr(model, 'generator', None)
     if gen is None:  # physics/linear models: in + out only
         s = int(np.prod(lr_shape)) * 4

@@ -74,16 +74,24 @@ class Status:
 
     def _legacy_lookup(self, status, module, job_name=None):
         """Resolve a (module[, job]) query against legacy key
-        spellings. Returns the module's job dict (possibly merged
-        across aliases) or, with ``job_name``, that job's record or
-        None. Consulted for unversioned stores and for keys recorded
-        in ``__legacy__`` at migration time — new versioned keys keep
-        the strict config-hash isolation."""
+        spellings. Returns the module's job dict or, with
+        ``job_name``, that job's record or None. Consulted for
+        unversioned stores and for keys recorded in ``__legacy__`` at
+        migration time — new versioned keys keep the strict
+        config-hash isolation.
+
+        MULTIPLE legacy aliases (the indexed ``module-{n}`` format
+        from a repeated-module pipeline) are ambiguous — the hashed
+        step keys carry no index, so a success under one alias cannot
+        be attributed to a specific current step. Refuse rather than
+        merge: a refused lookup re-runs work (safe, chunk-level
+        incremental restart dedupes it) instead of silently skipping
+        a step that never ran."""
         legacy = (None if self._is_legacy(status)
                   else set(status.get('__legacy__', [])))
         keys = [k for k in _legacy_module_keys(status, module)
                 if legacy is None or k in legacy]
-        if not keys:
+        if len(keys) != 1:
             return {} if job_name is None else None
         merged = {}
         for key in keys:
@@ -173,8 +181,18 @@ class Status:
         squeue_fn = squeue_fn or _squeue_state
         sacct_fn = sacct_fn or _sacct_state
         status = self.read()
-        modules = ([module] if module is not None
-                   else [m for m in status if not m.startswith('__')])
+        if module is not None:
+            # include legacy alias keys: in-flight jobs recorded under
+            # old spellings must still transition, or an upgraded
+            # pipeline would double-submit on top of running SLURM
+            # jobs (round-3 review finding)
+            legacy = (None if self._is_legacy(status)
+                      else set(status.get('__legacy__', [])))
+            modules = [module] + [
+                k for k in _legacy_module_keys(status, module)
+                if legacy is None or k in legacy]
+        else:
+            modules = [m for m in status if not m.startswith('__')]
         for mod in modules:
             for job_name, job in status.get(mod, {}).items():
                 state = job.get('job_status')

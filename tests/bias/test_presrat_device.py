@@ -161,3 +161,43 @@ def test_device_overlapping_windows(presrat_files):
         hf, df = h[np.isfinite(h)], d[np.isfinite(d)]
         rel = np.abs(df - hf) / np.maximum(np.abs(hf), 1e-12)
         assert np.quantile(rel, 0.999) < 5e-4, (key, rel.max())
+
+
+def test_partial_year_bias_coverage_stays_nan(tmp_path):
+    """Bias-historical data covering only part of the year: windows
+    with no bias samples must stay NaN in the corrected series (the
+    per-gid `_correct_fut` guard) — relative-mode delta repair must
+    NOT leak finite values through all-NaN mh params (round-3 review
+    finding)."""
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base.h5'), (6, 6, 24 * 360), ['pr'],
+        freq='h', value_range=(0, 5e-4), scale_factor=1e7,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    # bias history: ~Jan-Jun only (180 days)
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist.nc'), (3, 3, 180), ['pr'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    # future: full year
+    fut_fp = make_fake_nc_file(
+        str(tmp_path / 'fut.nc'), (3, 3, 360), ['pr'], freq='D',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    kw = dict(n_quantiles=11, n_time_steps=4,
+              zero_rate_threshold=1e-5)
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw)
+    expected = _per_gid_expected(calc)
+    got = calc.run(fill_extend=False, use_device=False)
+    # the uncovered windows' K factors are NaN in BOTH paths
+    k_exp = expected['pr_k_factor']
+    k_got = got['pr_k_factor']
+    assert np.isnan(k_exp).any(), 'fixture must leave empty windows'
+    np.testing.assert_array_equal(np.isnan(k_got), np.isnan(k_exp))
+    np.testing.assert_allclose(k_got, k_exp, rtol=1e-5,
+                               equal_nan=True)
+    np.testing.assert_allclose(
+        got['pr_tau_fut'], expected['pr_tau_fut'], rtol=1e-4,
+        equal_nan=True)
+    # device path agrees on the NaN structure too
+    dev = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', **kw).run(
+        fill_extend=False, use_device=True)
+    np.testing.assert_array_equal(
+        np.isnan(dev['pr_k_factor']), np.isnan(k_exp))

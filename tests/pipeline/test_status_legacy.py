@@ -45,23 +45,28 @@ def test_round1_format_skips(tmp_path):
     assert not st.module_successful('data-collect#ab12cd')
 
 
-def test_indexed_format_skips(tmp_path):
+def test_indexed_format_is_ambiguous(tmp_path):
     """Repeated-module ``module-{idx}`` keys (early round-2) are
-    legacy aliases too."""
+    AMBIGUOUS against the current hashed step keys — a success under
+    one alias cannot be attributed to a specific step, so the lookup
+    refuses (re-running is safe; silently skipping a step that never
+    ran is not)."""
     _write_raw(tmp_path, {
         'forward-pass-0': {
             'forward-pass-0_0': {'job_status': 'successful'}},
         'forward-pass-1': {
-            'forward-pass-1_0': {'job_status': 'failed'}},
+            'forward-pass-1_0': {'job_status': 'successful'}},
     })
     st = Status(str(tmp_path))
-    # merged view: one alias has a failure -> module not skippable
     assert not st.module_successful('forward-pass#aaaaaa')
-    assert st.module_failed('forward-pass#aaaaaa')
-    # but the successful job itself still reads through
     assert st.job_status(
-        'forward-pass#aaaaaa', 'forward-pass#aaaaaa_bbbbbb_0'
-    ) == 'successful'
+        'forward-pass#aaaaaa', 'forward-pass#aaaaaa_bbbbbb_0') is None
+    # a SINGLE indexed alias resolves fine
+    _write_raw(tmp_path, {
+        'forward-pass-1': {
+            'forward-pass-1_0': {'job_status': 'successful'}},
+    })
+    assert st.module_successful('forward-pass#aaaaaa')
 
 
 def test_versioned_store_keeps_isolation(tmp_path):
@@ -111,3 +116,23 @@ def test_update_stamps_version_and_poll_ignores_it(tmp_path):
         'solar': {'solar_0': {'job_status': 'successful'}}})
     st.update('qa#ff', 'qa#ff_x_0', job_status='running')
     assert st.module_successful('solar#abcdef')
+
+
+def test_poll_transitions_legacy_jobs(tmp_path):
+    """poll(current-key) also transitions jobs recorded under the
+    legacy spelling — otherwise an upgraded pipeline double-submits
+    on top of still-running SLURM jobs (round-3 review finding)."""
+    exit_fp = str(tmp_path / '.fwd.exit')
+    with open(exit_fp, 'w') as f:
+        f.write('0')
+    _write_raw(tmp_path, {
+        'forward-pass': {
+            'forward-pass_0': {'job_status': 'submitted',
+                               'exit_file': exit_fp}},
+    })
+    st = Status(str(tmp_path))
+    st.poll('forward-pass#ab12cd',
+            squeue_fn=lambda j: None, sacct_fn=lambda j: None)
+    assert st.job_status('forward-pass#ab12cd',
+                         'forward-pass#ab12cd_x_0') == 'successful'
+    assert st.module_successful('forward-pass#ab12cd')

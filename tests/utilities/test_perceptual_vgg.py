@@ -114,3 +114,24 @@ def test_random_default_unchanged():
     a = float(loss(x, y))
     b = float(PerceptualLoss()(x, y))
     assert a == b > 0
+
+
+def test_vgg_5d_uses_reference_raw_reshape(tmp_path):
+    """Weights mode flattens 5D with the reference's RAW reshape
+    (loss value parity; reference: loss_metrics.py:701-710), not the
+    time-batched moveaxis the offline extractor uses."""
+    import jax.numpy as jnp
+
+    fp = _fake_vgg_npz(tmp_path, through_block=1)
+    loss = PerceptualLoss(weights=fp, layer_names=['block1_conv2'])
+    x5 = RNG.random((2, 6, 6, 3, 1)).astype(np.float32)
+    y5 = RNG.random((2, 6, 6, 3, 1)).astype(np.float32)
+    got = float(loss(x5, y5))
+    raw_x = np.reshape(x5, (6, 6, 6, 1))
+    raw_y = np.reshape(y5, (6, 6, 6, 1))
+    expected = float(loss(raw_x, raw_y))
+    assert got == expected
+    moved = float(loss(
+        np.reshape(np.moveaxis(x5, 3, 1), (6, 6, 6, 1)),
+        np.reshape(np.moveaxis(y5, 3, 1), (6, 6, 6, 1))))
+    assert got != moved  # the two flattenings genuinely differ
