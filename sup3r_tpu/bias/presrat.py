@@ -17,12 +17,13 @@ logger = logging.getLogger(__name__)
 
 
 def zero_precipitation_rate(arr, threshold=0.0):
-    """Fraction of finite values below ``threshold`` (reference:
-    mixins.py:119)."""
+    """Fraction of finite values at or below ``threshold`` (reference
+    code semantics: mixins.py:160 ``arr <= threshold`` — its docstring
+    example disagrees with its own code; the code wins)."""
     finite = np.asarray(arr)[np.isfinite(arr)]
     if finite.size == 0:
         return np.nan
-    return float((finite < threshold).sum() / finite.size)
+    return float((finite <= threshold).sum() / finite.size)
 
 
 class PresRat(QuantileDeltaMappingCorrection):
@@ -97,10 +98,14 @@ class PresRat(QuantileDeltaMappingCorrection):
             if not (base_idx.any() and bias_idx.any()
                     and fut_idx.any()):
                 continue
-            mean_oh = np.nanmean(base_data[base_idx])
-            mean_mh = np.nanmean(bias_data[bias_idx])
-            mean_mf = np.nanmean(bias_fut_data[fut_idx])
-            mean_corr = np.nanmean(corrected_fut_data[fut_idx])
+            thr = self.zero_rate_threshold
+            mean_oh = max(np.nanmean(base_data[base_idx]), thr)
+            mean_mh = max(np.nanmean(bias_data[bias_idx]), thr)
+            mean_mf = max(np.nanmean(bias_fut_data[fut_idx]), thr)
+            mean_corr = max(np.nanmean(corrected_fut_data[fut_idx]),
+                            thr)
+            # clamping every mean to >= zero_rate_threshold bounds K
+            # in arid regions (reference: presrat.py:241-244)
             denom = mean_corr * mean_mh
             if denom and np.isfinite(denom):
                 k[nt] = (mean_mf * mean_oh) / denom
@@ -114,8 +119,10 @@ class PresRat(QuantileDeltaMappingCorrection):
         out[f'{self.bias_feature}_k_factor'] = np.full(
             (*self.bias_gid_raster.shape, self.n_time_steps), np.nan,
             np.float32)
-        out[f'{self.bias_feature}_zero_rate'] = np.full(shape2, np.nan,
-                                                        np.float32)
+        # reference schema keys the zero rate by the BASE dset
+        # (presrat.py:84: out[f'{base_dset}_zero_rate'])
+        out[f'{self.base_dset}_zero_rate'] = np.full(shape2, np.nan,
+                                                     np.float32)
         return out
 
     # ------------------------------------------------------------------
@@ -163,16 +170,12 @@ class PresRat(QuantileDeltaMappingCorrection):
             # (s1, s2, NT, L) -> columns (s1*s2*NT, L) with per-column
             # params: one vmapped dispatch for every (gid, window)
             vals = fut_arr[:, :, idx].reshape(s1 * s2 * nt_all, -1)
-            oh = np.transpose(base_params, (2, 0, 1, 3)).reshape(
-                nt_all, s1 * s2, nq)
-            mh = np.transpose(bias_params, (2, 0, 1, 3)).reshape(
-                nt_all, s1 * s2, nq)
-            mf = np.transpose(fut_params, (2, 0, 1, 3)).reshape(
-                nt_all, s1 * s2, nq)
-            # column order must match vals: gid-major, window-minor
+
+            # column order matches vals: gid-major, window-minor —
+            # which is exactly the (s1, s2, NT, NQ) rasters' natural
+            # C order, so a reshape view suffices
             def cols(p):
-                return np.transpose(p, (1, 0, 2)).reshape(
-                    s1 * s2 * nt_all, nq)
+                return p.reshape(s1 * s2 * nt_all, nq)
 
             transform = jax.jit(
                 lambda d, oh, mh, mf: qdm_transform_device(
@@ -180,8 +183,9 @@ class PresRat(QuantileDeltaMappingCorrection):
                     np.asarray(quantiles, np.float32),
                     relative=self.relative,
                     delta_denom_min=self.zero_rate_threshold))
-            res = np.asarray(transform(vals, cols(oh), cols(mh),
-                                       cols(mf)))
+            res = np.asarray(transform(vals, cols(base_params),
+                                       cols(bias_params),
+                                       cols(fut_params)))
             res = res.reshape(s1, s2, nt_all, -1)
             for nt in range(nt_all):
                 if not window_ok[nt]:
@@ -253,16 +257,21 @@ class PresRat(QuantileDeltaMappingCorrection):
                 continue
             # float32 accumulation on purpose: matches the per-gid
             # scalar math (base/bias series are float32) bit-for-bit
+            thr = np.float32(self.zero_rate_threshold)
             with warnings.catch_warnings():
                 warnings.simplefilter('ignore', RuntimeWarning)
-                mean_mh = np.nanmean(bias_arr[:, :, bias_idx],
-                                     axis=-1)
-                mean_mf = np.nanmean(fut_arr[:, :, fut_idx], axis=-1)
-                mean_corr = np.nanmean(corrected[:, :, fut_idx],
-                                       axis=-1)
+                mean_mh = np.maximum(
+                    np.nanmean(bias_arr[:, :, bias_idx], axis=-1),
+                    thr)
+                mean_mf = np.maximum(
+                    np.nanmean(fut_arr[:, :, fut_idx], axis=-1), thr)
+                mean_corr = np.maximum(
+                    np.nanmean(corrected[:, :, fut_idx], axis=-1),
+                    thr)
+            moh = np.maximum(mean_oh[:, :, nt], thr)
             denom = mean_corr * mean_mh
             with np.errstate(divide='ignore', invalid='ignore'):
-                kk = (mean_mf * mean_oh[:, :, nt]) / denom
+                kk = (mean_mf * moh) / denom
             ok = np.isfinite(denom) & (denom != 0) & np.isfinite(kk)
             k[:, :, nt] = np.where(ok, kk, np.nan).astype(np.float32)
         return k
@@ -362,7 +371,7 @@ class PresRat(QuantileDeltaMappingCorrection):
                                  zero_rate)
         out[f'{self.bias_feature}_k_factor'][:] = self._k_factor_raster(
             bias_arr, fut_arr, corrected, mean_oh, bias_ti, fut_ti)
-        out[f'{self.bias_feature}_zero_rate'][..., 0] = zero_rate
+        out[f'{self.base_dset}_zero_rate'][..., 0] = zero_rate
 
         # reference semantics (qdm.py:415-430): a window's params only
         # exist when base AND bias AND fut all have samples in it

@@ -290,6 +290,11 @@ def local_presrat_bc(data, lat_lon, base_dset, feature_name, bias_fp,
     bias_fut = np.asarray(params['bias_fut'])
     bias_tau_fut = np.asarray(params['bias_tau_fut'])
     k_factor = np.asarray(params['k_factor'])
+    # reference: the file's zero_rate_threshold is the default clamp
+    # for the relative-delta denominator (bias_transforms.py:1073) —
+    # without it, dry-quantile x_mh ~ 1e-12 makes delta explode
+    if delta_denom_min is None:
+        delta_denom_min = cfg.get('zero_rate_threshold')
     if k_range is not None:
         k_factor = np.clip(k_factor, *k_range)
     if lr_padded_slice is not None:

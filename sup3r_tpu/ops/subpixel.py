@@ -101,6 +101,9 @@ def subpixel_tail_conv(z, kernel, bias, m, alpha_prev=None,
     keeps fp32-equivalent accuracy (the conv runs on bf16 passes
     otherwise under this platform's --xla_allow_excess_precision)."""
     ci, co = kernel.shape[-2:]
+    assert m >= 2, (
+        'subpixel_tail_conv needs a real expansion (m >= 2); m == 1 '
+        'is just reflect_conv_reference')
     assert z.shape[-1] == m * m * ci, (z.shape, m, ci)
     if alpha_prev is not None:
         z = jax.nn.leaky_relu(z, alpha_prev)

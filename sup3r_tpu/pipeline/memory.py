@@ -101,7 +101,7 @@ def estimate_halo_bytes(model, lr_shape, n_devices):
     total = 0
     for lyr, shape in zip(gen.layers, shapes[:-1]):
         name = type(lyr).__name__
-        if 'Conv' in name or name == 'FusedReflectConv':
+        if 'Conv' in name:  # incl. FusedReflectConv
             # plane = everything but the sharded s1 dim
             plane = int(np.prod(shape[2:])) * 4
             total += 2 * (n_devices - 1) * plane

@@ -289,3 +289,81 @@ def test_fill_and_smooth_semantics(tmp_path):
         {'k': arr.copy()}, fill_extend=True, smooth_interior=1.0)['k']
     assert not np.isnan(smoothed).any()
     assert smoothed[:, :, 0].var() < filled[:, :, 0].var()
+
+
+def test_zero_rate_inclusive_threshold():
+    """<= semantics (reference code: mixins.py:160): exact threshold
+    hits count as dry."""
+    arr = np.array([0.0, 0.5, 1.0, 2.0])
+    assert zero_precipitation_rate(arr, threshold=0.5) == 0.5
+    assert zero_precipitation_rate(arr, threshold=0.0) == 0.25
+
+
+def test_k_factor_clamped_in_dry_windows(presrat_files):
+    """All four window means clamp to >= zero_rate_threshold before K
+    (reference: presrat.py:241-244) — a near-zero mh cannot blow K
+    up."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr',
+                   n_quantiles=11, n_time_steps=2,
+                   zero_rate_threshold=1e-3)
+    # synthetic per-gid inputs: bias history ~1e-9 (dry)
+    t = 200
+    ti = pd.date_range('2015-01-01', periods=t, freq='D')
+    base = np.full(t, 2e-3, np.float32)
+    bias = np.full(t, 1e-9, np.float32)
+    fut = np.full(t, 2e-3, np.float32)
+    corr = np.full(t, 2e-3, np.float32)
+    k = calc.calc_k_factor(base, bias, fut, corr, ti, ti, ti)
+    finite = k[np.isfinite(k)]
+    assert finite.size
+    # unclamped K would be (2e-3 * 2e-3) / (2e-3 * 1e-9) = 2e6;
+    # clamped mh >= 1e-3 bounds it at (2e-3 * 2e-3)/(2e-3 * 1e-3) = 2
+    assert (finite <= 2.01).all(), finite
+
+
+def test_zero_rate_key_uses_base_dset(tmp_path):
+    """Output schema parity: the zero-rate raster is keyed by the
+    BASE dset (reference: presrat.py:84)."""
+    base_fp = make_fake_h5_file(
+        str(tmp_path / 'base_ghi.h5'), (10, 10, 24 * 100), ['ghi'],
+        freq='h', value_range=(0, 1000), scale_factor=10,
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    bias_fp = make_fake_nc_file(
+        str(tmp_path / 'hist_rsds.nc'), (5, 5, 100), ['rsds'],
+        freq='D', lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    fut_fp = make_fake_nc_file(
+        str(tmp_path / 'fut_rsds.nc'), (5, 5, 100), ['rsds'],
+        freq='D', lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    calc = PresRat(base_fp, bias_fp, fut_fp, 'ghi', 'rsds',
+                   n_quantiles=5, n_time_steps=1)
+    out = calc.run(fill_extend=False)
+    assert 'ghi_zero_rate' in out
+    assert 'rsds_zero_rate' not in out
+    assert 'rsds_tau_fut' in out and 'rsds_k_factor' in out
+
+
+def test_presrat_bc_defaults_denom_min_from_file(presrat_files,
+                                                 tmp_path):
+    """local_presrat_bc defaults delta_denom_min to the file's
+    zero_rate_threshold attr (reference: bias_transforms.py:1073) —
+    dry-quantile denominators cannot explode the relative delta."""
+    base_fp, bias_fp, fut_fp = presrat_files
+    fp_out = str(tmp_path / 'presrat.h5')
+    thr = 1e-4
+    PresRat(base_fp, bias_fp, fut_fp, 'pr', 'pr', n_quantiles=11,
+            n_time_steps=2, zero_rate_threshold=thr).run(
+        fp_out=fp_out)
+    from sup3r_tpu.preprocessing.data_handlers import DataHandler
+
+    dh = DataHandler(fut_fp, features=['pr'])
+    data = np.asarray(dh.data['pr'], np.float32)
+    ti = dh.time_index
+    kw = {'start': str(ti[0]), 'end': str(ti[-1]), 'freq': 'D'}
+    default = local_presrat_bc(
+        data.copy(), np.asarray(dh.lat_lon), 'pr', 'pr', fp_out,
+        date_range_kwargs=kw)
+    explicit = local_presrat_bc(
+        data.copy(), np.asarray(dh.lat_lon), 'pr', 'pr', fp_out,
+        date_range_kwargs=kw, delta_denom_min=thr)
+    np.testing.assert_allclose(default, explicit, equal_nan=True)
