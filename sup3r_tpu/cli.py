@@ -56,8 +56,8 @@ def _node_cmd(module, config, node_index, run_dir,
             'ForwardPass.run(strategy, node)'),
         'solar': (
             'from sup3r_tpu.solar import Solar;'
-            'cfg.pop(\'node_index\');'
-            'Solar.run_temporal_chunks(**cfg)'),
+            'node = cfg.pop(\'node_index\');'
+            'Solar.run_temporal_chunks(node_index=node, **cfg)'),
         'data-collect': (
             'from sup3r_tpu.postprocessing.collectors import '
             'CollectorH5, CollectorNC;'
@@ -173,13 +173,16 @@ def forward_pass(ctx):
 @main.command()
 @click.pass_context
 def solar(ctx):
-    """Run the solar irradiance module from a config."""
+    """Run the solar irradiance module from a config. ``max_nodes``
+    fans temporal chunks out over that many jobs (reference:
+    sup3r/solar/solar.py:584 one job per temporal-chunk split)."""
     config = _get_config(ctx)
     run_cfg = {k: v for k, v in config.items()
                if k not in ('execution_control', 'run_dir')}
+    n_nodes = int(run_cfg.get('max_nodes') or 1)
     module = _status_module(ctx, 'solar')
-    cmds = [_node_cmd('solar', run_cfg, 0, config['run_dir'],
-                      status_module=module)]
+    cmds = [_node_cmd('solar', run_cfg, i, config['run_dir'],
+                      status_module=module) for i in range(n_nodes)]
     codes = BaseCLI.kickoff_jobs(module, cmds, config,
                                  job_tag=_cfg_tag(run_cfg))
     if any(codes):

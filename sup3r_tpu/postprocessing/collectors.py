@@ -20,13 +20,17 @@ from sup3r_tpu.utilities import get_dset_attrs
 
 logger = logging.getLogger(__name__)
 
-_CHUNK_ID_PATTERN = re.compile(r'(\d{6})_(\d{6})')
+#: greedy prefix anchors on the LAST two index tokens, exactly like
+#: the reference (collectors/base.py:53) — a date or job id earlier in
+#: the name (e.g. ``era5_202401_..._000000_000003.h5``) must not be
+#: mistaken for the chunk ids
+_CHUNK_ID_PATTERN = re.compile(r'.*_(\d+)_(\d+).*\w+$')
 
 
 def get_chunk_indices(file):
     """(temporal_idx, spatial_idx) parsed from a chunk file name
     (reference: collectors/base.py:43)."""
-    m = _CHUNK_ID_PATTERN.search(os.path.basename(file))
+    m = _CHUNK_ID_PATTERN.match(os.path.basename(file))
     if not m:
         raise ValueError(f'Could not parse chunk ids from {file}')
     return int(m.group(1)), int(m.group(2))
@@ -154,31 +158,50 @@ class CollectorH5:
         groups = np.array_split(np.asarray(t_ids), n_groups)
         return [[fp for t in g for fp in by_t[int(t)]] for g in groups]
 
-    def _read_file_block(self, fp, feat, gid_pos, time_pos,
-                         dest_scale, dest_dtype):
-        """Read one chunk file's feature block, harmonizing its scale
-        factor to the destination's (reference: collectors/h5.py:106-
-        200). Returns (r0, cols, block) or None if no kept columns."""
+    def _file_alignment(self, fp, gid_pos, time_pos):
+        """(keep_cols, cols, r0) for a chunk file — feature
+        independent, so cached per file: re-parsing the byte-string
+        time index per (feature x file) costs thousands of strptime
+        calls per file per feature."""
+        cache = getattr(self, '_align_cache', None)
+        if cache is None:
+            cache = self._align_cache = {}
+        if fp in cache:
+            return cache[fp]
         with h5py.File(fp, 'r') as f:
             fmeta = f['meta'][:]
             fgids = (fmeta['gid'] if 'gid' in fmeta.dtype.names
                      else np.arange(len(fmeta)))
             ftimes = pd.DatetimeIndex(
                 [t.decode()[:26] for t in f['time_index'][:]])
-            keep_cols = np.array([i for i, g in enumerate(fgids)
-                                  if g in gid_pos], dtype=int)
-            if keep_cols.size == 0:
-                msg = (f'No target coordinates found in masked meta; '
-                       f'skipping collection for {fp}.')
-                logger.warning(msg)
-                _warn(msg)
-                return None
-            cols = np.array([gid_pos[g] for g in fgids[keep_cols]])
-            rows = np.array([time_pos[t] for t in ftimes])
-            r0, r1 = rows.min(), rows.max() + 1
-            if not np.array_equal(rows, np.arange(r0, r1)):
-                raise ValueError(
-                    f'Non-contiguous time rows in chunk file {fp}')
+        keep_cols = np.array([i for i, g in enumerate(fgids)
+                              if g in gid_pos], dtype=int)
+        if keep_cols.size == 0:
+            cache[fp] = None
+            return None
+        cols = np.array([gid_pos[g] for g in fgids[keep_cols]])
+        rows = np.array([time_pos[t] for t in ftimes])
+        r0, r1 = rows.min(), rows.max() + 1
+        if not np.array_equal(rows, np.arange(r0, r1)):
+            raise ValueError(
+                f'Non-contiguous time rows in chunk file {fp}')
+        cache[fp] = (keep_cols, cols, int(r0))
+        return cache[fp]
+
+    def _read_file_block(self, fp, feat, gid_pos, time_pos,
+                         dest_scale, dest_dtype):
+        """Read one chunk file's feature block, harmonizing its scale
+        factor to the destination's (reference: collectors/h5.py:106-
+        200). Returns (r0, cols, block) or None if no kept columns."""
+        align = self._file_alignment(fp, gid_pos, time_pos)
+        if align is None:
+            msg = (f'No target coordinates found in masked meta; '
+                   f'skipping collection for {fp}.')
+            logger.warning(msg)
+            _warn(msg)
+            return None
+        keep_cols, cols, r0 = align
+        with h5py.File(fp, 'r') as f:
             src_scale = dict(f[feat].attrs).get('scale_factor',
                                                 dest_scale)
             block = f[feat][:][:, keep_cols]
@@ -313,6 +336,18 @@ class CollectorNC:
         full = {f: np.full((len(times), len(lats), len(lons)), np.nan,
                            dtype=np.float32) for f in features}
         for d in dsets:
+            # regular-grid gate, matching the reference's limitation
+            # (collectors/nc.py combine_by_coords requires separable
+            # coords): curvilinear chunk grids would scatter data to
+            # wrong (lat, lon) pairs and allocate an O(N^2) cube
+            ll = d.lat_lon
+            if not (np.allclose(ll[..., 0], ll[:, :1, 0])
+                    and np.allclose(ll[..., 1], ll[:1, :, 1])):
+                raise NotImplementedError(
+                    'CollectorNC requires regular (separable) '
+                    'lat/lon grids; got a curvilinear chunk grid. '
+                    'Collect to H5 (CollectorH5) for curvilinear '
+                    'domains.')
             rows = [lat_pos[v] for v in d.lat_lon[:, 0, 0]]
             cols = [lon_pos[v] for v in d.lat_lon[0, :, 1]]
             t_rows = [time_pos[t] for t in d.time_index]

@@ -189,7 +189,14 @@ class OutputHandler:
         """Full output transform: invert winds + enforce limits.
         ``invert_uv=False`` writes raw u/v; ``nn_fill=True`` NN-fills
         out-of-range values instead of clipping (reference:
-        strategy.py invert_uv/nn_fill options)."""
+        strategy.py invert_uv/nn_fill options).
+
+        Mutates ``data`` in place; read-only views (e.g.
+        ``np.asarray(jax_array)``) are copied first so the shared
+        write entry point never crashes on an unwritable buffer."""
+        data = np.asarray(data, dtype=np.float32)
+        if not data.flags.writeable:
+            data = data.copy()
         if invert_uv:
             features = cls.invert_uv_features(data, features, lat_lon,
                                               max_workers)

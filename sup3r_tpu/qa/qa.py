@@ -156,8 +156,16 @@ class Sup3rQa:
             synth = self.get_dset_out(feature)
             coarse = self.coarsen_data(synth, i)
             source = np.asarray(self.get_source_dset(feature))
-            t = min(coarse.shape[2], source.shape[2])
-            coarse, source = coarse[:, :, :t], source[:, :, :t]
+            if coarse.shape != source.shape:
+                # hard error like the reference (qa.py:492-501) — a
+                # silent min() crop would compare misaligned
+                # timestamps and report a meaningless error value
+                # (usually a wrong s_enhance/t_enhance)
+                raise RuntimeError(
+                    f'QA "{feature}": re-coarsened synthetic shape '
+                    f'{coarse.shape} != source shape {source.shape}; '
+                    'check s_enhance/t_enhance against the model '
+                    'that produced the output')
             err = (coarse - source).astype(np.float32)
             errors[f'{dset_out}_error'] = err
             to_write[f'{dset_out}_error'] = err

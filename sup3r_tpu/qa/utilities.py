@@ -34,7 +34,11 @@ def tke_frequency_spectrum(u, v, f_range=None):
     units (e.g. 1/max_time .. 1/min_time)."""
     u_f = np.abs(np.fft.fft(u, axis=-1)) ** 2
     v_f2 = np.abs(np.fft.fft(v, axis=-1)) ** 2
-    spectrum = (u_f + v_f2).reshape(-1, u_f.shape[-1]).mean(axis=0)
+    # SUM over sites: the reference's fftn over (sites, time) + mean
+    # over site-frequencies equals the site-SUM of per-site time
+    # spectra (Parseval over the site axis) — a mean here would be a
+    # factor n_sites below reference-produced artifacts
+    spectrum = (u_f + v_f2).reshape(-1, u_f.shape[-1]).sum(axis=0)
     return _fold_freq_spectrum(spectrum, f_range)
 
 
@@ -43,7 +47,8 @@ def frequency_spectrum(var, f_range=None):
     convention (f^2-weighted, folded halves; qa/utilities.py:50-85).
     ``f_range`` maps the frequency axis to physical units."""
     spec = np.abs(np.fft.fft(var, axis=-1)) ** 2
-    spec = spec.reshape(-1, spec.shape[-1]).mean(axis=0)
+    # site-SUM, not mean — see tke_frequency_spectrum
+    spec = spec.reshape(-1, spec.shape[-1]).sum(axis=0)
     return _fold_freq_spectrum(spec, f_range)
 
 

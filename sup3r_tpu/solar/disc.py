@@ -23,10 +23,14 @@ def extraterrestrial_irradiance(doy):
 
 
 def relative_airmass(sza):
-    """Kasten & Young (1989) relative airmass for zenith in degrees."""
+    """Kasten (1966) relative airmass for zenith in degrees — the
+    formulation ``farms.disc`` uses (the reference delegates to it,
+    sup3r/solar/solar.py:315), NOT Kasten & Young 1989; the
+    exponential delta_kn term amplifies any airmass difference near
+    the zenith cap."""
     sza = np.asarray(sza, dtype=np.float64)
     cosz = np.cos(np.radians(sza))
-    am = 1.0 / (cosz + 0.50572 * (96.07995 - sza) ** -1.6364)
+    am = 1.0 / (cosz + 0.15 * (93.885 - sza) ** -1.253)
     return np.where(sza < 90, am, np.nan)
 
 
@@ -46,6 +50,9 @@ def disc(ghi, sza, doy, pressure=101325.0, min_cos_zenith=0.065,
         pressure = pressure * 100
 
     i0 = extraterrestrial_irradiance(doy)
+    # min_cos_zenith / kt clip follow pvlib's DISC hardening (farms'
+    # exact clamping is unavailable offline); both only bite within
+    # ~1 degree of the zenith cap, below the dark_night cutoff
     cosz = np.maximum(np.cos(np.radians(sza_arr)), min_cos_zenith)
     kt = np.clip(ghi / (i0 * cosz), 0, 2)
 

@@ -120,11 +120,15 @@ class Solar:
         return self._cache['nsrdb_tslice']
 
     def get_nsrdb_data(self, dset):
-        """(time, gan_sites) NSRDB data agg'd over neighbors."""
+        """(time, gan_sites) NSRDB data agg'd over neighbors.
+
+        The full-spatial slab is read ONCE and column-indexed per
+        aggregation neighbor (reading it inside the neighbor loop cost
+        agg_factor full-domain reads per dataset)."""
+        slab = self.nsrdb.get(dset, self.nsrdb_tslice, None)
         out = None
         for i in range(self.idnn.shape[1]):
-            temp = self.nsrdb.get(dset, self.nsrdb_tslice,
-                                  None)[:, self.idnn[:, i]]
+            temp = slab[:, self.idnn[:, i]]
             out = temp if out is None else out + temp
         return out / self.idnn.shape[1]
 
@@ -275,6 +279,12 @@ class Solar:
         if temporal_ids is None and max_nodes and max_nodes > 1:
             uniq = sorted(set(t_ids))
             splits = np.array_split(uniq, min(max_nodes, len(uniq)))
+            if node_index >= len(splits):
+                # more nodes than temporal chunks: surplus nodes no-op
+                logger.info('Node %d has no temporal chunks '
+                            '(%d chunk splits)', node_index,
+                            len(splits))
+                return []
             temporal_ids = list(splits[node_index])
         written = []
         for fp_set, t_slice, t_id, target in zip(fp_sets, t_slices,

@@ -141,3 +141,56 @@ def test_qa_source_features_and_output_names(tmp_path):
     with h5py.File(qa_fp2) as f:
         assert 'ghi_error' in f
         assert 'ghi_synthetic' not in f
+
+
+def test_spectra_match_reference_fftn_convention():
+    """frequency/tke spectra equal the reference's fftn-over-
+    (sites, time) + mean-over-site-frequencies formulation (Parseval:
+    site-SUM of per-site time spectra; round-3 review finding — a
+    site MEAN was a factor n_sites low)."""
+    from sup3r_tpu.qa.utilities import (
+        frequency_spectrum,
+        tke_frequency_spectrum,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.random((5, 6, 40))
+    v = rng.random((5, 6, 40))
+    v_f = np.fft.fftn(v.reshape((-1, v.shape[-1])))
+    u_f = np.fft.fftn(u.reshape((-1, u.shape[-1])))
+    e_f = np.mean(np.abs(v_f) ** 2 + np.abs(u_f) ** 2, axis=0)
+    f = np.arange(len(e_f))
+    e_f = f ** 2 * e_f
+    n = len(e_f) // 2
+    ref = e_f[:n] + e_f[-n:][::-1]
+    _, got = tke_frequency_spectrum(u, v)
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+    s_f = np.mean(np.abs(np.fft.fftn(
+        u.reshape((-1, u.shape[-1])))) ** 2, axis=0)
+    s_f = f ** 2 * s_f
+    ref_s = s_f[:n] + s_f[-n:][::-1]
+    _, got_s = frequency_spectrum(u)
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-12)
+
+
+def test_qa_shape_mismatch_raises(tmp_path):
+    """A wrong t_enhance raises instead of silently truncating to
+    min() (reference: qa.py:492-501)."""
+    import json
+
+    from sup3r_tpu.qa import Sup3rQa
+    from sup3r_tpu.utilities.test_helpers import (
+        make_fake_h5_file,
+        make_fake_nc_file,
+    )
+
+    src = make_fake_nc_file(str(tmp_path / 'src.nc'), (4, 4, 6),
+                            ['u100'], freq='D')
+    out = make_fake_h5_file(
+        str(tmp_path / 'out.h5'), (8, 8, 24), ['u_100m'], freq='h',
+        lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3))
+    qa = Sup3rQa(src, out, s_enhance=2, t_enhance=2,  # true is 4
+                 features=['u_100m'])
+    with pytest.raises(RuntimeError, match='shape'):
+        qa.run()

@@ -3,6 +3,8 @@ tests/forward_pass/test_solar_module.py): nn_threshold out-of-bounds
 zeroing, agg_factor neighbor averaging, tz roll behavior, cloudy-vs-
 clear DNI switching, and the ignore filter in chunk grouping."""
 
+import os
+
 import h5py
 import numpy as np
 import pytest
@@ -108,3 +110,30 @@ def test_written_file_round_trips_scaled(tmp_path):
         back = f['ghi'][:] / scale
         assert len(f['meta']) == 16
     np.testing.assert_allclose(back, ghi, atol=1.0 / scale + 0.01)
+
+
+def test_run_temporal_chunks_multi_node(tmp_path):
+    """max_nodes>1 splits temporal chunks across node_index values —
+    every chunk is written by exactly one node, surplus nodes no-op
+    (round-3 review finding: the single-node CLI silently dropped
+    all but split 0)."""
+    from tests.solar_qa.test_solar_qa import (
+        _make_fake_cs_ratio_file,
+        _make_fake_nsrdb,
+    )
+
+    for t_id in ('000000', '000001', '000002'):
+        _make_fake_cs_ratio_file(
+            str(tmp_path / f'sup3r_chunk_{t_id}_000000.h5'),
+            (5, 5, 24), start='2050-06-01')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (10, 10, 48 * 3))
+    pattern = str(tmp_path / 'sup3r_chunk_*.h5')
+    written = []
+    for node in range(4):  # one more node than chunks
+        written += Solar.run_temporal_chunks(
+            pattern, nsrdb_fp, tz=-6, max_nodes=4, node_index=node)
+    assert len(written) == 3
+    assert len(set(written)) == 3
+    for fp in written:
+        assert os.path.exists(fp)
