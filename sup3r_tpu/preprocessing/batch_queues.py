@@ -120,18 +120,35 @@ class AbstractBatchQueue:
             self._pool = None
 
     def _enqueue_batches(self):
-        while self._training_flag.is_set():
-            try:
-                batch = self.post_proc(self.sample_batch())
-            except Exception:
-                logger.exception('Batch producer error')
-                raise
+        """Producer loop. ``max_workers > 1`` keeps that many batch
+        productions in flight on the pool (the reference parallelizes
+        sample collection the same way, batch_queues/abstract.py:262)
+        — before round 3 the pool was created but never submitted to,
+        so the knob was silently a no-op."""
+        def produce():
+            return self.post_proc(self.sample_batch())
+
+        pending = []
+        try:
             while self._training_flag.is_set():
+                while (len(pending) < max(self.max_workers, 1)
+                       and self._training_flag.is_set()):
+                    pending.append(self._pool.submit(produce))
+                fut = pending.pop(0)
                 try:
-                    self.queue.put(batch, timeout=0.2)
-                    break
-                except Full:
-                    continue
+                    batch = fut.result()
+                except Exception:
+                    logger.exception('Batch producer error')
+                    raise
+                while self._training_flag.is_set():
+                    try:
+                        self.queue.put(batch, timeout=0.2)
+                        break
+                    except Full:
+                        continue
+        finally:
+            for fut in pending:
+                fut.cancel()
 
     def __len__(self):
         return self.n_batches

@@ -73,14 +73,27 @@ def _cloud_mask(ctx):
 
 
 def _windspeed(ctx, height):
-    """hypot(u, v) at height."""
-    return np.hypot(ctx[f'u_{height}m'], ctx[f'v_{height}m'])
+    """Windspeed via the grid-rotation-aware inversion — the inverse
+    of the u/v derivation below, like the reference (methods.py:180
+    Windspeed -> invert_uv); a plain hypot matches only on
+    east-aligned regular grids."""
+    from sup3r_tpu.ops.wind import invert_uv
+
+    ws, _ = invert_uv(ctx[f'u_{height}m'], ctx[f'v_{height}m'],
+                      ctx.lat_lon)
+    return np.asarray(ws)
 
 
 def _winddirection(ctx, height):
-    """Degrees from u/v (meteorological: direction wind comes from)."""
-    u, v = ctx[f'u_{height}m'], ctx[f'v_{height}m']
-    return (np.degrees(np.arctan2(u, v)) + 360) % 360
+    """Meteorological direction via the grid-rotation-aware inversion
+    (reference: methods.py:197 Winddirection -> invert_uv) — raw
+    arctan2(u, v) would be wrong by the local grid angle on
+    curvilinear (e.g. Lambert WTK) grids."""
+    from sup3r_tpu.ops.wind import invert_uv
+
+    _, wd = invert_uv(ctx[f'u_{height}m'], ctx[f'v_{height}m'],
+                      ctx.lat_lon)
+    return np.asarray(wd)
 
 
 def _uwind(ctx, height):
@@ -162,6 +175,10 @@ def _longitude_feature(ctx):
 
 
 def _time_encoding(ctx, seconds_fn, d, i=1):
+    # i=1 (cos of the SECOND harmonic, 12-hour/half-year period) is
+    # the reference's own default (methods.py SecondOfDayEncoding /
+    # SecondOfYearEncoding compute(cls, data, i=1)) — looks like a
+    # bug there, but parity wins; don't "fix" to i=0
     t = ctx.time_index
     k = np.asarray(seconds_fn(t), dtype=np.float64)
     k = 2 * np.pi * (i + 1) * k / d
@@ -382,9 +399,6 @@ class Deriver:
 
         method = self._check_registry(feature)
         if isinstance(method, str):
-            new_name = _wildcard(
-                method if '(.*)' not in method
-                else method.replace('(.*)', '(.*)'), feature)
             new_name = self._map_new_name(feature, method)
             return self.derive(new_name)
 

@@ -282,34 +282,70 @@ class SzaRasterizer(ExoRasterizer):
 
 
 class ObsRasterizer(ExoRasterizer):
-    """Sparse observation rasterization: NaN where no obs (reference:
-    exo.py:461). Feature names carry an '_obs' suffix; the source file
-    is read with the base feature name."""
+    """Sparse SPATIOTEMPORAL observation rasterization: (s1, s2, t, 1)
+    with NaN where no obs (reference: exo.py:461 returns per-timestep
+    values — a static first-timestep raster would feed every chunk
+    the same single-instant observation field). Feature names carry
+    an '_obs' suffix; the source file is read with the base name."""
 
-    def get_source_data(self):
+    def _obs_source_series(self):
+        """(coords (n, 2), values (n, T_src), src time index)."""
         base = self.feature.replace('_obs', '')
-        orig = self.feature
-        try:
-            self.feature = base
-            return super().get_source_data()
-        finally:
-            self.feature = orig
+        if get_source_type(self.source_file) == 'h5':
+            loader = LoaderH5(self.source_file)
+            coords = loader.lat_lon_flat
+            values = loader.get(base)          # (T, sites)
+            return coords, values.T, loader.time_index
+        loader = Loader(self.source_file)
+        dset = loader.data
+        coords = dset.lat_lon.reshape(-1, 2)
+        arr = np.asarray(dset[base])
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        return (coords, arr.reshape(-1, arr.shape[-1]),
+                dset.time_index)
+
+    def _hr_time_columns(self, values, src_ti):
+        """Column of ``values`` feeding each enhanced output step."""
+        n_t = self.hr_shape[2]
+        t_src = values.shape[1]
+        if t_src == n_t:
+            return np.arange(n_t)
+        if t_src == 1:
+            return np.zeros(n_t, dtype=int)
+        if t_src == len(self.lr_time_index):
+            return np.repeat(np.arange(t_src), self.t_enhance)
+        if src_ti is not None and self.lr_time_index is not None:
+            hr_times = np.repeat(self.lr_time_index.values,
+                                 self.t_enhance)
+            pos = np.searchsorted(src_ti.values, hr_times)
+            pos = np.clip(pos, 0, t_src - 1)
+            left = np.clip(pos - 1, 0, t_src - 1)
+            use_left = (np.abs(hr_times - src_ti.values[left])
+                        <= np.abs(src_ti.values[pos] - hr_times))
+            return np.where(use_left, left, pos)
+        raise ValueError(
+            f'Cannot align {t_src} observation timesteps with the '
+            f'{n_t}-step enhanced output (no usable time indexes)')
 
     def get_data(self):
-        coords, values = self.get_source_data()
+        coords, values, src_ti = self._obs_source_series()
         grid = self.hr_lat_lon.reshape(-1, 2)
         tree = cKDTree(grid)
         dist, idx = tree.query(
             coords, distance_upper_bound=self.get_distance_upper_bound())
         valid = np.isfinite(dist)
-        sums = np.bincount(idx[valid], weights=values[valid],
-                           minlength=len(grid) + 1)[:len(grid)]
-        counts = np.bincount(idx[valid],
-                             minlength=len(grid) + 1)[:len(grid)]
+        vals = np.asarray(values, np.float64)[valid]
+        finite = np.isfinite(vals)
+        sums = np.zeros((len(grid), vals.shape[1]))
+        counts = np.zeros((len(grid), vals.shape[1]))
+        np.add.at(sums, idx[valid], np.where(finite, vals, 0.0))
+        np.add.at(counts, idx[valid], finite.astype(np.float64))
         with np.errstate(invalid='ignore'):
-            out = sums / counts  # NaN where count == 0, kept as NaN
-        return out.reshape(self.hr_shape[:2]).astype(
-            np.float32)[..., None]
+            agg = sums / counts  # NaN where no obs (cell, t)
+        cols = self._hr_time_columns(values, src_ti)
+        out = agg[:, cols].reshape(*self.hr_shape[:2], len(cols))
+        return out.astype(np.float32)[..., None]
 
 
 class ExoDataHandler:

@@ -519,6 +519,16 @@ class LoaderNC:
             if Dimension.SOUTH_NORTH not in cdims or (
                     Dimension.WEST_EAST not in cdims):
                 continue
+            extra = [d for d in cdims if d not in target_order]
+            if extra:
+                # e.g. WRF soil-layer or bounds dims: not
+                # representable on the (s1, s2, t[, level]) grid —
+                # skip instead of crashing the whole load on a
+                # variable nobody requested
+                logger.debug(
+                    'Skipping variable "%s" with non-canonical '
+                    'dim(s) %s', name, extra)
+                continue
             sf, off = 1.0, 0.0
             if 'scale_factor' in attrs:
                 sf = float(np.asarray(attrs['scale_factor']).ravel()[0])
@@ -622,6 +632,27 @@ class LoaderNC:
                 base.time_index = pd.DatetimeIndex(
                     np.concatenate([base.time_index.values,
                                     other.time_index.values])[order])
+                # a time-varying variable present in only ONE of the
+                # files cannot ride the extended time axis — dropping
+                # or keeping it short would silently misalign isel()
+                # downstream, so fail loudly (time-independent vars
+                # pass through unchanged)
+                for name in set(base.data_vars) - overlap:
+                    if Dimension.TIME in base.var_dims.get(name, ()):
+                        raise ValueError(
+                            f'Variable "{name}" is missing from part '
+                            'of a multi-file time-concat load; all '
+                            'time-varying variables must appear in '
+                            'every file')
+                for name in set(other.data_vars) - overlap:
+                    if Dimension.TIME in other.var_dims.get(name, ()):
+                        raise ValueError(
+                            f'Variable "{name}" is missing from part '
+                            'of a multi-file time-concat load; all '
+                            'time-varying variables must appear in '
+                            'every file')
+                    base.data_vars[name] = other.data_vars[name]
+                    base.var_dims[name] = other.var_dims[name]
             else:
                 for name in other.data_vars:
                     if name not in base.data_vars:
@@ -642,18 +673,41 @@ class _H5Var:
         self._scale = scale
 
     def get(self, time_slice=slice(None), gids=None):
-        """Read (time, sites) float32 data for a time slice + gid set."""
+        """Read (time, sites) float32 data for a time slice + gid set.
+
+        The time slice addresses the CONCATENATED time axis across
+        member files and is routed into each file's local range —
+        slicing each file with the global slice would return wrong
+        (and wrongly-sized) data for any multi-file load with a
+        non-trivial time_slice."""
+        if all(ds.ndim == 1 for ds in self._datasets):
+            # site-static var (e.g. elevation): time-independent, one
+            # row, the same in every member file
+            ds = self._datasets[0]
+            arr = ds[:] if gids is None else ds[:][gids]
+            return arr[None].astype(np.float32) / self._scale
+        lens = [ds.shape[0] for ds in self._datasets]
+        total = sum(lens)
+        idx = np.arange(total)[time_slice]
         blocks = []
-        for ds in self._datasets:
-            if ds.ndim == 1:
-                arr = ds[:] if gids is None else ds[:][gids]
-                blocks.append(arr[None])
+        start = 0
+        for ds, n in zip(self._datasets, lens):
+            local = idx[(idx >= start) & (idx < start + n)] - start
+            start += n
+            if local.size == 0:
                 continue
-            arr = ds[time_slice, :]
+            # a global slice restricted to one file is evenly spaced,
+            # so a plain (fast) h5py slice read suffices
+            step = int(local[1] - local[0]) if local.size > 1 else 1
+            sel = slice(int(local[0]), int(local[-1]) + 1, step)
+            arr = ds[sel, :]
             if gids is not None:
                 arr = arr[:, gids]
             blocks.append(arr)
-        if len(blocks) == 1:
+        if not blocks:
+            out = np.zeros((0, self._datasets[0].shape[-1]),
+                           np.float32)
+        elif len(blocks) == 1:
             out = blocks[0]
         else:
             out = np.concatenate(blocks, axis=0)

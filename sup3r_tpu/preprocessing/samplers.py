@@ -47,22 +47,31 @@ def _safe_probs(weights):
     return w / s
 
 
+def _per_index_probs(n_indices, weights):
+    """Per-start-index probabilities from per-bin weights using the
+    reference's np.array_split binning (samplers/utilities.py:83-92):
+    trailing indices land in the last bins instead of being silently
+    truncated, and fewer candidate starts than bins fails loudly."""
+    if n_indices < len(weights):
+        raise ValueError(
+            f'Need at least as many candidate start indices '
+            f'({n_indices}) as sampling bins ({len(weights)}); '
+            'reduce the bin count or the sample_shape')
+    chunks = np.array_split(np.arange(n_indices), len(weights))
+    per_idx = np.concatenate([
+        np.full(len(c), w, dtype=np.float64)
+        for c, w in zip(chunks, weights)])
+    return _safe_probs(per_idx)
+
+
 def weighted_box_sampler(data_shape, sample_shape, weights):
     """Spatial crop where the grid is divided into len(weights) chunks
-    along a flattened spatial index and the crop start is drawn from the
-    chunk chosen by ``weights`` (reference: samplers/utilities.py:52)."""
+    along a flattened spatial index and the crop start is drawn with
+    per-index probabilities (reference: samplers/utilities.py:52)."""
     max_cols = max(data_shape[1] - sample_shape[1] + 1, 1)
     max_rows = max(data_shape[0] - sample_shape[0] + 1, 1)
-    indices = range(max_rows * max_cols)
-    chunks = [
-        indices[x: x + max(len(indices) // len(weights), 1)]
-        for x in range(0, len(indices),
-                       max(len(indices) // len(weights), 1))
-    ][:len(weights)]
-    chunk_idx = RANDOM_GENERATOR.choice(
-        len(chunks), p=_safe_probs(weights))
-    chunk = chunks[chunk_idx]
-    flat = RANDOM_GENERATOR.choice(chunk)
+    n = max_rows * max_cols
+    flat = RANDOM_GENERATOR.choice(n, p=_per_index_probs(n, weights))
     row, col = flat // max_cols, flat % max_cols
     return [slice(row, row + sample_shape[0]),
             slice(col, col + sample_shape[1])]
@@ -72,14 +81,8 @@ def weighted_time_sampler(data_shape, sample_shape, weights):
     """Time slice with start drawn from the temporal bin chosen by
     ``weights`` (reference: samplers/utilities.py:104)."""
     shape = min(sample_shape, data_shape[2])
-    t_indices = (range(data_shape[2]) if shape == 1
-                 else range(data_shape[2] - shape + 1))
-    chunk_size = max(len(t_indices) // len(weights), 1)
-    chunks = [t_indices[x: x + chunk_size]
-              for x in range(0, len(t_indices), chunk_size)][:len(weights)]
-    chunk_idx = RANDOM_GENERATOR.choice(
-        len(chunks), p=_safe_probs(weights))
-    start = RANDOM_GENERATOR.choice(chunks[chunk_idx])
+    n = data_shape[2] if shape == 1 else data_shape[2] - shape + 1
+    start = RANDOM_GENERATOR.choice(n, p=_per_index_probs(n, weights))
     return slice(start, start + shape)
 
 
@@ -397,6 +400,14 @@ class DualSamplerCC(DualSampler):
             i_cs = self.hr_features.index('clearsky_ratio')
             hr = nsrdb_reduce_daily_data(hr[None], self.final_t,
                                          csr_ind=i_cs)[0]
+            if hr.shape[2] != self.final_t:
+                # all-night (or every step partially dark) samples
+                # come back UNreduced — the reference reduces whole
+                # stacked batches so its shapes stay uniform; our
+                # per-sample path must center-crop or the queue's
+                # np.stack dies on ragged time lengths
+                start = max((hr.shape[2] - self.final_t) // 2, 0)
+                hr = hr[:, :, start:start + self.final_t]
             if np.isnan(hr[..., i_cs]).any():
                 hr[..., i_cs] = nn_fill_array(hr[..., i_cs])
         elif hr.shape[2] != self.final_t:

@@ -131,18 +131,19 @@ def test_sampler_dc_weighted_bins():
                         spatial_weights=[0, 0, 0, 1],
                         temporal_weights=[0, 1])
     # spatial bins split the flattened row-major start-index range
-    # (reference samplers/utilities.py:52): 20x20 grid, 4x4 samples
-    # -> 17x17=289 starts, 4 bins of 72; bin 3 = flat >= 216 -> row >= 12
+    # with np.array_split (reference samplers/utilities.py:83): 20x20
+    # grid, 4x4 samples -> 17x17=289 starts, bins [73,72,72,72];
+    # bin 3 = flat >= 217 -> row >= 12
     for _ in range(20):
         s1, _, t, _ = sampler.get_sample_index()
         assert s1.start >= 12
-        # temporal bin 1 = second half of 37 starts -> start >= 18
-        assert t.start >= 18
+        # temporal bins of 37 starts = [19, 18]; bin 1 -> start >= 19
+        assert t.start >= 19
     sampler.update_weights([1, 0, 0, 0], [1, 0])
     for _ in range(20):
         s1, _, t, _ = sampler.get_sample_index()
         assert s1.start <= 4
-        assert t.start <= 17
+        assert t.start <= 18
 
 
 def test_sampler_dc_statistical_distribution():

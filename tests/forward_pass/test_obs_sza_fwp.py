@@ -104,3 +104,37 @@ def test_fwp_with_sza_exo(tmp_path):
     assert 0 <= np.nanmin(raster) and np.nanmax(raster) <= 180
     outputs = ForwardPass.run(strategy, 0)
     assert outputs[0].shape == (16, 16, 4, 2)
+
+
+def test_obs_raster_is_spatiotemporal(tmp_path):
+    """The obs raster carries PER-TIMESTEP station values (reference:
+    rasterizers/exo.py ObsRasterizer._get_data_3d) — a static
+    first-instant field fed to every chunk was the round-3 review
+    finding."""
+    import h5py
+
+    from sup3r_tpu.preprocessing.exo import ObsRasterizer
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (10, 10, 4), ['u100', 'v100'])
+    obs_file = make_fake_h5_file(
+        str(tmp_path / 'obs.h5'), (3, 3, 4), ['u_100m'],
+        lat_range=(39.9, 39.2), lon_range=(-105.3, -104.5))
+    # give the stations a strong, known time trend
+    with h5py.File(obs_file, 'a') as f:
+        sf = f['u_100m'].attrs.get('scale_factor', 1)
+        t_len, n = f['u_100m'].shape
+        vals = np.arange(t_len)[:, None] * np.ones((1, n))
+        f['u_100m'][...] = (vals * sf).astype(f['u_100m'].dtype)
+    rast = ObsRasterizer(file_paths=input_file, source_file=obs_file,
+                         feature='u_100m_obs', s_enhance=2,
+                         t_enhance=1)
+    data = rast.get_data()
+    assert data.shape == (20, 20, 4, 1)
+    finite = np.isfinite(data[..., 0])
+    assert finite.any() and (~finite).any()
+    # observed cells track the per-timestep trend
+    cell = np.argwhere(finite[:, :, 0])[0]
+    series = data[cell[0], cell[1], :, 0]
+    assert np.all(np.isfinite(series))
+    assert np.all(np.diff(series) > 0.5)
