@@ -267,7 +267,13 @@ class AbstractSingleModel(AbstractInterface):
         rematted = jax.checkpoint(
             lambda p, x, exo: gen_apply(p, x, exo=exo))
 
-        def apply(params, x, exo=None, **_):
+        def apply(params, x, exo=None, **kwargs):
+            if any(kwargs.values()):
+                # silently dropping train=/dropout_key= would train
+                # with dropout disabled — fail loudly instead
+                raise NotImplementedError(
+                    f'train_remat does not support {sorted(kwargs)} '
+                    'kwargs on the generator apply')
             return rematted(params, x, exo or {})
 
         return apply
@@ -298,7 +304,8 @@ class AbstractSingleModel(AbstractInterface):
         return means, stds
 
     def norm_input(self, low_res):
-        """Normalize physical-units low-res input."""
+        """Normalize physical-units low-res input. jax.Array inputs
+        stay jax (sharding/device placement preserved)."""
         if self._means is None:
             return low_res
         missing = [f for f in self.lr_features if f not in self._means]
@@ -306,6 +313,10 @@ class AbstractSingleModel(AbstractInterface):
             raise KeyError(
                 f'Low-res features {missing} missing from norm stats')
         means, stds = self._stats_for(self.lr_features)
+        import jax.numpy as jnp
+
+        if isinstance(low_res, jnp.ndarray):
+            return (low_res - jnp.asarray(means)) / jnp.asarray(stds)
         return (np.asarray(low_res) - means) / stds
 
     def un_norm_output(self, output):
@@ -391,11 +402,16 @@ class AbstractSingleModel(AbstractInterface):
         missing = [f for f in exo_feats if f not in exogenous_data]
         assert not missing, (
             f'exogenous_data is missing input features {missing}')
+        import jax.numpy as jnp
+
+        xp = jnp if isinstance(low_res, jnp.ndarray) else np
         for feature in exo_feats:
             exo_input = exogenous_data.get_combine_type_data(
                 feature, 'input')
-            low_res = np.concatenate(
-                [low_res, np.asarray(exo_input)], axis=-1)
+            exo_input = xp.asarray(np.asarray(exo_input)
+                                   if xp is np else exo_input)
+            low_res = xp.concatenate(
+                [low_res, xp.asarray(exo_input)], axis=-1)
         return low_res
 
     def _combine_fwp_output(self, hi_res, exogenous_data=None):

@@ -559,6 +559,37 @@ class Sup3rGan(AbstractSingleModel):
         return {k: jnp.asarray(np.asarray(v), dtype=jnp.float32)
                 for k, v in out.items()}
 
+    def _norm_layer_exo(self, exo):
+        """Normalize mid-network exo rasters with their own feature
+        stats (reference: sup3r/models/abstract.py:981 run_exo_layer
+        -> _reshape_norm_exo — training concatenates NORMALIZED exo
+        channels, so inference must feed the layers the same scale)."""
+        if self._means is None:
+            return exo
+        out = {}
+        for k, v in exo.items():
+            key = k
+            if key not in self._means and key.endswith('_obs'):
+                # observation rasters share the base feature's scale
+                key = key[:-4]
+            if key in self._means:
+                std = self._stdevs[key] or 1.0
+                v = (v - self._means[key]) / std
+            out[k] = v
+        return out
+
+    def _has_output_exo(self, exogenous_data):
+        """Whether output-combine exo steps exist (those force a host
+        fetch: the output concat is a host-side op)."""
+        if not exogenous_data:
+            return False
+        for val in exogenous_data.values():
+            if isinstance(val, dict):
+                for step in val.get('steps', []):
+                    if step.get('combine_type') == 'output':
+                        return True
+        return False
+
     def generate(self, low_res, norm_in=True, un_norm_out=True,
                  exogenous_data=None, fetch=True):
         """Public inference: (input-exo concat) -> normalize ->
@@ -567,14 +598,16 @@ class Sup3rGan(AbstractSingleModel):
         low_res: 4D/5D physical-units array (n_obs first). Reference
         parity: sup3r/models/abstract.py:1037-1105. A jax.Array input
         (e.g. mesh-sharded by the chunk runner) is used as-is so its
-        device placement/sharding survives into the jitted apply."""
-        if not (isinstance(low_res, jnp.ndarray)
-                and not exogenous_data):
+        device placement/sharding survives into the jitted apply —
+        with or without exogenous_data (layer-exo rasters ride into
+        the jitted apply as replicated operands)."""
+        if not isinstance(low_res, jnp.ndarray):
             low_res = np.asarray(low_res, dtype=np.float32)
-            low_res = self._combine_fwp_input(low_res, exogenous_data)
+        low_res = self._combine_fwp_input(low_res, exogenous_data)
         exo = self._parse_exo_for_generate(exogenous_data, low_res.shape)
         if norm_in and self._means is not None:
             low_res = self.norm_input(low_res)
+            exo = self._norm_layer_exo(exo)
         if self.gen_params is None:
             hr_shape = self._dummy_hr_shape(low_res.shape)
             self.init_weights(low_res.shape, hr_shape)
@@ -610,10 +643,12 @@ class Sup3rGan(AbstractSingleModel):
                 out = self._unnorm_jit(out, jnp.asarray(stds),
                                        jnp.asarray(means))
                 un_done = True
-        if not fetch and un_done and not exogenous_data:
+        if not fetch and un_done and not self._has_output_exo(
+                exogenous_data):
             # pipelined inference: hand back the un-fetched device
             # array so the caller can overlap the host fetch/write of
-            # this batch with the dispatch of the next one
+            # this batch with the dispatch of the next one (layer/
+            # input exo is fine — only output-combine forces a fetch)
             return out
         out = np.asarray(out)
         if not out.flags.writeable:

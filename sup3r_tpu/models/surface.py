@@ -64,8 +64,6 @@ class SurfaceSpatialMetModel(AbstractInterface):
         meta = params['meta']
         args = signature(cls.__init__).parameters
         kwargs = {k: v for k, v in meta.items() if k in args}
-        if 'interp_method' not in kwargs and 'interp_method' in meta:
-            kwargs['interp_method'] = meta['interp_method']
         return cls(**kwargs)
 
     def save(self, out_dir):

@@ -254,47 +254,67 @@ class ForwardPass:
         process-pool-per-chunk (reference: forward_pass.py:503): a
         batch of chunks fills the MXU and amortizes dispatch, while
         chunk prep (IO + padding) overlaps on host threads."""
+        from collections import deque
+
         outputs = {}
-        with ThreadPoolExecutor(max(self.strategy.pass_workers,
-                                    2)) as pool:
-            chunks = list(pool.map(
-                lambda i: self.timer(self.get_input_chunk)(i),
-                chunk_ids))
-        groups = {}
-        for chunk in chunks:
-            key = (chunk.input_data.shape,
-                   chunk.exo_data is not None)
-            groups.setdefault(key, []).append(chunk)
+
+        def run_batch(batch, drain_pool, drain_futs):
+            dispatched = self._dispatch_chunk_batch(batch)
+            if dispatched is None:  # per-chunk fallback path
+                outputs.update({
+                    c.index: self.run_chunk(
+                        c,
+                        allowed_const=self.strategy.allowed_const)[1]
+                    for c in batch})
+                return
+            drain_futs.append(drain_pool.submit(
+                self._drain_chunk_batch, batch, dispatched))
+
+        # STREAMING grouping: chunks are prepared with a bounded
+        # number in flight and dispatched as soon as a same-shape
+        # batch fills — materializing the node's whole chunk list
+        # first would hold O(n_chunks) padded inputs in host RAM,
+        # defeating chunked_io (round-3 review finding). Peak memory
+        # here is O(in-flight + one partial batch per distinct shape);
+        # distinct padded shapes number at most a handful (interior +
+        # edge variants).
         # overlap the host-bound tail (device fetch + crop + h5 write)
         # of batch N with the dispatch of batch N+1: dispatches are
         # async device work, drains are GIL-releasing (tunnel/PCIe
         # wait, disk IO), so even a 1-vCPU node pipelines them
         drain_futs = []
-        with ThreadPoolExecutor(max_workers=1) as drain_pool:
-            for group in groups.values():
-                for start in range(0, len(group), batch_size):
-                    batch = group[start:start + batch_size]
-                    dispatched = self._dispatch_chunk_batch(batch)
-                    if dispatched is None:  # per-chunk fallback path
-                        outputs.update(self._run_chunk_batch(batch))
-                        continue
-                    drain_futs.append(drain_pool.submit(
-                        self._drain_chunk_batch, batch, dispatched))
+        buffers = {}
+        it = iter(chunk_ids)
+        inflight = deque()
+        with ThreadPoolExecutor(
+                max(self.strategy.pass_workers, 2)) as pool, \
+                ThreadPoolExecutor(max_workers=1) as drain_pool:
+
+            def submit_next():
+                i = next(it, None)
+                if i is None:
+                    return False
+                inflight.append(pool.submit(
+                    self.timer(self.get_input_chunk), i))
+                return True
+
+            for _ in range(max(2 * batch_size, 4)):
+                if not submit_next():
+                    break
+            while inflight:
+                chunk = inflight.popleft().result()
+                submit_next()
+                key = (chunk.input_data.shape,
+                       chunk.exo_data is not None)
+                buffers.setdefault(key, []).append(chunk)
+                if len(buffers[key]) == batch_size:
+                    run_batch(buffers.pop(key), drain_pool,
+                              drain_futs)
+            for batch in buffers.values():  # partial-batch leftovers
+                run_batch(batch, drain_pool, drain_futs)
             for fut in drain_futs:
                 outputs.update(fut.result())
         return outputs
-
-    def _run_chunk_batch(self, batch):
-        """Run a list of same-shaped chunks as one device batch
-        (dispatch + drain in one call; the per-chunk fallback when
-        batching doesn't apply)."""
-        dispatched = self._dispatch_chunk_batch(batch)
-        if dispatched is None:
-            return {
-                c.index: self.run_chunk(
-                    c, allowed_const=self.strategy.allowed_const)[1]
-                for c in batch}
-        return self._drain_chunk_batch(batch, dispatched)
 
     def _dispatch_chunk_batch(self, batch):
         """Stack same-shaped chunks and launch the device batch,
@@ -311,10 +331,30 @@ class ForwardPass:
             # multistep chains with a 4D step fold the batch dim at the
             # 5D->4D transpose — run those chunks individually
             return None
+        # capability gate: the batched path needs the single-model API
+        # (norm_input + a fetch= kwarg on generate); MultiStepGan /
+        # LinearInterp / Sup3rCondMom fall back to per-chunk runs
+        # instead of crashing mid-node (round-3 review finding)
+        import inspect
+
+        gen_params = inspect.signature(
+            type(self.model).generate).parameters
+        if not (hasattr(self.model, 'norm_input')
+                and 'fetch' in gen_params):
+            if not getattr(self, '_batch_gate_logged', False):
+                self._batch_gate_logged = True
+                logger.info(
+                    '%s does not support device batching; running '
+                    'chunks individually',
+                    type(self.model).__name__)
+            return None
         exo_batched = None
         if any(c.exo_data for c in batch):
             exo_batched = self._stack_exo(batch)
             if exo_batched is None:  # heterogeneous exo; fall back
+                return None
+            if self.model._has_output_exo(exo_batched):
+                # output-combine concat is host-side; per-chunk path
                 return None
         stacked = np.stack([c.input_data for c in batch], axis=0)
         n_real = len(batch)
@@ -333,17 +373,18 @@ class ForwardPass:
             return arr
 
         stacked = pad_full(stacked)
+        layer_exo = None
         if exo_batched is not None:
-            # exo normalization/combination runs inside generate();
-            # out = generate(raw stacked + stacked exo rasters)
             for entry in exo_batched.values():
                 for step in entry['steps']:
                     step['data'] = pad_full(step['data'])
-            out = self.model.generate(stacked, norm_in=True,
-                                      un_norm_out=True,
-                                      exogenous_data=exo_batched,
-                                      fetch=False)
-            return out, n_real
+            # combine input-exo channels + split out the layer rasters
+            # on host so the device array below carries everything the
+            # jitted apply needs (mesh sharding then applies to exo
+            # runs too — round-3 review finding: the exo branch used
+            # to skip use_mesh entirely)
+            stacked = self.model._combine_fwp_input(
+                np.asarray(stacked, dtype=np.float32), exo_batched)
         lr = self.model.norm_input(stacked)
         use_mesh = getattr(self.strategy, 'use_mesh', False)
         if use_mesh == 'spatial':
@@ -386,8 +427,19 @@ class ForwardPass:
             lr = jax.device_put(
                 np.ascontiguousarray(lr, dtype=np.float32),
                 NamedSharding(mesh, P('data')))
-        out = self.model.generate(lr, norm_in=False, un_norm_out=True,
-                                  fetch=False)
+        if exo_batched is not None:
+            # mid-network rasters, pre-normalized with their feature
+            # stats (generate skips exo norm when norm_in=False)
+            layer_exo = {}
+            for feature, entry in exo_batched.items():
+                for step in entry['steps']:
+                    if step.get('combine_type') == 'layer':
+                        layer_exo[feature] = np.asarray(
+                            step['data'], dtype=np.float32)
+            layer_exo = self.model._norm_layer_exo(layer_exo)
+        out = self.model.generate(
+            lr, norm_in=False, un_norm_out=True,
+            exogenous_data=layer_exo or None, fetch=False)
         return out, n_real
 
     @staticmethod

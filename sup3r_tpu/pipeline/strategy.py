@@ -55,8 +55,12 @@ class ForwardPassChunk:
     pad_width: tuple
     index: int
 
-    def __post_init__(self):
-        self.shape = self.input_data.shape
+    @property
+    def shape(self):
+        """Current input shape (derived — get_input_chunk replaces
+        input_data with the padded array, so a captured value would
+        go stale)."""
+        return self.input_data.shape
 
 
 @dataclass
@@ -152,11 +156,32 @@ class ForwardPassStrategy:
                 self.file_paths, features=[],
                 **{k: ihk[k] for k in meta_keys if k in ihk}))
         else:
+            load_ihk = dict(ihk)
+            # eager mode with a narrow time_slice: load ONLY the
+            # padded window instead of the file's whole time extent
+            # (the reference passes a padded_time_slice the same way,
+            # strategy.py:312-353); time_roll/time_shift remap the
+            # global axis so they force a full load. All slicer time
+            # slices stay in RAW file coordinates — reads are shifted
+            # by the loaded window's start (self._time_offset).
+            if (isinstance(self.time_slice, slice)
+                    and self.time_slice != slice(None)
+                    and not ihk.get('time_roll')
+                    and not ihk.get('time_shift')):
+                n_full = self._probe_time_len(ihk)
+                if n_full:
+                    start, stop, step = self.time_slice.indices(n_full)
+                    t0 = max(start - self.temporal_pad * step, 0)
+                    t1 = min(stop + self.temporal_pad * step, n_full)
+                    load_ihk['time_slice'] = slice(t0, t1)
+                    self._time_offset = t0
+                    self._n_times_full = n_full
             self.input_handler = HandlerClass(
-                self.file_paths, features=self.features, **ihk)
+                self.file_paths, features=self.features, **load_ihk)
 
         grid_shape = self.input_handler.lat_lon.shape[:2]
-        n_times = len(self.input_handler.time_index)
+        n_times = (getattr(self, '_n_times_full', None)
+                   or len(self.input_handler.time_index))
         chunk_shape = tuple(
             c if c is not None else (grid_shape + (n_times,))[i]
             for i, c in enumerate(self.fwp_chunk_shape))
@@ -213,11 +238,17 @@ class ForwardPassStrategy:
         if not self.exo_handler_kwargs:
             return None
         data = {}
+        # exo rasters must live on the RAW file time axis: the
+        # slicer's chunk time slices are file coordinates, so a
+        # time_slice-shortened sza/obs raster would be indexed with
+        # offset slices (wrong values or empty windows for any
+        # time_slice.start > 0 — round-3 review finding)
+        ihk_exo = {k: v for k, v in self.input_handler_kwargs.items()
+                   if k != 'time_slice'}
         for feature in self.exo_features:
             kwargs = dict(self.exo_handler_kwargs[feature])
             kwargs.setdefault('file_paths', self.file_paths)
-            kwargs.setdefault('input_handler_kwargs',
-                              self.input_handler_kwargs)
+            kwargs.setdefault('input_handler_kwargs', ihk_exo)
             kwargs['feature'] = feature
             kwargs['model'] = model
             handler = ExoDataHandler(**kwargs)
@@ -348,6 +379,35 @@ class ForwardPassStrategy:
         }
 
     # ------------------------------------------------------------------
+    def _local_t(self, sl):
+        """Raw file-coordinate time slice -> the eager handler's
+        loaded-window coordinates (no-op unless the handler was
+        window-loaded)."""
+        off = getattr(self, '_time_offset', 0)
+        if not off:
+            return sl
+        return slice(sl.start - off, sl.stop - off, sl.step)
+
+    def _probe_time_len(self, ihk):
+        """Full-file time length from a coords-only read (for
+        windowed eager loading)."""
+        try:
+            from sup3r_tpu.preprocessing.rasterizers import Rasterizer
+
+            meta_keys = ('target', 'shape', 'threshold',
+                         'raster_file', 'res_kwargs',
+                         'full_grid_shape')
+            rast = Rasterizer(
+                self.file_paths, features=[],
+                **{k: ihk[k] for k in meta_keys if k in ihk})
+            ti = rast.data.time_index
+            return len(ti) if ti is not None else None
+        except Exception:  # pragma: no cover - fall back to full load
+            logger.warning('Could not probe the file time length; '
+                           'loading the full time extent',
+                           exc_info=True)
+            return None
+
     def prep_chunk_data(self, chunk_index=0):
         """Load + (bias correct) the padded low-res input for a chunk."""
         s_idx, t_idx = self.fwp_slicer.get_chunk_indices(chunk_index)
@@ -362,7 +422,8 @@ class ForwardPassStrategy:
         else:
             data = self.input_handler.data
             input_data = data.as_array(self.features)[
-                lr_pad_slice[0], lr_pad_slice[1], ti_pad_slice]
+                lr_pad_slice[0], lr_pad_slice[1],
+                self._local_t(ti_pad_slice)]
             input_data = np.array(input_data)
 
         if self.bias_correct_kwargs:
@@ -372,7 +433,8 @@ class ForwardPassStrategy:
             # windowed file->domain by coordinate match once, then
             # domain->chunk by slice (reference contract:
             # bias_transforms.py lr_padded_slice args)
-            time_index = self.input_handler.time_index[ti_pad_slice]
+            time_index = self.input_handler.time_index[
+                self._local_t(ti_pad_slice)]
             input_data = bias_correct_features(
                 features=list(self.bias_correct_kwargs),
                 data=input_data, feature_names=self.features,
@@ -391,9 +453,14 @@ class ForwardPassStrategy:
         from sup3r_tpu.preprocessing.rasterizers import Rasterizer
 
         ihk = dict(ihk)
-        unsupported = {k: ihk.get(k) for k in
-                       ('hr_spatial_coarsen', 'time_roll', 'time_shift')
-                       if ihk.get(k) not in (None, 0, 1)}
+        # hr_spatial_coarsen=1 is identity, but time_roll/time_shift
+        # of 1 are real one-step remaps — only None/0 are no-ops there
+        unsupported = {k: v for k, v in (
+            ('hr_spatial_coarsen', ihk.get('hr_spatial_coarsen')),
+            ('time_roll', ihk.get('time_roll')),
+            ('time_shift', ihk.get('time_shift')))
+            if (v not in (None, 0, 1)
+                or (v == 1 and k != 'hr_spatial_coarsen'))}
         assert not unsupported, (
             f'chunked_io does not support {list(unsupported)} — these '
             'remap the global grid/time axes, incompatible with '
@@ -505,7 +572,8 @@ class ForwardPassStrategy:
             f'{self.fwp_slicer.n_chunks}')
         hr_slice = self.fwp_slicer.s_hr_slices[s_idx]
         ti_slice = self.fwp_slicer.t_lr_slices[t_idx]
-        lr_times = self.input_handler.time_index[ti_slice]
+        lr_times = self.input_handler.time_index[
+            self._local_t(ti_slice)]
         input_data, exo_data = self.timer(
             self.prep_chunk_data, log=True)(chunk_index)
         return ForwardPassChunk(

@@ -110,12 +110,23 @@ class Sup3rQa:
         return feature
 
     def get_dset_out(self, name):
-        """(s1, s2, t) synthetic data for one feature."""
+        """(s1, s2, t) synthetic data for one feature.
+
+        The spatial grid comes from the OUTPUT file's own meta, not
+        source-shape * s_enhance — a per-chunk output file covers a
+        subset of the source domain and the old assumption reshaped
+        its (t, sites) block onto the wrong grid (the QA min()-crop
+        then silently compared garbage; both fixed round 3)."""
         if self.output_type == 'h5':
             flat = self.output_handler.get(name)  # (t, sites)
-            s1, s2 = self.input_handler.lat_lon.shape[:2]
-            s1 *= self.s_enhance
-            s2 *= self.s_enhance
+            n_sites = flat.shape[1]
+            lat = self.output_handler.lat_lon_flat[:, 0]
+            s2 = int(np.sum(lat == lat[0])) or 1
+            s1 = n_sites // s2
+            if s1 * s2 != n_sites:
+                raise RuntimeError(
+                    f'Output meta of {n_sites} sites does not form a '
+                    f'regular grid (inferred {s1}x{s2})')
             return flat.T.reshape(s1, s2, -1)
         return np.asarray(self.output_handler.data[name])
 

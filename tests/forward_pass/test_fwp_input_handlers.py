@@ -135,3 +135,93 @@ def test_cli_chunked_nc_cc_ships_clearsky_scale(tmp_path):
     node_cfg = json.load(open(node_cfgs[0]))
     scale = node_cfg['input_handler_kwargs'].get('clearsky_scale')
     assert scale is not None and scale > 0
+
+
+def test_time_slice_windowed_load_matches_full(tmp_path):
+    """Eager mode with a narrow time_slice loads ONLY the padded
+    window (round-3 review finding: it loaded the whole file) and
+    produces outputs identical to the full-time run restricted to
+    that window."""
+    from tests.forward_pass.test_forward_pass import (
+        _st_gen_config,
+        _save_model,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (8, 8, 16), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+    common = dict(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=1,
+        out_pattern=None)
+    s_win = ForwardPassStrategy(
+        **common,
+        input_handler_kwargs={'time_slice': slice(4, 12)})
+    # the handler holds only the padded window, not all 16 steps
+    assert len(s_win.input_handler.time_index) == 10  # 8 + 2*pad
+    out_win = ForwardPass.run(s_win, 0)
+
+    s_full = ForwardPassStrategy(**common)
+    out_full = ForwardPass.run(s_full, 0)
+    # window chunks are full-run temporal chunks 1 and 2
+    win_chunks = sorted(out_win)
+    assert len(win_chunks) == 2
+    np.testing.assert_allclose(out_win[win_chunks[0]], out_full[1],
+                               rtol=1e-5)
+    np.testing.assert_allclose(out_win[win_chunks[1]], out_full[2],
+                               rtol=1e-5)
+
+
+def test_time_slice_exo_alignment(tmp_path):
+    """Time-varying exo (sza) stays aligned under a non-default
+    time_slice (round-3 review finding: rasters were built on the
+    shortened window but sliced with raw file coordinates)."""
+    from sup3r_tpu.models import Sup3rGan
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (8, 8, 12), ['u100', 'v100'])
+    gen = [
+        {'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'Sup3rConcat', 'name': 'sza'},
+        {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc)
+    model.meta.update(
+        lr_features=['u_100m', 'v_100m', 'sza'],
+        hr_out_features=['u_100m', 'v_100m'],
+        s_enhance=1, t_enhance=1,
+        input_resolution={'spatial': '12km', 'temporal': '60min'})
+    stats = {f: 0.0 for f in ['u_100m', 'v_100m', 'sza']}
+    model.set_norm_stats(stats, {k: 1.0 for k in stats})
+    model.init_weights((1, 8, 8, 3), (1, 8, 8, 2))
+    model_dir = str(tmp_path / 'model')
+    model.save(model_dir)
+
+    common = dict(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        model_class='Sup3rGan',
+        fwp_chunk_shape=(8, 8, 4), spatial_pad=0, temporal_pad=0,
+        out_pattern=None)
+    s_win = ForwardPassStrategy(
+        **common,
+        input_handler_kwargs={'time_slice': slice(4, 12)},
+        exo_handler_kwargs={'sza': {
+            'cache_dir': str(tmp_path / 'exo1')}})
+    s_full = ForwardPassStrategy(
+        **common,
+        exo_handler_kwargs={'sza': {
+            'cache_dir': str(tmp_path / 'exo2')}})
+    # the windowed run's first chunk covers file steps 4..8 — its sza
+    # chunk must equal the full run's SECOND temporal chunk's sza
+    _, exo_win = s_win.prep_chunk_data(0)
+    _, exo_full = s_full.prep_chunk_data(1)
+    np.testing.assert_allclose(
+        exo_win['sza']['steps'][0]['data'],
+        exo_full['sza']['steps'][0]['data'], rtol=1e-6)

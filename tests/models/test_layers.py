@@ -254,3 +254,50 @@ def test_sup3r_obs_model_layer():
     # missing exo is loud
     with pytest.raises(KeyError, match='u_obs'):
         net.apply(p, x, exo={})
+
+
+def test_generate_normalizes_layer_exo():
+    """Mid-network exo rasters are normalized with their own feature
+    stats at inference (reference: sup3r/models/abstract.py:981
+    run_exo_layer -> _reshape_norm_exo) — training concatenates
+    normalized exo channels, so raw-physical topography at the concat
+    layer would shift every downstream activation (round-3 review
+    finding, masked by tests using mean-0/std-1 stats)."""
+    import numpy as np
+
+    from sup3r_tpu.models import Sup3rGan
+
+    gen = [
+        {'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'Sup3rConcat', 'name': 'topography'},
+        {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    rng = np.random.default_rng(0)
+    lr = rng.random((2, 6, 6, 2)).astype(np.float32)
+    topo_norm = rng.random((6, 6, 1)).astype(np.float32)
+
+    def build(topo_mean, topo_std):
+        m = Sup3rGan(gen, disc)
+        m.meta.update(lr_features=['u_100m', 'v_100m'],
+                      hr_out_features=['u_100m', 'v_100m'],
+                      s_enhance=1, t_enhance=1)
+        means = {'u_100m': 0.0, 'v_100m': 0.0,
+                 'topography': topo_mean}
+        stds = {'u_100m': 1.0, 'v_100m': 1.0, 'topography': topo_std}
+        m.set_norm_stats(means, stds)
+        m.init_weights((1, 6, 6, 2), (1, 6, 6, 2), seed=7)
+        return m
+
+    m_unit = build(0.0, 1.0)
+    m_phys = build(1000.0, 500.0)
+    out_unit = m_unit.generate(
+        lr, exogenous_data={'topography': topo_norm})
+    out_phys = m_phys.generate(
+        lr, exogenous_data={'topography': 1000.0 + 500.0 * topo_norm})
+    np.testing.assert_allclose(out_phys, out_unit, rtol=1e-4,
+                               atol=1e-5)

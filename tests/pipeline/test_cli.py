@@ -156,7 +156,10 @@ def test_cli_bias_calc(tmp_path):
 
 
 def test_cli_qa(fwp_setup):
-    """qa CLI re-coarsens fwp output against the source."""
+    """qa CLI re-coarsens COLLECTED fwp output against the source
+    (QA-ing a single partial-domain chunk file now raises a shape
+    error instead of silently comparing misaligned domains — the
+    reference's production flow QAs the collected file)."""
     run_dir, fwp_fp, out_pattern = fwp_setup
     run_dir = str(run_dir)
     runner = CliRunner()
@@ -165,15 +168,19 @@ def test_cli_qa(fwp_setup):
     assert result.exit_code == 0, result.output
     with open(fwp_fp) as f:
         fwp_cfg = json.load(f)
-    import glob
-
-    out_files = sorted(glob.glob(
-        out_pattern.replace('{file_id}', '*')))
-    assert out_files
+    collected = os.path.join(run_dir, 'collected.h5')
+    collect_fp = os.path.join(run_dir, 'config_collect.json')
+    with open(collect_fp, 'w') as f:
+        json.dump({'run_dir': run_dir,
+                   'file_paths': out_pattern.replace('{file_id}', '*'),
+                   'out_file': collected}, f)
+    result = runner.invoke(main, ['-c', collect_fp, 'data-collect'],
+                           obj={})
+    assert result.exit_code == 0, result.output
     qa_cfg = {
         'run_dir': run_dir,
         'source_file_paths': fwp_cfg['file_paths'],
-        'out_file_path': out_files[0],
+        'out_file_path': collected,
         's_enhance': 2, 't_enhance': 1,
         'temporal_coarsening_method': 'subsample',
         'qa_fp': os.path.join(run_dir, 'qa.h5'),
