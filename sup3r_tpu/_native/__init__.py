@@ -32,10 +32,19 @@ def build(force=False):
     if os.path.exists(_LIB) and not force and (
             os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
+    # write-to-temp + atomic rename: N pipeline node subprocesses can
+    # race this build on a shared filesystem — a peer must never CDLL
+    # a partially written .so (same pattern as the exo-cache writes)
+    tmp = f'{_LIB}.{os.getpid()}.tmp'
     cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
-           _SRC, '-o', _LIB]
+           _SRC, '-o', tmp]
     logger.info('Building native chunk_prep: %s', ' '.join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return _LIB
 
 

@@ -482,13 +482,21 @@ class AbstractSingleModel(AbstractInterface):
         return net
 
     @staticmethod
-    def update_loss_details(record, new_details, prefix=''):
-        """Append a row of loss details to a record DataFrame."""
+    def update_loss_details(record, new_details, prefix='',
+                            max_batches=None):
+        """Append a row of loss details; keep the last
+        ``max_batches`` rows (the reference's ROLLING record carried
+        across epochs, sup3r/models/abstract.py:590-623 — per-epoch
+        resets would cold-start the disc gating every epoch)."""
         row = {f'{prefix}{k}': float(v) for k, v in new_details.items()}
         row_df = pd.DataFrame([row])
         if record is None or len(record) == 0:
-            return row_df
-        return pd.concat([record, row_df], ignore_index=True)
+            record = row_df
+        else:
+            record = pd.concat([record, row_df], ignore_index=True)
+        if max_batches is not None and len(record) > max_batches:
+            record = record.iloc[-max_batches:].reset_index(drop=True)
+        return record
 
     @staticmethod
     def early_stop(history, column, threshold=0.005, n_epoch=5):

@@ -72,6 +72,8 @@ def _make_optimizer(config):
         kwargs['b1'] = config['beta_1']
     if 'beta_2' in config:
         kwargs['b2'] = config['beta_2']
+    if 'epsilon' in config:  # TF Keras spelling in reference configs
+        kwargs['eps'] = config['epsilon']
     return builders[name](lr, **kwargs), {'name': name.capitalize(),
                                           'learning_rate': lr, **kwargs}
 
@@ -242,15 +244,30 @@ class Sup3rGan(AbstractSingleModel):
         n_exo = len(self.hr_exo_features)
         exo_names = list(self.hr_exo_features)
         split_exo = self._split_exo_traced
+        # dropout only activates when the networks actually carry
+        # Dropout layers — otherwise keys stay unused and remat stays
+        # compatible (the round-3 review found the PRNG keys were
+        # threaded but never passed, silently disabling dropout)
+        gen_do = any(type(l).__name__ == 'Dropout'
+                     for l in self._gen.layers)
+        disc_do = any(type(l).__name__ == 'Dropout'
+                      for l in disc.layers)
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
+            k_g, k_d1, k_d2 = jax.random.split(key, 3)
             exo = split_exo(hr)
-            out = gen_apply(gen_params, lr, exo=exo)
+            gkw = ({'train': True, 'dropout_key': k_g}
+                   if gen_do else {})
+            out = gen_apply(gen_params, lr, exo=exo, **gkw)
             full = (jnp.concatenate(
                 [out] + [exo[f] for f in exo_names], axis=-1)
                 if n_exo else out)
-            d_true = disc.apply(disc_params, hr)
-            d_gen = disc.apply(disc_params, full)
+            d1kw = ({'train': True, 'dropout_key': k_d1}
+                    if disc_do else {})
+            d2kw = ({'train': True, 'dropout_key': k_d2}
+                    if disc_do else {})
+            d_true = disc.apply(disc_params, hr, **d1kw)
+            d_gen = disc.apply(disc_params, full, **d2kw)
             slc = slice(0, -n_exo) if n_exo else slice(None)
             content = loss_fun(out, hr[..., slc])
             advers = relativistic_disc_loss(d_gen, d_true)
@@ -265,10 +282,19 @@ class Sup3rGan(AbstractSingleModel):
         """Functional disc loss: (disc_params, hr, hi_res_gen, key) ->
         loss."""
         disc = self._disc
+        disc_do = any(type(l).__name__ == 'Dropout'
+                      for l in disc.layers)
 
         def disc_loss_fn(disc_params, hr, hi_res_gen, key):
-            d_true = disc.apply(disc_params, hr)
-            d_gen = disc.apply(disc_params, hi_res_gen)
+            if disc_do:
+                k1, k2 = jax.random.split(key)
+                d_true = disc.apply(disc_params, hr, train=True,
+                                    dropout_key=k1)
+                d_gen = disc.apply(disc_params, hi_res_gen,
+                                   train=True, dropout_key=k2)
+            else:
+                d_true = disc.apply(disc_params, hr)
+                d_gen = disc.apply(disc_params, hi_res_gen)
             return relativistic_disc_loss(d_true, d_gen)
 
         return disc_loss_fn
@@ -387,7 +413,7 @@ class Sup3rGan(AbstractSingleModel):
             self._disc_opt_state, sample,
             jnp.float32(weight_gen_advers), jnp.bool_(train_gen),
             jnp.bool_(train_disc), key)
-        return {k: float(v) for k, v in details.items()}
+        return self._fetch_details(details)
 
     def update_optimizer(self, option='generator', **kwargs):
         """Update optimizer config (e.g. learning_rate) mid-training;
@@ -449,7 +475,17 @@ class Sup3rGan(AbstractSingleModel):
             self._disc_opt_state, lr, hr,
             jnp.float32(weight_gen_advers), jnp.bool_(train_gen),
             jnp.bool_(train_disc), key)
-        return {k: float(v) for k, v in details.items()}
+        return self._fetch_details(details)
+
+    @staticmethod
+    def _fetch_details(details):
+        """Loss scalars to host in ONE transfer: stacking the device
+        scalars outside jit makes a single device array to fetch
+        instead of one round trip per scalar (each fetch is a full
+        tunnel/PCIe round trip in the train loop)."""
+        keys = list(details)
+        vals = np.asarray(jnp.stack([details[k] for k in keys]))
+        return {k: float(v) for k, v in zip(keys, vals)}
 
     # ------------------------------------------------------------------
     # inference
@@ -503,10 +539,14 @@ class Sup3rGan(AbstractSingleModel):
     def _get_fused_apply(self):
         """(jitted_fn, fused_params) with fused blocks; rebuilt when
         gen_params changes identity."""
+        # cache key holds a STRONG reference to the params object and
+        # compares identity — an id() key could collide after training
+        # frees the old list and CPython reuses its address
         key = (self.gen_params, self.inference_pallas,
                self.inference_dtype, self.inference_subpixel_tail)
         cached = getattr(self, '_fused_cache', None)
-        if cached is None or cached[0] != (id(key[0]), *key[1:]):
+        if (cached is None or cached[0][0] is not key[0]
+                or cached[0][1:] != key[1:]):
             from sup3r_tpu.models.fuse import (
                 FusedReflectConv,
                 fuse_network,
@@ -537,8 +577,7 @@ class Sup3rGan(AbstractSingleModel):
                     return fnet.apply(params, x,
                                       exo=exo).astype(jnp.float32)
 
-            self._fused_cache = ((id(key[0]), *key[1:]),
-                                 jax.jit(apply), fparams)
+            self._fused_cache = (key, jax.jit(apply), fparams)
         return self._fused_cache[1], self._fused_cache[2]
 
     def _parse_exo_for_generate(self, exogenous_data, low_res_shape):
@@ -620,7 +659,13 @@ class Sup3rGan(AbstractSingleModel):
         fixed_exo = {}
         for k, v in exo.items():
             if v.ndim == low_res.ndim - 1:
-                v = v[None] if v.shape[0] != low_res.shape[0] else v[..., None]
+                # a trailing singleton marks an unbatched raster WITH
+                # its channel dim — even when its first spatial dim
+                # happens to equal the batch size
+                if v.shape[-1] == 1 or v.shape[0] != low_res.shape[0]:
+                    v = v[None]
+                else:
+                    v = v[..., None]
             fixed_exo[k] = v
         if self.inference_fuse:
             apply_fn, fparams = self._get_fused_apply()
@@ -830,7 +875,8 @@ class Sup3rGan(AbstractSingleModel):
                 batch, train_gen, only_gen, gen_too_good, train_disc,
                 only_disc, disc_too_good, weight_gen_advers)
             self._train_record = self.update_loss_details(
-                self._train_record, details, prefix='train_')
+                self._train_record, details, prefix='train_',
+                max_batches=n_batches)
             loss_disc_mean = float(
                 self._train_record['train_loss_disc'].mean())
             logger.debug(
@@ -904,7 +950,6 @@ class Sup3rGan(AbstractSingleModel):
         t0 = time.time()
         stop = False
         for epoch in epochs:
-            self._train_record = None
             if tensorboard_profile and epoch == epochs[0]:
                 from sup3r_tpu.models.utilities import profile_to_dir
 

@@ -111,13 +111,29 @@ def temporal_simple_enhancing(data, t_enhance=4, mode='constant'):
     if mode == 'linear':
         t = data.shape[3]
         new_t = t * t_enhance
-        # sample positions of the enhanced grid mapped into source index
-        # space, endpoints pinned to the original endpoints
-        pos = xp.linspace(0.0, float(t - 1), new_t)
+        # reference registration (batch_queues/utilities.py:40-45):
+        # LR step i anchors at HR index i*t_enhance, with LINEAR
+        # EXTRAPOLATION past the last anchor — a compressed
+        # pinned-endpoint linspace changes every interpolated value
+        pos = xp.arange(new_t) / float(t_enhance)
         lo = xp.clip(xp.floor(pos).astype(int), 0, t - 1)
         hi = xp.clip(lo + 1, 0, t - 1)
         w = (pos - lo)[None, None, None, :, None]
-        return data[:, :, :, lo, :] * (1 - w) + data[:, :, :, hi, :] * w
+        lo_v = data[:, :, :, lo, :]
+        hi_v = data[:, :, :, hi, :]
+        out = lo_v * (1 - w) + hi_v * w
+        if t > 1:
+            # extrapolate the tail (pos > t-1): hi==lo==t-1 there, so
+            # continue the last segment's slope instead of clamping
+            tail = pos > (t - 1)
+            if bool(xp.any(tail)):
+                slope = (data[:, :, :, t - 1:t, :]
+                         - data[:, :, :, t - 2:t - 1, :])
+                excess = (pos - (t - 1))[None, None, None, :, None]
+                extrap = data[:, :, :, t - 1:t, :] + slope * excess
+                mask = tail[None, None, None, :, None]
+                out = xp.where(mask, extrap, out)
+        return out
     raise KeyError(f'Unknown temporal enhancing mode "{mode}"')
 
 

@@ -11,8 +11,14 @@ from sup3r_tpu.ops._dispatch import array_module
 
 
 def _axis_points(n, offset=True):
-    """Cell-centered sample positions of n points in a (0, 10) span."""
-    pts = np.arange(0, 10, 10 / n)
+    """Cell-centered sample positions of n points in a (0, 10) span.
+
+    Built as ``arange(n) * (10/n)`` — ``np.arange(0, 10, 10/n)``
+    returns n+1 points when 10/n rounds down (n = 61, 77, 122, ...),
+    which silently mis-sized st_interp output (the reference's
+    RegularGridInterpolator crashes loudly on the same arange;
+    round-3 review finding)."""
+    pts = np.arange(n) * (10 / n)
     return pts + 5 / n if offset else pts
 
 
@@ -78,11 +84,15 @@ def get_level_masks(lev_array, level):
     idx = xp.arange(n_lev)
     idx = xp.broadcast_to(idx, lev_array.shape)
 
-    above = lev_array >= level
-    below = lev_array < level
+    finite = ~xp.isnan(lev_array)
+    above = (lev_array >= level) & finite
+    below = (lev_array < level) & finite
     big = xp.asarray(np.inf, dtype=lev_array.dtype)
 
-    dist = xp.abs(lev_array - level)
+    # NaN level entries (e.g. below-surface ERA5 heights) are treated
+    # as unavailable candidates, like the reference's masked arrays
+    # (sup3r/utilities/interpolation.py get_level_masks)
+    dist = xp.where(finite, xp.abs(lev_array - level), big)
     dist_below = xp.where(below, dist, big)
     dist_above = xp.where(above, dist, big)
 
@@ -131,8 +141,16 @@ def interp_to_level(lev_array, var_array, level, method='linear'):
     method : 'linear' | 'log'
     """
     xp = array_module(lev_array, var_array)
-    if np.asarray(np.isnan(np.asarray(lev_array)).any()):
-        raise ValueError('lev_array contains NaN values')
+    import warnings
+
+    nan_any = bool(np.asarray(np.isnan(np.asarray(lev_array)).any())) \
+        if not hasattr(lev_array, 'aval') else False
+    if nan_any:
+        # reference behavior: interpolate past NaN levels with a
+        # warning (interpolation.py docstring: 'Data will be
+        # interpolated or extrapolated past these NaN values')
+        warnings.warn('lev_array contains NaN values; interpolating '
+                      'past them')
     mask1, mask2 = get_level_masks(lev_array, level)
     lev0 = xp.sum(xp.where(mask1, lev_array, 0), axis=-1)
     lev1 = xp.sum(xp.where(mask2, lev_array, 0), axis=-1)

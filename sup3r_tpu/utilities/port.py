@@ -250,6 +250,12 @@ def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
                     else (1, s_lr, s_lr, n_feats))
     _, gen_params = import_phygnn_network(gen_cfg, gen_w, lr_shape)
     model.gen_params = gen_params
+    # record shapes + init optimizer states so the imported model can
+    # be fine-tuned and survives a save/load round trip (round-3
+    # review finding: gen_in_shape=None made Sup3rGan.load skip the
+    # weights entirely and silently re-initialize)
+    model._gen_in_shape = tuple(lr_shape)
+    model._gen_opt_state = model._gen_tx.init(model.gen_params)
     if disc_cfg is not None:
         if hr_shape is None:
             s = model.s_enhance
@@ -262,6 +268,23 @@ def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
         _, disc_params = import_phygnn_network(disc_cfg, disc_w,
                                                hr_shape)
         model.disc_params = disc_params
+        model._disc_in_shape = tuple(hr_shape)
+        model._disc_opt_state = model._disc_tx.init(model.disc_params)
+    else:
+        # inference-only checkpoint: initialize the stand-in disc so
+        # training/save paths stay consistent
+        import jax as _jax
+
+        s = model.s_enhance
+        t = model.t_enhance
+        n_out = len(meta.get('hr_out_features') or []) or n_feats
+        hr_shape = ((1, lr_shape[1] * s, lr_shape[2] * s,
+                     lr_shape[3] * t, n_out) if is_5d
+                    else (1, lr_shape[1] * s, lr_shape[2] * s, n_out))
+        model.disc_params, _ = model._disc.init(
+            _jax.random.PRNGKey(0), hr_shape)
+        model._disc_in_shape = tuple(hr_shape)
+        model._disc_opt_state = model._disc_tx.init(model.disc_params)
     means = saved.get('means')
     stdevs = saved.get('stdevs')
     if means and stdevs:

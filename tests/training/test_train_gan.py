@@ -332,3 +332,65 @@ def test_train_remat_matches():
     for a, b in zip(jax_leaves(p1), jax_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_active_in_train_step():
+    """A disc with Dropout behaves stochastically across PRNG keys in
+    the train step but deterministically at eval (round-3 review
+    finding: the keys were threaded but never passed, silently
+    disabling dropout)."""
+    import jax
+    import jax.numpy as jnp
+
+    gen = [{'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Dropout', 'rate': 0.5},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc, learning_rate=1e-4)
+    model.init_weights((1, 6, 6, 4, 2), (1, 6, 6, 4, 2))
+    loss_fn = model._make_disc_loss_fn()
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((2, 6, 6, 4, 2)), jnp.float32)
+    fake = jnp.asarray(rng.random((2, 6, 6, 4, 2)), jnp.float32)
+    l1 = float(loss_fn(model.disc_params, hr, fake,
+                       jax.random.PRNGKey(0)))
+    l2 = float(loss_fn(model.disc_params, hr, fake,
+                       jax.random.PRNGKey(1)))
+    assert l1 != l2  # dropout masks differ across keys
+    # eval path (no train flag) is deterministic
+    e1 = np.asarray(model.discriminator.apply(model.disc_params, hr))
+    e2 = np.asarray(model.discriminator.apply(model.disc_params, hr))
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_train_record_carries_across_epochs(tmp_path):
+    """The loss record is a ROLLING last-n-batches window carried
+    across epochs (reference: sup3r/models/abstract.py:590-623) — a
+    per-epoch reset would cold-start the disc gating every epoch."""
+    from sup3r_tpu.utilities.test_helpers import make_fake_dset
+
+    from sup3r_tpu.preprocessing import BatchHandler
+
+    data = make_fake_dset((12, 12, 20), ['u_100m', 'v_100m'])
+    bh = BatchHandler([data], batch_size=2, n_batches=3,
+                      s_enhance=2, t_enhance=1, sample_shape=(8, 8, 1),
+                      queue_cap=2, means=None, stds=None, mode='eager')
+    gen = [{'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatialExpansion', 'spatial_mult': 2},
+           {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc, learning_rate=1e-4)
+    model.train(bh, input_resolution={'spatial': '12km',
+                                      'temporal': '60min'},
+                n_epoch=2, checkpoint_int=None,
+                out_dir=str(tmp_path / 'gan_{epoch}'))
+    # after 2 epochs x 3 batches, the rolling record holds the LAST
+    # n_batches rows (not reset to just-this-epoch at epoch start)
+    assert model._train_record is not None
+    assert len(model._train_record) == 3

@@ -87,14 +87,22 @@ def test_coarsen_then_enhance_roundtrip():
     np.testing.assert_allclose(down_t, data, rtol=1e-6)
 
 
-def test_temporal_linear_enhancing_endpoints():
-    data = np.arange(6, dtype=np.float32).reshape(1, 1, 1, 6, 1)
+def test_temporal_linear_enhancing_matches_reference():
+    """Reference registration: LR step i anchors HR index i*t_enh
+    with linear extrapolation past the last anchor (scipy interp1d
+    fill_value='extrapolate'; batch_queues/utilities.py:40-45)."""
+    from scipy.interpolate import interp1d
+
+    data = RNG.random((2, 3, 3, 6, 2)).astype(np.float32)
+    for te in (2, 3):
+        out = temporal_simple_enhancing(data, te, mode='linear')
+        idx_hr = np.arange(data.shape[3] * te)
+        ref = interp1d(idx_hr[::te], data, axis=3,
+                       fill_value='extrapolate')(idx_hr)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    # anchors hit the LR values exactly
     out = temporal_simple_enhancing(data, 2, mode='linear')
-    assert out.shape == (1, 1, 1, 12, 1)
-    # endpoints pinned, interior monotone
-    assert out[0, 0, 0, 0, 0] == 0
-    assert out[0, 0, 0, -1, 0] == 5
-    assert np.all(np.diff(out.ravel()) >= 0)
+    np.testing.assert_allclose(out[:, :, :, ::2], data, rtol=1e-6)
 
 
 def test_jax_numpy_dispatch_agrees():
