@@ -14,6 +14,7 @@ import os
 import time
 
 import click
+import numpy as np
 
 import sup3r_tpu
 from sup3r_tpu.utilities.cli import BaseCLI, Status, load_config
@@ -152,12 +153,20 @@ def forward_pass(ctx):
         strategy = ForwardPassStrategy(
             **{**run_cfg, 'head_node': True})
         n_nodes = len(strategy.node_chunks)
-        # ship expensive head-computed preflight scalars to the nodes
-        # (the chunked_io NCforCC domain clearsky scale is a full
-        # NSRDB scan — workers must not redo it N times)
+        # ship expensive head-computed preflight artifacts to the
+        # nodes (the chunked_io NCforCC per-pixel clearsky scale
+        # raster is a full NSRDB scan — workers must not redo it N
+        # times). Arrays go through a run_dir .npy side file since
+        # node configs are JSON.
         scale = getattr(strategy, '_chunk_ihk', {}).get(
             'clearsky_scale')
         if scale is not None:
+            if isinstance(scale, np.ndarray):
+                scale_fp = os.path.abspath(os.path.join(
+                    config['run_dir'],
+                    f'.clearsky_scale_{_cfg_tag(run_cfg)}.npy'))
+                np.save(scale_fp, scale)
+                scale = scale_fp
             ihk = dict(run_cfg.get('input_handler_kwargs') or {})
             ihk['clearsky_scale'] = scale
             run_cfg = {**run_cfg, 'input_handler_kwargs': ihk}

@@ -32,10 +32,17 @@ class Sup3rGanDC(Sup3rGan):
             loss, details = self.calc_loss(
                 hr, out, weight_gen_advers=weight_gen_advers,
                 train_gen=True, compute_disc=True)
-            row = i // n_t
-            col = i % n_t
-            total[row % n_s, col] = float(loss)
-            content[row % n_s, col] = float(details['loss_gen_content'])
+            # MUST mirror ValBatchQueueDC.sample_batch's emission
+            # order (batch_queues.py: s = i % n_space_bins,
+            # t = (i // n_space_bins) % n_time_bins) — transposed
+            # bookkeeping would assign adaptive weights to the wrong
+            # bins (round-3 review finding; the reference's own
+            # i%n_s / i%n_t val scheme doesn't even cover all bins
+            # when both counts > 1, so we match OUR queue instead)
+            row = i % n_s
+            col = (i // n_s) % n_t
+            total[row, col] = float(loss)
+            content[row, col] = float(details['loss_gen_content'])
         return total, content
 
     def calc_val_loss(self, batch_handler, weight_gen_advers):

@@ -484,12 +484,14 @@ class ForwardPassStrategy:
         return _CoordsOnlyHandler(self._meta_rast)
 
     def _set_chunked_clearsky_scale(self, ihk):
-        """chunked_io x DataHandlerNCforCC: the eager handler scales its
-        regridded NSRDB clearsky_ghi by the DOMAIN-level
-        max(rsds)/max(cs) ratio; per-window handlers must apply the
-        same global factor or chunk outputs diverge ~2% at window
-        maxima. Compute it once here with blocked full-domain reads and
-        stash it in the per-chunk handler kwargs."""
+        """chunked_io x DataHandlerNCforCC: the eager handler scales
+        its regridded NSRDB clearsky_ghi by the PER-PIXEL
+        max_t(rsds)/max_t(cs) ratio (reference: nc_cc.py:231-240);
+        per-window handlers only see a time window, so their local
+        time-maxima diverge from the full-axis ones. Compute the
+        full-domain (s1, s2) scale raster once here with blocked
+        reads and stash it in the per-chunk handler kwargs; chunk
+        windows slice it spatially in _read_chunk_window."""
         from sup3r_tpu.preprocessing.data_handlers import (
             DataHandlerNCforCC,
         )
@@ -504,25 +506,29 @@ class ForwardPassStrategy:
             return
         if ihk.get('clearsky_scale') is not None:
             # precomputed (e.g. by the head node, shipped through the
-            # node config) — don't redo the full-domain NSRDB scan on
-            # every worker
-            self._chunk_ihk['clearsky_scale'] = ihk['clearsky_scale']
+            # node config as an .npy path) — don't redo the
+            # full-domain NSRDB scan on every worker
+            scale = ihk['clearsky_scale']
+            if isinstance(scale, str):
+                scale = np.load(scale)
+            self._chunk_ihk['clearsky_scale'] = scale
             return
         gcm_ti = self._meta_rast.data.time_index
         grid = self._meta_rast.lat_lon.reshape(-1, 2)
         n_pts = len(grid)
+        s1, s2 = self._meta_rast.grid_shape
 
-        # unscaled clearsky max over the full domain, blocked by points
-        cs_max = -np.inf
+        # per-point unscaled clearsky time-max, blocked by points
+        cs_max = np.empty(n_pts, dtype=np.float32)
         pblock = 65536
         for p0 in range(0, n_pts, pblock):
             out = HandlerClass._regrid_clearsky(
                 nsrdb_fp, ihk.get('nsrdb_agg', 1),
                 grid[p0:p0 + pblock], gcm_ti)
-            cs_max = max(cs_max, float(np.nanmax(out)))
+            cs_max[p0:p0 + pblock] = np.nanmax(out, axis=0)
 
-        # rsds max over the full domain, blocked in time
-        rsds_max = -np.inf
+        # per-pixel rsds time-max, blocked in time
+        rsds_max = np.full((s1, s2), -np.inf, dtype=np.float32)
         n_t = len(gcm_ti)
         tblock = max(1, int(4e7 // max(n_pts, 1)))
         for t0 in range(0, n_t, tblock):
@@ -531,14 +537,15 @@ class ForwardPassStrategy:
                 window=self._meta_rast.raster_index,
                 time_slice=slice(t0, min(t0 + tblock, n_t)),
                 res_kwargs=self._chunk_ihk.get('res_kwargs'))
-            rsds_max = max(rsds_max, float(np.nanmax(
-                np.asarray(rast.data['rsds']))))
+            rsds_max = np.fmax(rsds_max, np.nanmax(
+                np.asarray(rast.data['rsds']), axis=-1))
             if hasattr(rast.loader, 'close'):
                 rast.loader.close()
-        scale = rsds_max / max(cs_max, 1e-6)
-        logger.info('chunked_io NCforCC: domain clearsky scale = %.6g '
-                    '(rsds max %.6g / cs max %.6g)', scale, rsds_max,
-                    cs_max)
+        scale = (rsds_max / np.maximum(cs_max.reshape(s1, s2), 1e-6)
+                 ).astype(np.float32)
+        logger.info('chunked_io NCforCC: per-pixel clearsky scale in '
+                    '[%.6g, %.6g]', float(np.nanmin(scale)),
+                    float(np.nanmax(scale)))
         self._chunk_ihk['clearsky_scale'] = scale
 
     def _read_chunk_window(self, lr_pad_slice, ti_pad_slice):
@@ -551,9 +558,16 @@ class ForwardPassStrategy:
             window = (_compose_slice(meta_idx[0], lr_pad_slice[0]),
                       _compose_slice(meta_idx[1], lr_pad_slice[1]))
         HandlerClass = get_input_handler_class(self.input_handler_name)
+        chunk_ihk = self._chunk_ihk
+        scale = chunk_ihk.get('clearsky_scale')
+        if isinstance(scale, np.ndarray) and scale.ndim == 2:
+            # full-domain per-pixel scale raster -> this chunk's window
+            chunk_ihk = {**chunk_ihk,
+                         'clearsky_scale': scale[lr_pad_slice[0],
+                                                 lr_pad_slice[1]]}
         handler = HandlerClass(
             self.file_paths, features=self.features, window=window,
-            time_slice=ti_pad_slice, **self._chunk_ihk)
+            time_slice=ti_pad_slice, **chunk_ihk)
         out = np.asarray(handler.data.as_array(self.features),
                          dtype=np.float32)
         # lazy loaders keep h5py handles open for window reads; close

@@ -138,13 +138,19 @@ class DailyDataHandler(DataHandler):
         assert ti is not None, 'DailyDataHandler needs a time index'
         day_ids = pd.DatetimeIndex(ti.date)
         days = day_ids.unique()
-        n_per_day = len(ti) // len(days) if len(days) else 0
-        msg = (f'DailyDataHandler needs at least 24 hourly steps, got '
-               f'{len(ti)}')
-        assert len(ti) >= 24, msg
+        # steps per full day from the actual time step — hardcoding
+        # 24 trimmed EVERY day of sub-hourly data (e.g. 30-min NSRDB
+        # = 48 steps/day; reference: data_handlers/base.py:333
+        # day_steps = int(24*3600 / time_step))
+        time_step = ((ti[1] - ti[0]).total_seconds()
+                     if len(ti) > 1 else 3600.0)
+        day_steps = max(int(round(24 * 3600 / time_step)), 1)
+        msg = (f'DailyDataHandler needs at least one full day '
+               f'({day_steps} steps), got {len(ti)}')
+        assert len(ti) >= day_steps, msg
         # trim partial days
         keep = np.isin(day_ids, [
-            d for d in days if (day_ids == d).sum() == 24])
+            d for d in days if (day_ids == d).sum() == day_steps])
         hourly = GridDataset(
             hourly.data[:, :, keep], hourly.features,
             lat_lon=hourly.lat_lon, time_index=ti[keep])
@@ -225,9 +231,12 @@ class DataHandlerNCforCC(DataHandler):
         self._nsrdb_source_fp = nsrdb_source_fp
         self._nsrdb_agg = nsrdb_agg
         self._nsrdb_smoothing = nsrdb_smoothing
-        #: precomputed domain-level rsds/cs max ratio; windowed handlers
-        #: (chunked_io) must use the global factor, not a window-local
-        #: one, or chunk outputs diverge from the eager path
+        #: precomputed per-pixel rsds/cs time-max ratio raster (or a
+        #: legacy scalar, or an .npy path); windowed handlers
+        #: (chunked_io) must use the full-time-axis factors, not
+        #: window-local ones, or chunk outputs diverge from the eager
+        #: path (reference: nc_cc.py:231-240 scale_clearsky_ghi is
+        #: per spatial pixel over the FULL time axis)
         self._clearsky_scale = clearsky_scale
         self._features_req = features
         super().__init__(file_paths, features=features, **kwargs)
@@ -245,10 +254,14 @@ class DataHandlerNCforCC(DataHandler):
 
     def get_clearsky_ghi(self):
         """Regrid NSRDB clearsky_ghi to the GCM grid: KDTree agg of
-        nsrdb_agg nearest sites, daily mean, scaled so its max matches
-        rsds max (reference: nc_cc.py:160-241). When a precomputed
-        ``clearsky_scale`` was given (chunked_io streaming), the global
-        factor is applied instead of a window-local max ratio."""
+        nsrdb_agg nearest sites, daily mean, scaled PER SPATIAL PIXEL
+        so its time-max matches the rsds time-max at that pixel
+        (reference: nc_cc.py:160-241; scale_clearsky_ghi at :231-240
+        is ``rsds.max(dim='time') / cs.max(dim='time')``). When a
+        precomputed ``clearsky_scale`` (raster windowed to this
+        handler, an .npy path, or a legacy scalar) was given
+        (chunked_io streaming), it is applied instead of a
+        window-local ratio."""
         gcm_ti = self.rasterizer.data.time_index
         out = self._regrid_clearsky(
             self._nsrdb_source_fp, self._nsrdb_agg,
@@ -256,12 +269,23 @@ class DataHandlerNCforCC(DataHandler):
         s1, s2 = self.rasterizer.grid_shape
         cs = out.T.reshape(s1, s2, len(gcm_ti))
         # the scale is computed from the UNSMOOTHED raster so it
-        # matches the domain-level factor the chunked_io path stashes
+        # matches the factors the chunked_io path stashes
         # (strategy._set_chunked_clearsky_scale regrids unsmoothed)
         scale = self._clearsky_scale
+        if isinstance(scale, str):
+            scale = np.load(scale)
         if scale is None and 'rsds' in self.rasterizer.data:
-            rsds_max = np.nanmax(self.rasterizer.data['rsds'])
-            scale = rsds_max / max(np.nanmax(cs), 1e-6)
+            rsds_max = np.nanmax(
+                np.asarray(self.rasterizer.data['rsds']), axis=-1)
+            scale = rsds_max / np.maximum(
+                np.nanmax(cs, axis=-1), 1e-6)
+        if isinstance(scale, np.ndarray) and scale.ndim == 2:
+            if scale.shape != (s1, s2):
+                raise ValueError(
+                    f'clearsky_scale raster shape {scale.shape} does '
+                    f'not match handler grid {(s1, s2)}; chunked_io '
+                    'callers must window the raster to the handler')
+            scale = scale[:, :, None]
         if self._nsrdb_smoothing:
             if self._clearsky_scale is not None:
                 # window-local smoothing diverges from the full-domain
@@ -291,25 +315,50 @@ class DataHandlerNCforCC(DataHandler):
         (len(gcm_ti), n_points) float32. Point-separable, so callers
         may block over target points (reference: nc_cc.py:160-231)."""
         nsrdb = LoaderH5(nsrdb_fp)
-        cs_ghi = nsrdb.get('clearsky_ghi')  # (t, sites)
         nsrdb_ti = nsrdb.time_index
         tree = cKDTree(nsrdb.lat_lon_flat)
         _, idx = tree.query(np.asarray(target_grid), k=nsrdb_agg)
         if idx.ndim == 1:
             idx = idx[:, None]
-        agg = cs_ghi[:, idx].mean(axis=-1)  # (t, n_points)
+        # read only the site columns this window actually aggregates —
+        # the full NSRDB extent can be orders of magnitude larger than
+        # the KDTree-selected neighborhood (round-3 review finding)
+        uniq = np.unique(idx)
+        cs_ghi = nsrdb.get('clearsky_ghi', gids=uniq)  # (t, n_uniq)
+        pos = np.searchsorted(uniq, idx)
+        agg = cs_ghi[:, pos].mean(axis=-1)  # (t, n_points)
 
         # daily means aligned to gcm time index
         day_ids = pd.DatetimeIndex(nsrdb_ti.date)
         days = day_ids.unique()
         daily = np.stack([agg[day_ids == d].mean(axis=0) for d in days])
-        gcm_days = pd.DatetimeIndex(pd.DatetimeIndex(gcm_ti).date)
-        # map each gcm step to same day-of-year in the nsrdb year
-        doy_nsrdb = pd.DatetimeIndex(days).dayofyear
+        # map each gcm step to the same month+day in the nsrdb year —
+        # '%m.%d' string keys like the reference (nc_cc.py:216-223):
+        # dayofyear shifts by one after Feb in leap years, silently
+        # misaligning the whole spring/summer clearsky curve
+        key_nsrdb = pd.DatetimeIndex(days).strftime('%m.%d')
+        key_order = {k: i for i, k in enumerate(key_nsrdb)}
+        gcm_keys = pd.DatetimeIndex(gcm_ti).strftime('%m.%d')
         out = np.empty((len(gcm_ti), daily.shape[1]), dtype=np.float32)
-        for i, d in enumerate(gcm_days):
-            match = np.where(doy_nsrdb == d.dayofyear)[0]
-            out[i] = daily[match[0] if len(match) else 0]
+        missing = set()
+        doy_nsrdb = pd.DatetimeIndex(days).dayofyear.to_numpy()
+        gcm_doy = pd.DatetimeIndex(gcm_ti).dayofyear.to_numpy()
+        for i, k in enumerate(gcm_keys):
+            j = key_order.get(k)
+            if j is None:
+                # day absent from the NSRDB year (e.g. GCM leap day vs
+                # a non-leap NSRDB year): use the nearest calendar day
+                # instead of the reference's NaN reindex, which would
+                # poison clearsky_ratio for that day
+                j = int(np.argmin(np.minimum(
+                    np.abs(doy_nsrdb - gcm_doy[i]),
+                    365 - np.abs(doy_nsrdb - gcm_doy[i]))))
+                missing.add(k)
+            out[i] = daily[j]
+        if missing:
+            logger.warning(
+                'NSRDB source has no data for GCM calendar day(s) %s; '
+                'used the nearest available day', sorted(missing))
         return out
 
 

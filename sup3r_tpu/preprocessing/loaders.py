@@ -700,9 +700,16 @@ class _H5Var:
             # so a plain (fast) h5py slice read suffices
             step = int(local[1] - local[0]) if local.size > 1 else 1
             sel = slice(int(local[0]), int(local[-1]) + 1, step)
-            arr = ds[sel, :]
             if gids is not None:
-                arr = arr[:, gids]
+                # restrict the read to the [min, max] gid range — for
+                # spatially compact windows this is far smaller than
+                # the full site extent, and a contiguous h5py slice is
+                # fast where fancy indexing is not
+                g = np.asarray(gids)
+                lo, hi = int(g.min()), int(g.max()) + 1
+                arr = ds[sel, lo:hi][:, g - lo]
+            else:
+                arr = ds[sel, :]
             blocks.append(arr)
         if not blocks:
             out = np.zeros((0, self._datasets[0].shape[-1]),

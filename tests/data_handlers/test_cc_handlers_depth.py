@@ -29,38 +29,49 @@ def gcm_and_nsrdb(tmp_path):
 
 
 def test_clearsky_ghi_rsds_max_scaling(gcm_and_nsrdb):
-    """Regridded clearsky_ghi is scaled so its max matches the rsds
-    max (reference: nc_cc.py:233-241)."""
+    """Regridded clearsky_ghi is scaled PER SPATIAL PIXEL so its
+    time-max matches the rsds time-max at that pixel (reference:
+    nc_cc.py:231-240 scale_clearsky_ghi uses max(dim='time'))."""
     gcm_fp, nsrdb_fp = gcm_and_nsrdb
     dh = DataHandlerNCforCC(gcm_fp,
                             features=['clearsky_ratio'],
                             nsrdb_source_fp=nsrdb_fp)
     cs = np.asarray(dh.rasterizer.data['clearsky_ghi'])
     rsds = np.asarray(dh.rasterizer.data['rsds'])
-    np.testing.assert_allclose(np.nanmax(cs), np.nanmax(rsds),
-                               rtol=1e-4)
+    np.testing.assert_allclose(np.nanmax(cs, axis=-1),
+                               np.nanmax(rsds, axis=-1), rtol=1e-4)
     csr = np.asarray(dh.data['clearsky_ratio'])
     assert (csr[np.isfinite(csr)] >= 0).all()
     assert (csr[np.isfinite(csr)] <= 1).all()
 
 
 def test_clearsky_scale_override(gcm_and_nsrdb):
-    """An explicit clearsky_scale (the chunked_io domain factor)
-    overrides the window-local max ratio."""
+    """An explicit clearsky_scale (scalar or per-pixel raster, the
+    chunked_io preflight artifact) overrides the window-local per-pixel
+    max ratio."""
     gcm_fp, nsrdb_fp = gcm_and_nsrdb
-    dh1 = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
-                             nsrdb_source_fp=nsrdb_fp)
-    cs1 = np.asarray(dh1.rasterizer.data['clearsky_ghi'])
-    dh2 = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
-                             nsrdb_source_fp=nsrdb_fp,
-                             clearsky_scale=2.0)
-    cs2 = np.asarray(dh2.rasterizer.data['clearsky_ghi'])
-    # same unscaled regrid, different factor
-    ratio = cs2 / np.where(cs1 == 0, np.nan, cs1)
-    finite = ratio[np.isfinite(ratio)]
-    rsds_max = np.nanmax(np.asarray(dh1.rasterizer.data['rsds']))
-    unscaled_max = np.nanmax(cs1) / (rsds_max / np.nanmax(cs1))
-    assert np.allclose(finite, finite.flat[0], rtol=1e-4)
+
+    def _cs(**kw):
+        dh = DataHandlerNCforCC(gcm_fp, features=['clearsky_ratio'],
+                                nsrdb_source_fp=nsrdb_fp, **kw)
+        return np.asarray(dh.rasterizer.data['clearsky_ghi'])
+
+    cs2 = _cs(clearsky_scale=2.0)
+    cs4 = _cs(clearsky_scale=4.0)
+    # scalar override: same unscaled regrid, exactly the given factor
+    np.testing.assert_allclose(cs4, 2.0 * cs2, rtol=1e-6)
+
+    # per-pixel raster override: each pixel column gets its own factor
+    s1, s2 = cs2.shape[:2]
+    raster = (1.0 + np.arange(s1 * s2).reshape(s1, s2)
+              ).astype(np.float32)
+    cs_r = _cs(clearsky_scale=raster)
+    np.testing.assert_allclose(
+        cs_r, (cs2 / 2.0) * raster[:, :, None], rtol=1e-5)
+
+    # a wrongly-shaped raster is a loud error, not silent broadcast
+    with pytest.raises(ValueError, match='clearsky_scale'):
+        _cs(clearsky_scale=np.ones((s1 + 1, s2)))
 
 
 def test_nsrdb_agg_changes_regrid(gcm_and_nsrdb):

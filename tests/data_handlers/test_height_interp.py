@@ -143,11 +143,17 @@ def test_level_masks_bracketing():
     assert m2.tolist() == [[False, True, False]]
 
 
-def test_interp_rejects_nan_levels():
-    lev = np.array([[10.0, np.nan]])
-    var = np.ones_like(lev)
-    with pytest.raises(ValueError, match='NaN'):
-        interp_to_level(lev, var, 40.0)
+def test_interp_warns_on_nan_levels():
+    """NaN levels are unavailable candidates: warn and interpolate
+    past them (reference: sup3r/utilities/interpolation.py docstring
+    'Data will be interpolated or extrapolated past these NaN
+    values')."""
+    lev = np.array([[10.0, np.nan, 50.0]])
+    var = np.array([[1.0, 99.0, 5.0]])
+    with pytest.warns(UserWarning, match='NaN'):
+        out = interp_to_level(lev, var, 40.0)
+    # linear between the two FINITE levels; the NaN entry is ignored
+    np.testing.assert_allclose(out, [4.0], rtol=1e-6)
 
 
 def test_datahandler_height_interp_end_to_end(tmp_path):

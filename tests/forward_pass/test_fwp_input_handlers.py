@@ -134,7 +134,10 @@ def test_cli_chunked_nc_cc_ships_clearsky_scale(tmp_path):
     assert node_cfgs
     node_cfg = json.load(open(node_cfgs[0]))
     scale = node_cfg['input_handler_kwargs'].get('clearsky_scale')
-    assert scale is not None and scale > 0
+    # per-pixel raster ships as an .npy side file (JSON node config)
+    assert isinstance(scale, str) and scale.endswith('.npy')
+    raster = np.load(scale)
+    assert raster.shape == (8, 8) and (raster > 0).all()
 
 
 def test_time_slice_windowed_load_matches_full(tmp_path):
