@@ -44,17 +44,34 @@ class SolarCC(Sup3rGan):
 
     def _make_gen_loss_fn(self):
         disc = self._disc
-        gen_apply = self._train_gen_apply()
+        gen_apply = self._maybe_remat(self._train_gen_apply())
         loss_fun = self.loss_fun
         sh, dh, plh = (self.STARTING_HOUR, self.DAYLIGHT_HOURS,
                        self.POINT_LOSS_HOURS)
+        # same dropout plumbing as the base Sup3rGan loss fns
+        # (gan.py _make_gen_loss_fn): activate only when the nets
+        # carry Dropout layers so remat stays compatible otherwise
+        gen_do = any(type(l).__name__ == 'Dropout'
+                     for l in self._gen.layers)
+        disc_do = any(type(l).__name__ == 'Dropout'
+                      for l in disc.layers)
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             assert hr.shape[3] % 24 == 0, (
                 f'SolarCC needs multiples of 24 hourly steps, got '
                 f'{hr.shape}')
-            out = gen_apply(gen_params, lr)
+            key, k_g = jax.random.split(key)
+            gkw = ({'train': True, 'dropout_key': k_g}
+                   if gen_do else {})
+            out = gen_apply(gen_params, lr, **gkw)
             n_days = hr.shape[3] // 24
+
+            def dkw():
+                nonlocal key
+                if not disc_do:
+                    return {}
+                key, k_d = jax.random.split(key)
+                return {'train': True, 'dropout_key': k_d}
 
             d_true, d_gen = [], []
             content = 0.0
@@ -66,10 +83,11 @@ class SolarCC(Sup3rGan):
                                         hr.shape[3] - dh + 1)
                 gen_win = jax.lax.dynamic_slice_in_dim(out, t0, dh,
                                                        axis=3)
-                d_gen.append(disc.apply(disc_params, gen_win))
+                d_gen.append(disc.apply(disc_params, gen_win, **dkw()))
                 # fixed daylight window for the true sample
                 true_sub = hr[:, :, :, base + sh:base + sh + dh, :]
-                d_true.append(disc.apply(disc_params, true_sub))
+                d_true.append(disc.apply(disc_params, true_sub,
+                                         **dkw()))
 
                 # content: center-hours pointwise + daily-mean match
                 p0 = base + (24 - plh) // 2
@@ -93,10 +111,20 @@ class SolarCC(Sup3rGan):
     def _make_disc_loss_fn(self):
         disc = self._disc
         sh, dh = self.STARTING_HOUR, self.DAYLIGHT_HOURS
+        disc_do = any(type(l).__name__ == 'Dropout'
+                      for l in disc.layers)
 
         def disc_loss_fn(disc_params, hr, hi_res_gen, key):
             n_days = hr.shape[3] // 24
             d_true, d_gen = [], []
+
+            def dkw():
+                nonlocal key
+                if not disc_do:
+                    return {}
+                key, k_d = jax.random.split(key)
+                return {'train': True, 'dropout_key': k_d}
+
             for i in range(n_days):
                 base = 24 * i
                 key, sub = jax.random.split(key)
@@ -104,10 +132,10 @@ class SolarCC(Sup3rGan):
                                         hi_res_gen.shape[3] - dh + 1)
                 gen_win = jax.lax.dynamic_slice_in_dim(
                     hi_res_gen, t0, dh, axis=3)
-                d_gen.append(disc.apply(disc_params, gen_win))
+                d_gen.append(disc.apply(disc_params, gen_win, **dkw()))
                 d_true.append(disc.apply(
                     disc_params, hr[:, :, :, base + sh:base + sh + dh,
-                                    :]))
+                                    :], **dkw()))
             return relativistic_disc_loss(
                 jnp.concatenate(d_true, axis=0),
                 jnp.concatenate(d_gen, axis=0))

@@ -74,7 +74,7 @@ class Sup3rGanWithObs(Sup3rGan):
 
     def _make_gen_loss_fn(self):
         disc = self._disc
-        gen_apply = self._train_gen_apply()
+        gen_apply = self._maybe_remat(self._train_gen_apply())
         loss_fun = self.loss_fun
         n_exo = len(self.hr_exo_features)
         exo_names = list(self.hr_exo_features)
@@ -84,25 +84,42 @@ class Sup3rGanWithObs(Sup3rGan):
             None
         split_exo = self._split_exo_traced
         obs_weight = self.loss_obs_weight
+        # dropout plumbing mirrors the base gan.py loss fns
+        gen_do = any(type(l).__name__ == 'Dropout'
+                     for l in self._gen.layers)
+        disc_do = any(type(l).__name__ == 'Dropout'
+                      for l in disc.layers)
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
+            key, k_g, k_d1, k_d2 = jax.random.split(key, 4)
             exo = split_exo(hr)
             n_out_ch = hr.shape[-1] - n_exo
             obs_mask_shape = (*hr.shape[:-1], n_out_ch)
             not_obs = self._sample_obs_mask(key, obs_mask_shape)
-            # build NaN-masked obs inputs from the true HR data
+            # build NaN-masked obs inputs from the true HR data. The
+            # mask is identical across channels (reference
+            # with_obs.py:133-135 broadcasts one spatial mask over
+            # n_out_features channels and slices [..., :n_obs]), so
+            # use channel 0 — indexing by the HR channel idx would
+            # run past the mask for obs features whose base is
+            # exo-only (idx >= n_out_ch; round-3 review finding)
             for name, idx in zip(obs_names, obs_inds):
                 chan = hr[..., idx:idx + 1]
-                exo[name] = jnp.where(not_obs[..., idx:idx + 1],
-                                      jnp.nan, chan)
-            out = gen_apply(gen_params, lr, exo=exo)
+                exo[name] = jnp.where(not_obs[..., :1], jnp.nan, chan)
+            gkw = ({'train': True, 'dropout_key': k_g}
+                   if gen_do else {})
+            out = gen_apply(gen_params, lr, exo=exo, **gkw)
             full = (jnp.concatenate(
                 [out] + [hr[..., hr.shape[-1] - n_exo + i:
                             hr.shape[-1] - n_exo + i + 1]
                          for i in range(n_exo)], axis=-1)
                 if n_exo else out)
-            d_true = disc.apply(disc_params, hr)
-            d_gen = disc.apply(disc_params, full)
+            d1kw = ({'train': True, 'dropout_key': k_d1}
+                    if disc_do else {})
+            d2kw = ({'train': True, 'dropout_key': k_d2}
+                    if disc_do else {})
+            d_true = disc.apply(disc_params, hr, **d1kw)
+            d_gen = disc.apply(disc_params, full, **d2kw)
             slc = slice(0, -n_exo) if n_exo else slice(None)
             content = loss_fun(out, hr[..., slc])
             advers = relativistic_disc_loss(d_gen, d_true)

@@ -73,9 +73,15 @@ class DataHandler:
                 if hasattr(to_cache, 'members'):
                     # paired (daily, hourly) handlers cache the hourly
                     # member; the daily view is rebuilt on reload
-                    # (reference: derivers/test_deriver_caching.py:185)
-                    to_cache = to_cache.members.get(
-                        'hourly', list(to_cache.members.values())[-1])
+                    # (reference: derivers/test_deriver_caching.py:185).
+                    # Handlers that trim helper channels (H5SolarCC)
+                    # stash the untrimmed hourly member so the rebuild
+                    # can rederive the totals-based daily csr.
+                    cm = getattr(self, '_cache_member', None)
+                    to_cache = cm if cm is not None else \
+                        to_cache.members.get(
+                            'hourly',
+                            list(to_cache.members.values())[-1])
                 Cacher(to_cache, cache_kwargs)
 
     def _check_cache(self, cache_kwargs, features):
@@ -197,6 +203,9 @@ class DataHandlerH5SolarCC(DailyDataHandler):
 
     def __init__(self, file_paths, features='all', **kwargs):
         required = ['ghi', 'clearsky_ghi']
+        self._requested_features = (
+            None if features in ('all', None)
+            else [x.lower() for x in features])
         if features not in ('all', None):
             missing = [f for f in required if f not in [x.lower()
                                                         for x in features]]
@@ -216,6 +225,30 @@ class DataHandlerH5SolarCC(DailyDataHandler):
             with np.errstate(divide='ignore', invalid='ignore'):
                 self.daily['clearsky_ratio'] = np.where(
                     cs > 0, ghi / cs, np.nan)
+        # trim auto-added ghi/clearsky_ghi helper channels back to the
+        # requested feature set (reference: data_handlers/base.py:376-377
+        # ``self.data[self.requested_features]``) — downstream samplers
+        # index channels positionally, so extra channels corrupt
+        # training batches. The untrimmed hourly member is kept for the
+        # cacher so reloads can rederive the totals-based daily csr.
+        req = self._requested_features
+        if req and any(f not in req for f in self.hourly.features):
+            self._cache_member = self.hourly
+            from sup3r_tpu.preprocessing.grid import (
+                GridDataset,
+                PairedDataset,
+            )
+
+            def _select(ds):
+                idx = [ds.feature_index(f) for f in req]
+                return GridDataset(
+                    ds.data[..., idx], list(req), lat_lon=ds.lat_lon,
+                    time_index=ds.time_index)
+
+            self.daily = _select(self.daily)
+            self.hourly = _select(self.hourly)
+            self.data = PairedDataset(daily=self.daily,
+                                      hourly=self.hourly)
 
 
 class DataHandlerNCforCC(DataHandler):

@@ -158,16 +158,25 @@ class ExoRasterizer:
                 self._hr_lat_lon = self.lr_lat_lon
         return self._hr_lat_lon
 
+    #: whether get_data depends on the time axis — time-dependent
+    #: rasters (observations) must key their cache by the time extent
+    #: too, or runs over different time windows on the same domain
+    #: would silently share one cache file (round-3 review finding)
+    TIME_DEPENDENT = False
+
     @property
     def cache_file(self):
         """Cache path keyed by feature + enhancement + spatial extent
-        (extent hash prevents collisions between different domains)."""
+        (+ time extent for time-dependent rasters); the hash prevents
+        collisions between different domains/windows."""
         import hashlib
 
         corner = self.lr_lat_lon[[0, -1], [0, -1]].tobytes()
-        extent = hashlib.md5(
-            corner + bytes(str(self.lr_lat_lon.shape), 'utf8')
-        ).hexdigest()[:8]
+        key = corner + bytes(str(self.lr_lat_lon.shape), 'utf8')
+        if self.TIME_DEPENDENT and self.lr_time_index is not None:
+            ti = self.lr_time_index
+            key += bytes(f'{ti[0]}_{ti[-1]}_{len(ti)}', 'utf8')
+        extent = hashlib.md5(key).hexdigest()[:8]
         return os.path.join(
             self.cache_dir,
             f'exo_{self.feature}_{extent}_{self.s_enhance}x_'
@@ -287,6 +296,8 @@ class ObsRasterizer(ExoRasterizer):
     values — a static first-timestep raster would feed every chunk
     the same single-instant observation field). Feature names carry
     an '_obs' suffix; the source file is read with the base name."""
+
+    TIME_DEPENDENT = True
 
     def _obs_source_series(self):
         """(coords (n, 2), values (n, T_src), src time index)."""

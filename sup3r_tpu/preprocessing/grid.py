@@ -171,20 +171,6 @@ class GridDataset:
                 self.data[..., i] = nn_fill_array(self.data[..., i])
         return self
 
-    def qa(self):
-        """Per-feature NaN fraction / min / max / mean / std report."""
-        out = {}
-        for f in self.features:
-            arr = self[f]
-            out[f] = {
-                'nan_perc': 100 * float(np.isnan(arr).mean()),
-                'mean': float(np.nanmean(arr)),
-                'std': float(np.nanstd(arr)),
-                'min': float(np.nanmin(arr)),
-                'max': float(np.nanmax(arr)),
-            }
-        return out
-
     def compute(self):
         """No-op (data is always eager); kept for API parity."""
         return self

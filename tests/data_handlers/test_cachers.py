@@ -200,6 +200,36 @@ def test_daily_dh_caching_roundtrip(tmp_path):
     assert dh2.daily.time_index.equals(dh.daily.time_index)
 
 
+def test_solar_cc_trim_caching_roundtrip(tmp_path):
+    """H5SolarCC trims auto-added ghi/clearsky_ghi helpers from its
+    exposed data but caches the UNTRIMMED hourly member, so a cache
+    reload can rederive the totals-based daily clearsky_ratio instead
+    of silently degrading to a mean of hourly ratios."""
+    from sup3r_tpu.preprocessing.data_handlers import (
+        DataHandlerH5SolarCC,
+    )
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+
+    fp = make_fake_h5_file(
+        str(tmp_path / 'nsrdb.h5'), (5, 5, 48), ['ghi', 'clearsky_ghi'],
+        start='2023-06-01', freq='h', scale_factor=1.0,
+        value_range=(0, 1000))
+    pattern = str(tmp_path / 'solar_{feature}.h5')
+    dh = DataHandlerH5SolarCC(fp, features=['clearsky_ratio'],
+                              cache_kwargs={'cache_pattern': pattern})
+    assert dh.daily.features == ['clearsky_ratio']
+    # helper channels are in the cache even though trimmed from .data
+    assert os.path.exists(pattern.format(feature='ghi'))
+    assert os.path.exists(pattern.format(feature='clearsky_ghi'))
+    dh2 = DataHandlerH5SolarCC(fp, features=['clearsky_ratio'],
+                               cache_kwargs={'cache_pattern': pattern})
+    assert dh2.daily.features == ['clearsky_ratio']
+    np.testing.assert_allclose(
+        np.asarray(dh2.daily['clearsky_ratio']),
+        np.asarray(dh.daily['clearsky_ratio']), atol=1e-3,
+        equal_nan=True)
+
+
 def test_daily_dh_caching_with_hr_coarsen(tmp_path):
     """DailyDataHandler + hr_spatial_coarsen + caching: the cache
     stores the coarsened hourly member and a cache hit rebuilds the

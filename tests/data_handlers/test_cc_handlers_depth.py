@@ -125,12 +125,23 @@ def test_solar_cc_daily_csr_is_total_ratio(tmp_path):
         str(tmp_path / 'nsrdb.h5'), (6, 6, 48),
         ['ghi', 'clearsky_ghi'], start='2023-06-01', freq='h',
         scale_factor=1.0, value_range=(0, 1000))
-    dh = DataHandlerH5SolarCC(fp, features=['clearsky_ratio'])
-    ghi = np.asarray(dh.daily['ghi'])
-    cs = np.asarray(dh.daily['clearsky_ghi'])
-    csr = np.asarray(dh.daily['clearsky_ratio'])
+    full = DataHandlerH5SolarCC(
+        fp, features=['clearsky_ratio', 'ghi', 'clearsky_ghi'])
+    ghi = np.asarray(full.daily['ghi'])
+    cs = np.asarray(full.daily['clearsky_ghi'])
+    csr = np.asarray(full.daily['clearsky_ratio'])
     expect = np.where(cs > 0, ghi / cs, np.nan)
     np.testing.assert_allclose(csr, expect, rtol=1e-5, equal_nan=True)
+
+    # auto-added ghi/clearsky_ghi helpers are trimmed back to the
+    # requested features (reference: base.py:376-377), but the csr
+    # values still come from the totals ratio
+    dh = DataHandlerH5SolarCC(fp, features=['clearsky_ratio'])
+    assert dh.daily.features == ['clearsky_ratio']
+    assert dh.hourly.features == ['clearsky_ratio']
+    np.testing.assert_allclose(
+        np.asarray(dh.daily['clearsky_ratio']), csr, rtol=1e-5,
+        equal_nan=True)
 
 
 def test_nsrdb_smoothing_applies(gcm_and_nsrdb):

@@ -134,3 +134,35 @@ def test_obs_rasterizer_keeps_nans(tmp_path):
     # the finite cells sit where the stations are (nearest LR cells)
     finite_frac = np.isfinite(data).mean()
     assert finite_frac < 0.5
+
+
+def test_obs_cache_keyed_by_time_extent(tmp_path):
+    """Obs rasters are time-dependent: two runs over different time
+    windows on the same domain must NOT share a cache file (topo
+    rasters stay time-blind; round-3 review finding)."""
+    import os
+
+    obs_fp = make_fake_h5_file(
+        str(tmp_path / 'obs.h5'), (3, 3, 8), ['u_100m'],
+        lat_range=(39.9, 39.7), lon_range=(-105.3, -105.1))
+    lr_a = make_fake_nc_file(str(tmp_path / 'lr_a.nc'), (8, 8, 4),
+                             ['u100'], start='2023-01-01')
+    lr_b = make_fake_nc_file(str(tmp_path / 'lr_b.nc'), (8, 8, 4),
+                             ['u100'], start='2023-06-01')
+    cache = str(tmp_path / 'c')
+    r_a = ObsRasterizer(file_paths=lr_a, source_file=obs_fp,
+                        feature='u_100m_obs', s_enhance=1,
+                        cache_dir=cache)
+    r_b = ObsRasterizer(file_paths=lr_b, source_file=obs_fp,
+                        feature='u_100m_obs', s_enhance=1,
+                        cache_dir=cache)
+    assert r_a.cache_file != r_b.cache_file
+    _ = r_a.data
+    _ = r_b.data
+    assert os.path.exists(r_a.cache_file)
+    assert os.path.exists(r_b.cache_file)
+    # identical windows DO share the cache
+    r_a2 = ObsRasterizer(file_paths=lr_a, source_file=obs_fp,
+                         feature='u_100m_obs', s_enhance=1,
+                         cache_dir=cache)
+    assert r_a2.cache_file == r_a.cache_file

@@ -365,6 +365,65 @@ def test_dropout_active_in_train_step():
     np.testing.assert_array_equal(e1, e2)
 
 
+def test_dropout_active_in_subclass_loss_fns():
+    """SolarCC and Sup3rGanWithObs loss fns thread dropout keys like
+    the base gan.py (round-3 review: the overrides dropped them,
+    silently disabling dropout in those model families)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sup3r_tpu.models import SolarCC, Sup3rGanWithObs
+
+    disc = [{'class': 'Conv3D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Dropout', 'rate': 0.5},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    rng = np.random.default_rng(0)
+
+    # SolarCC: hourly output, daylight-window losses
+    gen = [{'class': 'Conv3D', 'filters': 1, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatioTemporalExpansion', 'temporal_mult': 24}]
+    sc = SolarCC(gen, disc, learning_rate=1e-4)
+    sc.meta.update(lr_features=['clearsky_ratio'],
+                   hr_out_features=['clearsky_ratio'])
+    sc.init_weights((1, 4, 4, 1, 1), (1, 4, 4, 24, 1))
+    lr = jnp.asarray(rng.random((1, 4, 4, 1, 1)), jnp.float32)
+    hr = jnp.asarray(rng.random((1, 4, 4, 24, 1)), jnp.float32)
+    loss_fn = sc._make_gen_loss_fn()
+    l1 = float(loss_fn(sc.gen_params, sc.disc_params, lr, hr, 1e-3,
+                       jax.random.PRNGKey(0))[0])
+    l2 = float(loss_fn(sc.gen_params, sc.disc_params, lr, hr, 1e-3,
+                       jax.random.PRNGKey(1))[0])
+    assert l1 != l2
+    d1 = float(sc._make_disc_loss_fn()(
+        sc.disc_params, hr, hr + 0.1, jax.random.PRNGKey(2)))
+    d2 = float(sc._make_disc_loss_fn()(
+        sc.disc_params, hr, hr + 0.1, jax.random.PRNGKey(3)))
+    assert d1 != d2
+
+    # WithObs: obs-masked content loss. Fix the obs mask across keys
+    # (spatial_frac bounds equal) so only dropout varies... the mask
+    # also varies by key, which still proves the keys are threaded.
+    gen_o = [{'class': 'Sup3rObsModel', 'name': 'u_100m_obs'},
+             {'class': 'Conv3D', 'filters': 1, 'kernel_size': 3,
+              'strides': 1, 'padding': 'same'}]
+    ob = Sup3rGanWithObs(
+        gen_o, disc, learning_rate=1e-4,
+        onshore_obs_frac={'spatial_frac': 0.5})
+    ob.meta.update(lr_features=['u_100m'],
+                   hr_out_features=['u_100m'])
+    ob.init_weights((1, 6, 6, 4, 1), (1, 6, 6, 4, 1))
+    lr_o = jnp.asarray(rng.random((1, 6, 6, 4, 1)), jnp.float32)
+    hr_o = jnp.asarray(rng.random((1, 6, 6, 4, 1)), jnp.float32)
+    ofn = ob._make_gen_loss_fn()
+    o1 = float(ofn(ob.gen_params, ob.disc_params, lr_o, hr_o, 1e-3,
+                   jax.random.PRNGKey(0))[0])
+    o2 = float(ofn(ob.gen_params, ob.disc_params, lr_o, hr_o, 1e-3,
+                   jax.random.PRNGKey(1))[0])
+    assert o1 != o2
+
+
 def test_train_record_carries_across_epochs(tmp_path):
     """The loss record is a ROLLING last-n-batches window carried
     across epochs (reference: sup3r/models/abstract.py:590-623) — a
