@@ -430,16 +430,28 @@ class Sup3rGan(AbstractSingleModel):
         self._train_step_fn = None
         self._sample_step_fn = None
 
-    def attach_mesh(self, mesh, axis='data'):
+    def attach_mesh(self, mesh, axis='data', spatial_axis=None):
         """Enable data-parallel training over a ``jax.sharding.Mesh``:
         batches are sharded over ``axis`` and params/optimizer state
         replicated; XLA inserts the gradient all-reduce over ICI
         (replacing the reference's host-thread-per-GPU gradient
-        summation, reference: sup3r/models/abstract.py:807-914)."""
+        summation, reference: sup3r/models/abstract.py:807-914).
+
+        On a 2D mesh from :func:`parallel.get_mesh_2d`, pass
+        ``spatial_axis`` (or leave None to auto-detect a second mesh
+        axis) to ALSO split each sample's first spatial dim across
+        chips — dp x sp composition where XLA inserts the conv halo
+        exchanges on the spatial axis."""
         from sup3r_tpu.parallel import replicate
 
         self._mesh = mesh
         self._mesh_axis = axis
+        if spatial_axis is None and len(mesh.axis_names) == 2:
+            # a 2D mesh implies dp x sp; pass spatial_axis=False to
+            # replicate over the second axis instead
+            spatial_axis = next(a for a in mesh.axis_names
+                                if a != axis)
+        self._mesh_spatial_axis = spatial_axis or None
         if self.gen_params is not None:
             self.gen_params = replicate(mesh, self.gen_params)
             self.disc_params = replicate(mesh, self.disc_params)
@@ -453,6 +465,13 @@ class Sup3rGan(AbstractSingleModel):
         mesh = getattr(self, '_mesh', None)
         if mesh is None:
             return jnp.asarray(arr, dtype=jnp.float32)
+        sp_axis = getattr(self, '_mesh_spatial_axis', None)
+        if sp_axis is not None:
+            from sup3r_tpu.parallel import shard_batch_spatial
+
+            return shard_batch_spatial(
+                mesh, np.asarray(arr, dtype=np.float32),
+                batch_axis=self._mesh_axis, space_axis=sp_axis)
         from sup3r_tpu.parallel import shard_batch
 
         return shard_batch(mesh, np.asarray(arr, dtype=np.float32),

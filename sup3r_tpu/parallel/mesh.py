@@ -31,6 +31,58 @@ def get_mesh(n_devices=None, axis='data', devices=None):
     return Mesh(np.array(devices), (axis,))
 
 
+def get_mesh_2d(dp, sp, axes=('data', 'space'), devices=None):
+    """A 2D (dp x sp) device mesh composing data parallelism with
+    spatial domain decomposition: batches shard over ``axes[0]`` and
+    each sample's first spatial dim over ``axes[1]`` (XLA inserts the
+    conv halo exchanges on the spatial axis and the gradient
+    all-reduce over both). Raises when fewer than dp*sp devices
+    exist — same no-silent-narrowing contract as ``get_mesh``."""
+    devices = list(devices) if devices is not None else jax.devices()
+    need = int(dp) * int(sp)
+    if len(devices) < need:
+        raise ValueError(
+            f'get_mesh_2d: requested a {dp}x{sp} mesh but only '
+            f'{len(devices)} device(s) are available')
+    arr = np.array(devices[:need]).reshape(int(dp), int(sp))
+    return Mesh(arr, tuple(axes))
+
+
+def shard_batch_spatial(mesh, *arrays, batch_axis='data',
+                        space_axis='space', spatial_dim=1):
+    """Place arrays with the leading (batch) dim sharded over the
+    mesh's data axis AND ``spatial_dim`` sharded over its space axis
+    (dp x sp composition on a :func:`get_mesh_2d` mesh).
+
+    The batch dim must divide the data-axis size and the spatial dim
+    the space-axis size — uneven splits would silently change shard
+    halo geometry. Multi-host meshes take process-LOCAL shards."""
+    dp = mesh.shape[batch_axis]
+    sp = mesh.shape[space_axis]
+    for a in arrays:
+        if a.shape[0] % dp or a.shape[spatial_dim] % sp:
+            raise ValueError(
+                f'shard_batch_spatial: shape {a.shape} not divisible '
+                f'by the {dp}x{sp} mesh on dims (0, {spatial_dim})')
+    spec = [None] * max(a.ndim for a in arrays)
+    spec[0] = batch_axis
+    spec[spatial_dim] = space_axis
+
+    def _spec(a):
+        s = list(spec[:a.ndim])
+        return P(*s)
+
+    if is_multihost(mesh):
+        from jax.experimental import multihost_utils
+
+        out = tuple(multihost_utils.host_local_array_to_global_array(
+            np.asarray(a), mesh, _spec(a)) for a in arrays)
+    else:
+        out = tuple(jax.device_put(
+            a, NamedSharding(mesh, _spec(a))) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
 def is_multihost(mesh):
     """Whether the mesh spans devices of other processes (DCN)."""
     return any(d.process_index != jax.process_index()

@@ -162,3 +162,53 @@ def test_mesh_step_matches_single_device():
     flat8 = jax.tree.leaves(p8)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+
+
+def test_mesh_2d_dp_sp_step_matches_single_device():
+    """dp x sp COMPOSED training: a 4x2 mesh shards the batch over
+    'data' and each sample's s1 dim over 'space' (XLA inserts conv
+    halo exchanges on the spatial axis and the grad all-reduce over
+    both). Losses and updated params must match the single-device
+    step."""
+    from sup3r_tpu.parallel import get_mesh_2d
+
+    rng = np.random.default_rng(1)
+    lr = rng.random((8, 8, 8, 2)).astype(np.float32)
+    hr = rng.random((8, 16, 16, 2)).astype(np.float32)
+
+    def one_step(mesh):
+        model = Sup3rGan(_small_gen_s(), _small_disc(),
+                         learning_rate=1e-3)
+        model.init_weights((1, 8, 8, 2), (1, 16, 16, 2), seed=5)
+        if mesh is not None:
+            model.attach_mesh(mesh)
+            assert model._mesh_spatial_axis == 'space'
+        details = model.run_gradient_descent(
+            lr, hr, train_gen=True, train_disc=True)
+        return details, jax.tree.map(np.asarray, model.gen_params)
+
+    d1, p1 = one_step(None)
+    d2, p2 = one_step(get_mesh_2d(4, 2))
+    for k in d1:
+        np.testing.assert_allclose(d2[k], d1[k], rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+
+
+def test_mesh_2d_sharding_layout():
+    """shard_batch_spatial places dim 0 on 'data' and dim 1 on
+    'space'; uneven splits raise."""
+    import pytest as _pytest
+
+    from sup3r_tpu.parallel import get_mesh_2d, shard_batch_spatial
+
+    mesh = get_mesh_2d(2, 4)
+    arr = np.zeros((4, 8, 6, 2), np.float32)
+    out = shard_batch_spatial(mesh, arr)
+    assert len(out.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(2, 2, 6, 2)}
+    with _pytest.raises(ValueError, match='not divisible'):
+        shard_batch_spatial(mesh, np.zeros((3, 8, 6, 2), np.float32))
+    with _pytest.raises(ValueError, match='not divisible'):
+        shard_batch_spatial(mesh, np.zeros((4, 6, 6, 2), np.float32))
