@@ -83,13 +83,21 @@ class GridDataset:
 
     def __getitem__(self, key):
         """dataset['u_100m'] -> (s1, s2, t); dataset[['u','v']] ->
-        (s1, s2, t, 2); tuple keys slice the block directly."""
+        (s1, s2, t, 2); dataset['u_100m', dim_slices...] selects the
+        feature then applies the dim slices (reference getitem
+        grammar, sup3r/preprocessing/utilities.py:444 parse_keys);
+        plain tuple keys slice the block directly."""
         if isinstance(key, str):
             return self.data[..., self.feature_index(key)]
         if isinstance(key, (list, tuple)) and key and isinstance(
-                key[0], str):
-            idx = [self.feature_index(f) for f in key]
-            return self.data[..., idx]
+                key[0], (str, list)):
+            if all(isinstance(f, str) for f in key):
+                idx = [self.feature_index(f) for f in key]
+                return self.data[..., idx]
+            # mixed: feature name(s) followed by dimension keys
+            base = self[key[0]]
+            rest = tuple(key[1:])
+            return base[rest] if rest else base
         return self.data[key]
 
     def qa(self, stats=('nan_perc', 'mean', 'std', 'min', 'max')):

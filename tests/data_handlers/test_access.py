@@ -77,3 +77,17 @@ def test_time_index_and_lat_lon_survive_slicing():
     d = make_fake_dset((6, 6, 8), FEATURES)
     assert isinstance(d.time_index, pd.DatetimeIndex)
     assert d.lat_lon.shape == (6, 6, 2)
+
+
+def test_mixed_feature_and_dim_keys():
+    """ds['u_100m', dim_keys...] selects the feature then applies dim
+    slices (reference parse_keys grammar,
+    sup3r/preprocessing/utilities.py:444)."""
+    d = make_fake_dset((6, 6, 8), FEATURES)
+    np.testing.assert_allclose(
+        d['u_100m', slice(0, 2)], d.data[0:2, :, :, 0])
+    np.testing.assert_allclose(
+        d['u_100m', 1, 2], d.data[1, 2, :, 0])
+    np.testing.assert_allclose(
+        d[['u_100m', 'v_100m'], slice(0, 3), slice(1, 4)],
+        d.data[0:3, 1:4, :, :])
