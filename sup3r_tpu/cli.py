@@ -80,9 +80,16 @@ def _node_cmd(module, config, node_index, run_dir,
         "p = os.environ.get('SUP3R_TPU_PLATFORM');"
         "import jax;"
         "jax.config.update('jax_platforms', p) if p else None;")
+    # per-node log files: log_file/log_level config keys are consumed
+    # here (never passed to the module classes); the pattern may
+    # contain {node_index}
+    log_init = (
+        "from sup3r_tpu.utilities.cli import init_node_logger;"
+        "init_node_logger(cfg.pop('log_file', None), "
+        "cfg.pop('log_level', 'INFO'), cfg.get('node_index'));")
     return (
         f'python -c "{prefix} cfg = json.load(open({cfg_fp!r})); '
-        f'{body}"')
+        f'{log_init}{body}"')
 
 
 @click.group()
@@ -149,9 +156,12 @@ def forward_pass(ctx):
                             'max_nodes_cli')}
     with _in_dir(config['run_dir']):
         # head_node: plan node_chunks without the exo/bias preflight
-        # the worker nodes will do themselves
+        # the worker nodes will do themselves (log_file/log_level are
+        # node-runner keys, consumed by _node_cmd's log init)
         strategy = ForwardPassStrategy(
-            **{**run_cfg, 'head_node': True})
+            **{k: v for k, v in run_cfg.items()
+               if k not in ('log_file', 'log_level')},
+            head_node=True)
         n_nodes = len(strategy.node_chunks)
         # ship expensive head-computed preflight artifacts to the
         # nodes (the chunked_io NCforCC per-pixel clearsky scale

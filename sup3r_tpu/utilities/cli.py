@@ -27,6 +27,35 @@ STATUS_FILE = '.status.json'
 STATUS_VERSION = 2
 
 
+def init_node_logger(log_file=None, log_level='INFO', node_index=None):
+    """Per-node log initialization for module subprocesses: attach a
+    FileHandler (pattern may contain ``{node_index}``) + console
+    handler on the sup3r_tpu logger tree (replaces the reference's
+    gaps ``init_logger`` per-node log files, reference:
+    sup3r/utilities/cli.py:38-120)."""
+    level = getattr(logging, str(log_level).upper(), logging.INFO)
+    root = logging.getLogger('sup3r_tpu')
+    root.setLevel(level)
+    logging.basicConfig(level=level)
+    if not log_file:
+        return None
+    if '{node_index}' in log_file:
+        log_file = log_file.format(node_index=node_index)
+    elif node_index is not None:
+        base, ext = os.path.splitext(log_file)
+        log_file = f'{base}_node{node_index}{ext or ".log"}'
+    os.makedirs(os.path.dirname(os.path.abspath(log_file)),
+                exist_ok=True)
+    handler = logging.FileHandler(log_file)
+    handler.setLevel(level)
+    handler.setFormatter(logging.Formatter(
+        '%(asctime)s %(levelname)s %(name)s: %(message)s'))
+    logging.getLogger().addHandler(handler)
+    logger.info('Node logging to %s at %s', log_file,
+                logging.getLevelName(level))
+    return log_file
+
+
 def _legacy_module_keys(status, module):
     """Keys in an unversioned store that could be legacy spellings of
     ``module``: the bare module name (round-1 format) and indexed

@@ -291,3 +291,25 @@ def test_pipeline_background(fwp_setup):
             break
         _time.sleep(2)
     assert len(list((tmp_path / 'out').glob('*.h5'))) == 4
+
+
+def test_cli_per_node_log_files(fwp_setup):
+    """A log_file config key makes every node subprocess write its own
+    log file (reference: gaps init_logger per-node logs,
+    sup3r/utilities/cli.py:38-120); the key never reaches the module
+    classes."""
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    cfg = json.load(open(fwp_fp))
+    cfg['log_file'] = str(tmp_path / 'logs' / 'fwp_{node_index}.log')
+    cfg['log_level'] = 'DEBUG'
+    with open(fwp_fp, 'w') as f:
+        json.dump(cfg, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', fwp_fp, 'forward-pass'],
+                           obj={})
+    assert result.exit_code == 0, result.output
+    logs = sorted((tmp_path / 'logs').glob('fwp_*.log'))
+    assert logs, 'no per-node log files written'
+    text = logs[0].read_text()
+    assert 'Node logging to' in text
+    assert 'chunk' in text.lower()
