@@ -62,6 +62,13 @@ class Sup3rCondMom(AbstractSingleModel):
     def generator(self):
         return self._gen
 
+    def update_optimizer(self, **kwargs):
+        """Update optimizer config (e.g. learning_rate) mid-training;
+        moment state is preserved (reference: conditional.py:158)."""
+        cfg = {**self._optimizer_config, **kwargs}
+        self._gen_tx, self._optimizer_config = _make_optimizer(cfg)
+        self._train_step_fn = None  # step closure captured the old tx
+
     def calc_loss(self, output_true, output_gen, mask):
         """Masked pointwise loss (reference: conditional.py:222-283)."""
         output_gen = self._combine_loss_input(output_true, output_gen)
