@@ -89,12 +89,20 @@ class OutputHandler:
 
         lr_y, lr_x = low_res_lat_lon.shape[:2]
         hr_y, hr_x = shape
-        y = np.arange(0, 10, 10 / lr_y) + 5 / lr_y
-        x = np.arange(0, 10, 10 / lr_x) + 5 / lr_x
+
+        def cells(n):
+            # arange(0, 10, 10/n) returns n+1 points when 10/n rounds
+            # down (n = 61, 77, 122, ...) — same float-arange bug
+            # fixed in ops/interp._axis_points; the reference crashes
+            # loudly on those grid sizes
+            return np.arange(n) * (10 / n) + 5 / n
+
+        y = cells(lr_y)
+        x = cells(lr_x)
         y = np.concatenate([[y[0] - 10 / lr_y], y, [y[-1] + 10 / lr_y]])
         x = np.concatenate([[x[0] - 10 / lr_x], x, [x[-1] + 10 / lr_x]])
-        new_y = np.arange(0, 10, 10 / hr_y) + 5 / hr_y
-        new_x = np.arange(0, 10, 10 / hr_x) + 5 / hr_x
+        new_y = cells(hr_y)
+        new_x = cells(hr_x)
 
         if method == 'bilinear':
             from scipy.interpolate import RegularGridInterpolator

@@ -220,3 +220,18 @@ def test_nc_writer_enforces_limits(tmp_path):
     arr = np.asarray(Loader(fp).data['clearsky_ratio'])
     assert float(arr.max()) <= 1.0
     assert float(arr.min()) >= 0.0
+
+
+def test_get_lat_lon_arange_sizes():
+    """Grid sizes where 10/n rounds down (61, 77, 122) used to make
+    np.arange emit n+1 sample points and crash the remesh — the
+    cell-position construction must be exact for every n."""
+    for n in (61, 77, 122, 8):
+        lats = np.linspace(40, 39, n)[:, None] * np.ones((1, 4))
+        lons = np.linspace(-105, -104, 4)[None] * np.ones((n, 1))
+        ll = np.dstack([lats, lons])
+        out = OutputHandler.get_lat_lon(ll, (n * 2, 8))
+        assert out.shape == (n * 2, 8, 2)
+        assert np.isfinite(out).all()
+        # interior HR lats stay within the LR extent
+        assert out[..., 0].max() <= 40.51 and out[..., 0].min() >= 38.49
