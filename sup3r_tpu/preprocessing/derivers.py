@@ -19,7 +19,6 @@ from sup3r_tpu.ops.interp import interp_to_level
 from sup3r_tpu.ops.solar_pos import solar_zenith
 from sup3r_tpu.preprocessing.grid import GridDataset
 from sup3r_tpu.preprocessing.loaders import RawDataset
-from sup3r_tpu.utilities import nn_fill_array
 
 logger = logging.getLogger(__name__)
 
@@ -505,9 +504,12 @@ class Deriver:
             raise RuntimeError(
                 f'No single- or multi-level data found for {feature}')
 
-        if np.isnan(lev_array).any():
-            warn(f'NaNs in interpolation levels for {feature}')
-            lev_array = nn_fill_array(lev_array)
+        # NaN levels (e.g. below-surface ERA5 heights) are handled by
+        # interp_to_level's finite gating (masked-candidate semantics
+        # like the reference Interpolator) — nn-filling them here
+        # would inject duplicate neighbor levels and skew the
+        # two-closest-level selection (reference: derivers/base.py:379
+        # only warns)
         out = interp_to_level(
             lev_array, var_array, level,
             method=self.interp_kwargs.get('method', 'linear'))

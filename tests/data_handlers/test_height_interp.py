@@ -167,3 +167,30 @@ def test_datahandler_height_interp_end_to_end(tmp_path):
     dh = DataHandler([fp, fp_orog], features=['ua_40m'])
     assert dh.data['ua_40m'].shape == shape
     assert np.isfinite(np.asarray(dh.data['ua_40m'])).all()
+
+
+def test_deriver_nan_levels_use_finite_candidates(tmp_path):
+    """A NaN level entry (e.g. below-surface ERA5 height) is an
+    unavailable CANDIDATE: the deriver interpolates from the finite
+    levels around it (reference: derivers/base.py:379 warns and the
+    Interpolator masks NaN levels) — nn-filling levels would inject a
+    duplicate neighbor height and skew the two-closest selection."""
+    raw = _setup_zg(tmp_path, heights=(10, 100, 300))
+    # make the middle level unavailable at one column
+    zg = np.array(raw['zg'])
+    zg[2, 2, :, 1] = np.nan
+    raw.data_vars['zg'] = zg
+    ua = np.array(raw['ua'])
+    # ua = height in meters, exactly: interp to 150m is then exact
+    topo = np.asarray(raw['topography'])
+    for i in range(3):
+        ua[..., i] = zg[..., i] - topo
+    raw.data_vars['ua'] = ua
+    with pytest.warns(UserWarning):
+        d = Deriver(raw, ['ua_150m'])
+    out = np.asarray(d.data['ua_150m'])
+    # normal columns: between 100 and 300 -> exactly 150
+    np.testing.assert_allclose(out[0, 0], 150.0, atol=1e-3)
+    # NaN-level column: finite candidates are 10 and 300 -> still 150
+    # by linear interp between them (ua == height makes it exact)
+    np.testing.assert_allclose(out[2, 2], 150.0, atol=1e-3)
