@@ -114,13 +114,23 @@ class ExoRasterizer:
     def __init__(self, file_paths=None, source_file=None, feature=None,
                  s_enhance=1, t_enhance=1, input_handler_kwargs=None,
                  input_handler_name=None, cache_dir='./exo_cache',
-                 distance_upper_bound=None):
+                 distance_upper_bound=None, scale_factor=1.0,
+                 fill_nans=None):
+        """``scale_factor`` multiplies the raw source values (e.g.
+        calibrating systematically biased observation networks;
+        reference: rasterizers/exo.py:104-107 MADIS vs WTK).
+        ``fill_nans`` overrides the class default (True for mean-agg
+        rasters, False for sparse observations whose NaNs carry the
+        not-observed signal)."""
         self.feature = feature
         self.source_file = source_file
         self.s_enhance = s_enhance
         self.t_enhance = t_enhance
         self.cache_dir = cache_dir
         self.distance_upper_bound = distance_upper_bound
+        self.scale_factor = float(scale_factor)
+        self.fill_nans = (self.FILL_NANS_DEFAULT if fill_nans is None
+                          else bool(fill_nans))
 
         from sup3r_tpu.preprocessing.data_handlers import (
             get_input_handler_class,
@@ -163,6 +173,9 @@ class ExoRasterizer:
     #: too, or runs over different time windows on the same domain
     #: would silently share one cache file (round-3 review finding)
     TIME_DEPENDENT = False
+    #: default for the ``fill_nans`` option (sparse-obs subclasses
+    #: keep NaNs)
+    FILL_NANS_DEFAULT = True
 
     @property
     def cache_file(self):
@@ -176,6 +189,10 @@ class ExoRasterizer:
         if self.TIME_DEPENDENT and self.lr_time_index is not None:
             ti = self.lr_time_index
             key += bytes(f'{ti[0]}_{ti[-1]}_{len(ti)}', 'utf8')
+        if self.scale_factor != 1.0:
+            key += bytes(f'scale{self.scale_factor!r}', 'utf8')
+        if self.fill_nans != self.FILL_NANS_DEFAULT:
+            key += bytes(f'fill{self.fill_nans}', 'utf8')
         extent = hashlib.md5(key).hexdigest()[:8]
         return os.path.join(
             self.cache_dir,
@@ -236,8 +253,10 @@ class ExoRasterizer:
 
     def get_data(self):
         """Mean-aggregate source points onto the HR grid; NN-fill cells
-        with no source points."""
+        with no source points (unless ``fill_nans=False``)."""
         coords, values = self.get_source_data()
+        if self.scale_factor != 1.0:
+            values = np.asarray(values) * self.scale_factor
         grid = self.hr_lat_lon.reshape(-1, 2)
         tree = cKDTree(grid)
         bound = self.get_distance_upper_bound()
@@ -256,7 +275,7 @@ class ExoRasterizer:
         with np.errstate(invalid='ignore'):
             out = sums / counts
         out = out.reshape(self.hr_shape[:2]).astype(np.float32)
-        if np.isnan(out).any():
+        if self.fill_nans and np.isnan(out).any():
             from sup3r_tpu.utilities import nn_fill_array
 
             out = nn_fill_array(out)
@@ -298,6 +317,7 @@ class ObsRasterizer(ExoRasterizer):
     an '_obs' suffix; the source file is read with the base name."""
 
     TIME_DEPENDENT = True
+    FILL_NANS_DEFAULT = False
 
     def _obs_source_series(self):
         """(coords (n, 2), values (n, T_src), src time index)."""
@@ -341,6 +361,8 @@ class ObsRasterizer(ExoRasterizer):
 
     def get_data(self):
         coords, values, src_ti = self._obs_source_series()
+        if self.scale_factor != 1.0:
+            values = np.asarray(values) * self.scale_factor
         grid = self.hr_lat_lon.reshape(-1, 2)
         tree = cKDTree(grid)
         dist, idx = tree.query(
@@ -356,7 +378,14 @@ class ObsRasterizer(ExoRasterizer):
             agg = sums / counts  # NaN where no obs (cell, t)
         cols = self._hr_time_columns(values, src_ti)
         out = agg[:, cols].reshape(*self.hr_shape[:2], len(cols))
-        return out.astype(np.float32)[..., None]
+        out = out.astype(np.float32)
+        if self.fill_nans and np.isnan(out).any():
+            from sup3r_tpu.utilities import nn_fill_array
+
+            for it in range(out.shape[2]):
+                if np.isfinite(out[:, :, it]).any():
+                    out[:, :, it] = nn_fill_array(out[:, :, it])
+        return out[..., None]
 
 
 class ExoDataHandler:
@@ -380,7 +409,8 @@ class ExoDataHandler:
     def __init__(self, file_paths, feature, model=None, steps=None,
                  source_file=None, input_handler_name=None,
                  input_handler_kwargs=None, cache_dir='./exo_cache',
-                 distance_upper_bound=None):
+                 distance_upper_bound=None, scale_factor=1.0,
+                 fill_nans=None):
         self.file_paths = file_paths
         self.feature = feature
         self.model = model
@@ -389,6 +419,8 @@ class ExoDataHandler:
         self.input_handler_kwargs = input_handler_kwargs or {}
         self.cache_dir = cache_dir
         self.distance_upper_bound = distance_upper_bound
+        self.scale_factor = scale_factor
+        self.fill_nans = fill_nans
         models = getattr(model, 'models', [model]) if model else []
         self.steps = steps if steps is not None else self.get_exo_steps(
             feature, models)
@@ -445,6 +477,8 @@ class ExoDataHandler:
                 input_handler_kwargs=self.input_handler_kwargs,
                 input_handler_name=self.input_handler_name,
                 cache_dir=self.cache_dir,
-                distance_upper_bound=self.distance_upper_bound)
+                distance_upper_bound=self.distance_upper_bound,
+                scale_factor=self.scale_factor,
+                fill_nans=self.fill_nans)
             entry['steps'].append({**step, 'data': rasterizer.data})
         return ExoData({self.feature: entry})

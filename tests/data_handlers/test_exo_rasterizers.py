@@ -166,3 +166,32 @@ def test_obs_cache_keyed_by_time_extent(tmp_path):
                          feature='u_100m_obs', s_enhance=1,
                          cache_dir=cache)
     assert r_a2.cache_file == r_a.cache_file
+
+
+def test_exo_scale_factor_and_fill_nans(tmp_path):
+    """scale_factor calibrates raw source values (reference:
+    rasterizers/exo.py:104-107); fill_nans=True NN-fills sparse obs
+    rasters; scaled rasters get their own cache entry."""
+    lr_fp = make_fake_nc_file(str(tmp_path / 'lr.nc'), (8, 8, 4),
+                              ['u100'])
+    obs_fp = make_fake_h5_file(
+        str(tmp_path / 'obs.h5'), (3, 3, 2), ['u_100m'],
+        lat_range=(39.9, 39.7), lon_range=(-105.3, -105.1))
+    cache = str(tmp_path / 'c')
+    r1 = ObsRasterizer(file_paths=lr_fp, source_file=obs_fp,
+                       feature='u_100m_obs', s_enhance=1,
+                       cache_dir=cache)
+    r2 = ObsRasterizer(file_paths=lr_fp, source_file=obs_fp,
+                       feature='u_100m_obs', s_enhance=1,
+                       cache_dir=cache, scale_factor=2.0)
+    assert r1.cache_file != r2.cache_file
+    d1, d2 = r1.data, r2.data
+    m = np.isfinite(d1)
+    np.testing.assert_allclose(d2[m], 2.0 * d1[m], rtol=1e-6)
+    assert np.isnan(d1).any()  # obs default keeps NaNs
+    # fill_nans=True produces a dense raster
+    r3 = ObsRasterizer(file_paths=lr_fp, source_file=obs_fp,
+                       feature='u_100m_obs', s_enhance=1,
+                       cache_dir=cache, fill_nans=True)
+    assert r3.cache_file != r1.cache_file  # fill keyed separately
+    assert np.isfinite(r3.data).all()
