@@ -115,7 +115,7 @@ class ExoRasterizer:
                  s_enhance=1, t_enhance=1, input_handler_kwargs=None,
                  input_handler_name=None, cache_dir='./exo_cache',
                  distance_upper_bound=None, scale_factor=1.0,
-                 fill_nans=None):
+                 fill_nans=None, source_handler_kwargs=None):
         """``scale_factor`` multiplies the raw source values (e.g.
         calibrating systematically biased observation networks;
         reference: rasterizers/exo.py:104-107 MADIS vs WTK).
@@ -131,6 +131,7 @@ class ExoRasterizer:
         self.scale_factor = float(scale_factor)
         self.fill_nans = (self.FILL_NANS_DEFAULT if fill_nans is None
                           else bool(fill_nans))
+        self.source_handler_kwargs = source_handler_kwargs or {}
 
         from sup3r_tpu.preprocessing.data_handlers import (
             get_input_handler_class,
@@ -225,7 +226,8 @@ class ExoRasterizer:
     def get_source_data(self):
         """(n_points, 2) coords + (n_points,) values from the source."""
         if get_source_type(self.source_file) == 'h5':
-            loader = LoaderH5(self.source_file)
+            loader = LoaderH5(self.source_file,
+                              **self.source_handler_kwargs)
             coords = loader.lat_lon_flat
             if self.feature == 'topography' and (
                     loader.elevation is not None):
@@ -233,7 +235,7 @@ class ExoRasterizer:
             else:
                 values = loader.get(self.feature)[0]
             return coords, values
-        loader = Loader(self.source_file)
+        loader = Loader(self.source_file, **self.source_handler_kwargs)
         dset = loader.data
         coords = dset.lat_lon.reshape(-1, 2)
         arr = dset[self.feature]
@@ -323,11 +325,12 @@ class ObsRasterizer(ExoRasterizer):
         """(coords (n, 2), values (n, T_src), src time index)."""
         base = self.feature.replace('_obs', '')
         if get_source_type(self.source_file) == 'h5':
-            loader = LoaderH5(self.source_file)
+            loader = LoaderH5(self.source_file,
+                              **self.source_handler_kwargs)
             coords = loader.lat_lon_flat
             values = loader.get(base)          # (T, sites)
             return coords, values.T, loader.time_index
-        loader = Loader(self.source_file)
+        loader = Loader(self.source_file, **self.source_handler_kwargs)
         dset = loader.data
         coords = dset.lat_lon.reshape(-1, 2)
         arr = np.asarray(dset[base])
@@ -410,7 +413,7 @@ class ExoDataHandler:
                  source_file=None, input_handler_name=None,
                  input_handler_kwargs=None, cache_dir='./exo_cache',
                  distance_upper_bound=None, scale_factor=1.0,
-                 fill_nans=None):
+                 fill_nans=None, source_handler_kwargs=None):
         self.file_paths = file_paths
         self.feature = feature
         self.model = model
@@ -421,6 +424,7 @@ class ExoDataHandler:
         self.distance_upper_bound = distance_upper_bound
         self.scale_factor = scale_factor
         self.fill_nans = fill_nans
+        self.source_handler_kwargs = source_handler_kwargs
         models = getattr(model, 'models', [model]) if model else []
         self.steps = steps if steps is not None else self.get_exo_steps(
             feature, models)
@@ -479,6 +483,7 @@ class ExoDataHandler:
                 cache_dir=self.cache_dir,
                 distance_upper_bound=self.distance_upper_bound,
                 scale_factor=self.scale_factor,
-                fill_nans=self.fill_nans)
+                fill_nans=self.fill_nans,
+                source_handler_kwargs=self.source_handler_kwargs)
             entry['steps'].append({**step, 'data': rasterizer.data})
         return ExoData({self.feature: entry})
