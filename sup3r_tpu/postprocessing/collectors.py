@@ -72,8 +72,10 @@ class CollectorH5:
     @classmethod
     def collect(cls, file_paths, out_file, features='all',
                 max_workers=None, n_writes=None, target_meta_file=None,
-                threshold=1e-4):
+                threshold=1e-4, overwrite=True):
         """Collect chunk files into ``out_file``.
+        ``overwrite=False`` skips the collection when the output file
+        already exists (reference: collectors/h5.py:729 overwrite).
 
         Each write group is gathered into one in-memory slab
         (threaded reads) then written in a single H5 write (reference:
@@ -84,6 +86,10 @@ class CollectorH5:
         thread pool (1 = serial). ``target_meta_file`` masks the
         output meta to coordinates within ``threshold`` degrees of the
         target coordinates (reference: collectors/h5.py:83-104)."""
+        if not overwrite and os.path.exists(out_file):
+            logger.info('%s exists and overwrite=False; skipping '
+                        'collection.', out_file)
+            return out_file
         collector = cls(file_paths)
         collector._collect(out_file, features=features,
                            target_meta_file=target_meta_file,

@@ -198,3 +198,17 @@ def test_features_subset_and_bad_ids(tmp_path):
         assert set(f) == {'meta', 'time_index', 'windspeed_100m'}
     with pytest.raises(ValueError, match='chunk ids'):
         get_chunk_indices('not_a_chunk_file.h5')
+
+
+def test_collect_overwrite_false_skips(tmp_path):
+    """overwrite=False leaves an existing collected file untouched
+    (reference: collectors/h5.py overwrite option)."""
+    import os
+
+    fps, *_ = _write_chunks(tmp_path)
+    out = str(tmp_path / 'collected.h5')
+    CollectorH5.collect(fps, out)
+    mtime = os.path.getmtime(out)
+    CollectorH5.collect(fps, out, overwrite=False)
+    assert os.path.getmtime(out) == mtime
+    CollectorH5.collect(fps, out, overwrite=True)
