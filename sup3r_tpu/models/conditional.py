@@ -272,6 +272,12 @@ class Sup3rCondMom(AbstractSingleModel):
         else:
             epochs = [e + len(self._history) for e in epochs]
 
+        tb_writer = None
+        if tensorboard_log:
+            from sup3r_tpu.models.utilities import make_tb_writer
+
+            tb_writer = make_tb_writer(out_dir)
+
         t0 = time.time()
         for epoch in epochs:
             batch_losses = []
@@ -283,6 +289,10 @@ class Sup3rCondMom(AbstractSingleModel):
             loss_details.update(self.calc_val_loss(batch_handler))
             logger.info('Epoch %d cond-mom loss %.3e', epoch,
                         loss_details['train_loss_gen'])
+            if tb_writer is not None:
+                from sup3r_tpu.models.utilities import tb_log_dict
+
+                tb_log_dict(tb_writer, loss_details, epoch)
             row = pd.DataFrame(
                 {'elapsed_time': time.time() - t0, **loss_details},
                 index=[epoch])
@@ -301,5 +311,7 @@ class Sup3rCondMom(AbstractSingleModel):
                 self.save(out_dir.format(epoch=epoch))
             if stop:
                 break
+        if tb_writer is not None:
+            tb_writer.close()
         if hasattr(batch_handler, 'stop'):
             batch_handler.stop()

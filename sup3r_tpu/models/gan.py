@@ -941,9 +941,12 @@ class Sup3rGan(AbstractSingleModel):
               tensorboard_log=False, tensorboard_profile=False):
         """Train the GAN (reference: sup3r/models/base.py:624-828).
 
-        ``multi_gpu``/tensorboard args accepted for API parity; data
-        parallelism here is mesh sharding of the batch (see module
-        docstring) and profiling hooks are jax.profiler-based.
+        ``multi_gpu`` is accepted for API parity (data parallelism
+        here is mesh sharding of the batch, see module docstring).
+        ``tensorboard_log=True`` writes per-epoch loss scalars to
+        ``<out_dir>/../logs`` (torch's TF-free event writer);
+        ``tensorboard_profile=True`` captures a jax.profiler trace of
+        the first epoch viewable in TensorBoard.
         """
         self.set_norm_stats(batch_handler.means, batch_handler.stds)
         params = self.check_batch_handler_attrs(batch_handler)
@@ -965,6 +968,12 @@ class Sup3rGan(AbstractSingleModel):
             self._history = pd.DataFrame(columns=['elapsed_time'])
         else:
             epochs = [e + len(self._history) for e in epochs]
+
+        tb_writer = None
+        if tensorboard_log:
+            from sup3r_tpu.models.utilities import make_tb_writer
+
+            tb_writer = make_tb_writer(out_dir)
 
         t0 = time.time()
         stop = False
@@ -1007,6 +1016,10 @@ class Sup3rGan(AbstractSingleModel):
 
             row = {'elapsed_time': time.time() - t0, **loss_details,
                    **extras}
+            if tb_writer is not None:
+                from sup3r_tpu.models.utilities import tb_log_dict
+
+                tb_log_dict(tb_writer, row, epoch)
             row_df = pd.DataFrame(row, index=[epoch])
             self._history = (row_df if len(self._history) == 0 else
                              pd.concat([self._history, row_df]))
@@ -1024,5 +1037,7 @@ class Sup3rGan(AbstractSingleModel):
                 self.save(out_dir.format(epoch=epoch))
             if stop:
                 break
+        if tb_writer is not None:
+            tb_writer.close()
         if hasattr(batch_handler, 'stop'):
             batch_handler.stop()

@@ -46,6 +46,39 @@ class TrainingSession:
         return self.model
 
 
+def make_tb_writer(out_dir):
+    """TensorBoard SummaryWriter logging to ``<out_dir>/../logs``
+    (torch's TF-free event writer; reference writes the same scalars
+    via tf.summary, sup3r/models/utilities.py:77-145). Returns None
+    with a warning when tensorboard isn't importable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:  # pragma: no cover - tb is baked into this image
+        logger.warning('tensorboard_log requested but tensorboard is '
+                       'not importable; skipping TB logging')
+        return None
+    pardir = os.path.abspath(os.path.join(out_dir or '.', os.pardir))
+    log_dir = os.path.join(pardir, 'logs')
+    os.makedirs(log_dir, exist_ok=True)
+    logger.info('TensorBoard logs -> %s', log_dir)
+    return SummaryWriter(log_dir=log_dir)
+
+
+def tb_log_dict(writer, entry, step):
+    """Write a loss_details-style dict as TB scalars/text."""
+    if writer is None:
+        return
+    for name, value in entry.items():
+        try:
+            if isinstance(value, str):
+                writer.add_text(name, value, step)
+            else:
+                writer.add_scalar(name, float(value), step)
+        except (TypeError, ValueError):
+            continue
+    writer.flush()
+
+
 @contextlib.contextmanager
 def profile_to_dir(log_dir, enabled=True):
     """jax.profiler trace context writing to ``log_dir`` (view with

@@ -453,3 +453,35 @@ def test_train_record_carries_across_epochs(tmp_path):
     # n_batches rows (not reset to just-this-epoch at epoch start)
     assert model._train_record is not None
     assert len(model._train_record) == 3
+
+
+def test_tensorboard_logging_writes_events(tmp_path):
+    """tensorboard_log=True writes per-epoch scalars to
+    <out_dir>/../logs as TB event files (reference tf.summary
+    equivalent; sup3r/models/utilities.py:77-145)."""
+    from sup3r_tpu.utilities.test_helpers import make_fake_dset
+
+    from sup3r_tpu.preprocessing import BatchHandler
+
+    data = make_fake_dset((12, 12, 10), ['u_100m', 'v_100m'])
+    bh = BatchHandler([data], batch_size=2, n_batches=2, s_enhance=2,
+                      t_enhance=1, sample_shape=(8, 8, 1),
+                      queue_cap=2, means=None, stds=None, mode='eager')
+    gen = [{'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatialExpansion', 'spatial_mult': 2},
+           {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    model = Sup3rGan(gen, disc, learning_rate=1e-4)
+    out_dir = str(tmp_path / 'run' / 'gan_{epoch}')
+    model.train(bh, input_resolution={'spatial': '12km',
+                                      'temporal': '60min'},
+                n_epoch=1, checkpoint_int=None, out_dir=out_dir,
+                tensorboard_log=True)
+    logs = list((tmp_path / 'run' / 'logs').glob(
+        'events.out.tfevents.*'))
+    assert logs, 'no TB event files written'
+    assert logs[0].stat().st_size > 0
