@@ -8,7 +8,6 @@ ScalarCorrection :256, monthly variants :311-377, SkillAssessment
 import json
 import logging
 import os
-from concurrent.futures import ProcessPoolExecutor
 
 import h5py
 import numpy as np
