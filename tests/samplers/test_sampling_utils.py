@@ -132,3 +132,37 @@ def test_bad_enhancement_factors_raise_at_construction():
     with pytest.raises(AssertionError, match='t_enhance'):
         BatchHandler([data], batch_size=1, n_batches=1, s_enhance=2,
                      t_enhance=3, sample_shape=(8, 8, 4))
+
+
+def test_nsrdb_reduce_daily_centers_daylight():
+    """Reducing a 24h solar batch keeps a window centered on the
+    daylight hours: small windows are all-finite, large windows keep
+    night NaNs at BOTH edges (reference:
+    tests/samplers/test_cc.py:195-233 nsrdb_sub_daily_sampler)."""
+    from sup3r_tpu.preprocessing.samplers import (
+        nsrdb_reduce_daily_data,
+    )
+
+    t = 24
+    csr = np.full((1, 4, 4, t, 1), np.nan, np.float32)
+    # daylight 8:00-16:00 (8 finite hours)
+    csr[:, :, :, 8:16, :] = 0.7
+
+    small = nsrdb_reduce_daily_data(csr, 4, csr_ind=0)
+    assert small.shape[3] == 4
+    assert np.isfinite(small).all()
+
+    eight = nsrdb_reduce_daily_data(csr, 8, csr_ind=0)
+    assert eight.shape[3] == 8
+    assert np.isfinite(eight).all()
+
+    wide = nsrdb_reduce_daily_data(csr, 20, csr_ind=0)
+    assert wide.shape[3] == 20
+    finite_t = np.isfinite(wide[0, 0, 0, :, 0])
+    assert finite_t.sum() == 8
+    assert not finite_t[:3].any(), 'leading night hours expected'
+    assert not finite_t[-3:].any(), 'trailing night hours expected'
+
+    # all-night day: returned unreduced (callers center-crop)
+    night = np.full((1, 4, 4, t, 1), np.nan, np.float32)
+    assert nsrdb_reduce_daily_data(night, 8, csr_ind=0).shape[3] == t
