@@ -56,37 +56,51 @@ class StatsCollection:
     def _loadable(arg):
         return isinstance(arg, str) and os.path.exists(arg)
 
+    def _given_stats(self, stats, what):
+        """Resolve a user-provided stats dict/file; warn when it only
+        covers SOME features — the missing ones are computed instead
+        of being silently normalized with (0, 1) (reference:
+        collections/stats.py:75-100 _init_stats_dict)."""
+        if self._loadable(stats):
+            with open(stats) as f:
+                stats = json.load(f)
+        if not isinstance(stats, dict) or not stats:
+            return {}
+        out = {k: float(v) for k, v in stats.items()}
+        features = self._datasets()[0].features
+        missing = [f for f in features if f not in out]
+        if missing:
+            from warnings import warn
+
+            warn(f'Given {what} cover {sorted(out)} but not {missing};'
+                 f' computing the missing {what} from the data. If the'
+                 ' stats come from a prior run make sure they carry '
+                 'over.')
+        return out
+
     def get_means(self, means):
-        """Resolve means: dict passthrough, file load, or compute."""
-        if isinstance(means, dict) and means:
-            return {k: float(v) for k, v in means.items()}
-        if self._loadable(means):
-            with open(means) as f:
-                return json.load(f)
+        """Resolve means: dict/file for covered features + computed
+        weighted means for the rest."""
+        out = self._given_stats(means, 'means')
         weights = self.container_weights
         dsets = self._datasets()
-        features = dsets[0].features
-        out = {}
-        for f in features:
-            vals = [np.nanmean(d[f]) for d in dsets]
-            out[f] = float(np.sum(weights * np.array(vals)))
+        for f in dsets[0].features:
+            if f not in out:
+                vals = [np.nanmean(d[f]) for d in dsets]
+                out[f] = float(np.sum(weights * np.array(vals)))
         return out
 
     def get_stds(self, stds):
-        """Resolve stds: dict passthrough, file load, or compute
-        (sqrt of weighted mean of variances)."""
-        if isinstance(stds, dict) and stds:
-            return {k: float(v) for k, v in stds.items()}
-        if self._loadable(stds):
-            with open(stds) as f:
-                return json.load(f)
+        """Resolve stds: dict/file for covered features + computed
+        sqrt-of-weighted-mean-variance for the rest."""
+        out = self._given_stats(stds, 'stds')
         weights = self.container_weights
         dsets = self._datasets()
-        features = dsets[0].features
-        out = {}
-        for f in features:
-            vals = [np.nanvar(d[f]) for d in dsets]
-            out[f] = float(np.sqrt(np.sum(weights * np.array(vals))))
+        for f in dsets[0].features:
+            if f not in out:
+                vals = [np.nanvar(d[f]) for d in dsets]
+                out[f] = float(np.sqrt(np.sum(weights
+                                              * np.array(vals))))
         return out
 
     def save_stats(self, means, stds):

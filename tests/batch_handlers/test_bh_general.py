@@ -164,3 +164,24 @@ def test_multi_container_sampling_proportional_to_size():
         counts[float(np.asarray(s.data.data).flat[0])] += 1
     frac_big = counts[2.0] / 200
     assert 0.68 < frac_big < 0.92  # ~0.8 +/- sampling noise
+
+
+def test_partial_stats_warn_and_complete():
+    """User stats covering only SOME features warn and the missing
+    features are computed — a partial dict must never silently
+    normalize the uncovered features with (0, 1) (reference:
+    tests/batch_handlers/test_bh_general.py:167
+    test_not_enough_stats)."""
+    import pytest as _pytest
+
+    data = make_fake_dset((12, 12, 20), ['u_100m', 'v_100m'])
+    with _pytest.warns(UserWarning, match='computing the missing'):
+        bh = BatchHandler(
+            [data], batch_size=2, n_batches=1, s_enhance=2,
+            t_enhance=1, sample_shape=(8, 8, 1), queue_cap=2,
+            means={'u_100m': 4.0}, stds={'u_100m': 2.0}, mode='eager')
+    assert bh.means['u_100m'] == 4.0
+    assert bh.stds['u_100m'] == 2.0
+    assert 'v_100m' in bh.means and bh.means['v_100m'] != 0.0
+    assert 'v_100m' in bh.stds and bh.stds['v_100m'] != 1.0
+    bh.stop()
