@@ -35,16 +35,64 @@ class StatsCollection:
         self.save_stats(means, stds)
         self.normalize_containers()
 
+    #: stats member preference for paired datasets: the reference
+    #: computes stats from ``c.high_res`` (collections/stats.py:60-62)
+    #: — for CC pairs that's the HOURLY member (whose NaN nights the
+    #: nan-reductions skip); daily means of totals-ratio csr are NOT
+    #: the same statistic. lr-only features absent from the hr member
+    #: fall back to the other member (reference merges the lr stats,
+    #: stats.py:64-73).
+    _PREFERRED = ('high_res', 'hourly')
+
     def _datasets(self):
-        """High-res member per container (paired datasets use the first
-        member for stats, like the reference)."""
+        """Stats member per container (paired datasets use the
+        high-res/hourly member, like the reference)."""
         out = []
         for c in self.containers:
             data = unwrap_container(c)
             if hasattr(data, 'members'):
-                data = list(data.members.values())[0]
+                members = data.members
+                key = next((k for k in self._PREFERRED
+                            if k in members), None)
+                data = members[key] if key else list(
+                    members.values())[-1]
             out.append(data)
         return out
+
+    def _stat_arrays(self, feature):
+        """Per-container arrays for one feature: taken from the
+        preferred (hr/hourly) member, falling back to any member that
+        carries it (lr-only features)."""
+        out = []
+        prefs = self._datasets()
+        for c, pref in zip(self.containers, prefs):
+            data = unwrap_container(c)
+            members = (list(data.members.values())
+                       if hasattr(data, 'members') else [data])
+            ordered = [pref] + [m for m in members if m is not pref]
+            arr = next((m[feature] for m in ordered
+                        if feature in m.features), None)
+            if arr is None:
+                raise KeyError(
+                    f'Feature "{feature}" not found in any member of '
+                    f'container {type(c).__name__} for stats')
+            out.append(arr)
+        return out
+
+    def _all_features(self):
+        """Union of features over every container/member, preferred
+        member's features first."""
+        feats = []
+        for c, pref in zip(self.containers, self._datasets()):
+            data = unwrap_container(c)
+            members = [pref] + [
+                m for m in getattr(data, 'members', {}).values()
+                if m is not pref]
+            for m in members:
+                for f in m.features:
+                    if f not in feats:
+                        feats.append(f)
+        return feats
 
     @property
     def container_weights(self):
@@ -67,8 +115,7 @@ class StatsCollection:
         if not isinstance(stats, dict) or not stats:
             return {}
         out = {k: float(v) for k, v in stats.items()}
-        features = self._datasets()[0].features
-        missing = [f for f in features if f not in out]
+        missing = [f for f in self._all_features() if f not in out]
         if missing:
             from warnings import warn
 
@@ -83,10 +130,10 @@ class StatsCollection:
         weighted means for the rest."""
         out = self._given_stats(means, 'means')
         weights = self.container_weights
-        dsets = self._datasets()
-        for f in dsets[0].features:
+        for f in self._all_features():
             if f not in out:
-                vals = [np.nanmean(d[f]) for d in dsets]
+                vals = [np.nanmean(a)
+                        for a in self._stat_arrays(f)]
                 out[f] = float(np.sum(weights * np.array(vals)))
         return out
 
@@ -95,10 +142,10 @@ class StatsCollection:
         sqrt-of-weighted-mean-variance for the rest."""
         out = self._given_stats(stds, 'stds')
         weights = self.container_weights
-        dsets = self._datasets()
-        for f in dsets[0].features:
+        for f in self._all_features():
             if f not in out:
-                vals = [np.nanvar(d[f]) for d in dsets]
+                vals = [np.nanvar(a)
+                        for a in self._stat_arrays(f)]
                 out[f] = float(np.sqrt(np.sum(weights
                                               * np.array(vals))))
         return out

@@ -244,3 +244,22 @@ def test_nsrdb_reduce_daily_keeps_center_of_daylight():
     out = nsrdb_reduce_daily_data(data, 8, csr_ind=0)
     assert out.shape == (1, 4, 4, 8, 1)
     np.testing.assert_allclose(out[..., 0], 1.0)
+
+
+def test_cc_stats_use_hourly_member_nan_aware():
+    """BatchHandlerCC stats come from the HOURLY member with NaN
+    nights skipped — the daily totals-ratio csr is a different
+    statistic (reference: tests/batch_handlers/test_bh_h5_cc.py:116
+    test_solar_batch_nan_stats; stats from c.high_res)."""
+    from sup3r_tpu.preprocessing.stats import StatsCollection
+
+    paired = _daily_hourly()
+    hourly_csr = np.asarray(paired['hourly']['clearsky_ratio'])
+    true_mean = float(np.nanmean(hourly_csr))
+    true_std = float(np.nanstd(hourly_csr))
+    stats = StatsCollection([paired])
+    assert np.isclose(stats.means['clearsky_ratio'], true_mean,
+                      rtol=1e-5)
+    assert np.isclose(stats.stds['clearsky_ratio'], true_std,
+                      rtol=1e-5)
+
