@@ -162,3 +162,37 @@ def test_nsrdb_smoothing_applies(gcm_and_nsrdb):
     var_p = cs_p.var(axis=(0, 1))
     var_s = cs_s.var(axis=(0, 1))
     assert (var_s <= var_p + 1e-6).all()
+
+
+def test_surf_min_max_vars(tmp_path):
+    """Daily min/max training variables: hourly member aliases the
+    base feature (registry maps *_min_*/*_max_* -> base), the daily
+    member applies the min/max reduction, and stats are equal across
+    the variants (reference:
+    tests/batch_handlers/test_bh_h5_cc.py:306 test_surf_min_max_vars)."""
+    from sup3r_tpu.preprocessing.data_handlers import (
+        DataHandlerH5WindCC,
+    )
+    from sup3r_tpu.preprocessing.stats import StatsCollection
+    from sup3r_tpu.utilities.test_helpers import make_fake_h5_file
+
+    fp = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (6, 6, 72),
+        ['temperature_2m', 'relativehumidity_2m'],
+        value_range=(0, 30))
+    feats = ['temperature_2m', 'temperature_min_2m',
+             'temperature_max_2m']
+    dh = DataHandlerH5WindCC(fp, features=feats)
+    d_mean = np.asarray(dh.daily['temperature_2m'])
+    d_min = np.asarray(dh.daily['temperature_min_2m'])
+    d_max = np.asarray(dh.daily['temperature_max_2m'])
+    assert (d_min <= d_mean).all() and (d_mean <= d_max).all()
+    assert (d_min < d_max).any()
+    # hourly member aliases the base series -> identical stats
+    stats = StatsCollection([dh])
+    assert (stats.means['temperature_2m']
+            == stats.means['temperature_min_2m']
+            == stats.means['temperature_max_2m'])
+    assert (stats.stds['temperature_2m']
+            == stats.stds['temperature_min_2m']
+            == stats.stds['temperature_max_2m'])
