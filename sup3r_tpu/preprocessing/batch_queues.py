@@ -41,6 +41,11 @@ class AbstractBatchQueue:
     def __init__(self, samplers, batch_size=16, n_batches=64,
                  s_enhance=1, t_enhance=1, queue_cap=4, max_workers=1,
                  transform_kwargs=None, mode='eager', thread_name='training'):
+        """``mode`` is accepted for reference-config compatibility and
+        is a no-op: the reference's 'lazy' keeps dask graphs alive
+        until sample time, but this data plane is eager numpy in host
+        RAM (continental-scale streaming lives in the inference path's
+        chunked_io instead)."""
         self.samplers = samplers
         self.batch_size = batch_size
         self.n_batches = n_batches

@@ -185,3 +185,26 @@ def test_partial_stats_warn_and_complete():
     assert 'v_100m' in bh.means and bh.means['v_100m'] != 0.0
     assert 'v_100m' in bh.stds and bh.stds['v_100m'] != 1.0
     bh.stop()
+
+
+def test_batch_sampling_workers_epoch():
+    """max_workers > 1 keeps several batch productions in flight and
+    a full epoch still yields exactly n_batches well-formed batches
+    (reference: tests/batch_handlers/test_bh_general.py:33
+    test_batch_sampling_workers; before round 3 the worker pool was
+    created but never used)."""
+    data = make_fake_dset((16, 16, 30), ['u_100m', 'v_100m'])
+    bh = BatchHandler([data], batch_size=4, n_batches=6, s_enhance=2,
+                      t_enhance=1, sample_shape=(8, 8, 1), queue_cap=3,
+                      max_workers=3, means=None, stds=None,
+                      mode='eager')
+    seen = 0
+    for batch in bh:
+        assert batch.low_res.shape == (4, 4, 4, 2)
+        assert batch.high_res.shape == (4, 8, 8, 2)
+        assert np.isfinite(batch.low_res).all()
+        seen += 1
+    assert seen == 6
+    # second epoch works too (producer restartable)
+    assert sum(1 for _ in bh) == 6
+    bh.stop()
