@@ -313,3 +313,44 @@ def test_cli_per_node_log_files(fwp_setup):
     text = logs[0].read_text()
     assert 'Node logging to' in text
     assert 'chunk' in text.lower()
+
+
+def test_cli_pipeline_repeated_module(fwp_setup):
+    """A pipeline running forward-pass TWICE (different out dirs)
+    keeps distinct per-step statuses and a rerun skips both
+    (reference: tests/pipeline/test_pipeline.py:384
+    test_multiple_fwp_pipeline)."""
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    cfg = json.load(open(fwp_fp))
+    fwp2 = dict(cfg)
+    fwp2['out_pattern'] = str(tmp_path / 'out2' / 'chunk_{file_id}.h5')
+    fwp2_fp = str(tmp_path / 'config_fwp2.json')
+    with open(fwp2_fp, 'w') as f:
+        json.dump(fwp2, f)
+    pipe_fp = str(tmp_path / 'config_pipeline.json')
+    with open(pipe_fp, 'w') as f:
+        json.dump({'pipeline': [
+            {'forward-pass': 'config_fwp.json'},
+            {'forward-pass': 'config_fwp2.json'},
+        ]}, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--monitor'], obj={})
+    assert result.exit_code == 0, result.output
+    assert len(list((tmp_path / 'out').glob('*.h5'))) == 4
+    assert len(list((tmp_path / 'out2').glob('*.h5'))) == 4
+    status = Status(str(tmp_path)).read()
+    fwp_keys = [k for k in status if k.startswith('forward-pass')
+                and not k.startswith('__')]
+    assert len(fwp_keys) == 2, fwp_keys  # distinct per-config keys
+    for k in fwp_keys:
+        assert all(j['job_status'] == 'successful'
+                   for j in status[k].values())
+    # rerun: both steps skip (no new chunk files, exit 0)
+    mtimes = {p: p.stat().st_mtime
+              for p in (tmp_path / 'out').glob('*.h5')}
+    result2 = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                   '--monitor'], obj={})
+    assert result2.exit_code == 0, result2.output
+    for p, m in mtimes.items():
+        assert p.stat().st_mtime == m
