@@ -249,6 +249,12 @@ class ForwardPassStrategy:
             kwargs = dict(self.exo_handler_kwargs[feature])
             kwargs.setdefault('file_paths', self.file_paths)
             kwargs.setdefault('input_handler_kwargs', ihk_exo)
+            if self.out_pattern is not None:
+                # default the exo cache under the run's output dir so
+                # production runs never drop caches in the bare CWD
+                kwargs.setdefault('cache_dir', os.path.join(
+                    os.path.dirname(os.path.abspath(self.out_pattern)),
+                    'exo_cache'))
             kwargs['feature'] = feature
             kwargs['model'] = model
             handler = ExoDataHandler(**kwargs)

@@ -106,6 +106,15 @@ class ExoData(dict):
         return out
 
 
+def _default_exo_cache_dir():
+    """Exo cache location when the caller gives none: the
+    ``SUP3R_TPU_EXO_CACHE_DIR`` env var if set, else ``./exo_cache``
+    (the reference default, rasterizers/exo.py:330). The env hook lets
+    orchestration (and the test suite) keep caches out of the bare CWD
+    without threading cache_dir through every call site."""
+    return os.environ.get('SUP3R_TPU_EXO_CACHE_DIR', './exo_cache')
+
+
 class ExoRasterizer:
     """Map a high-res exo source (e.g. topography file) onto an
     s/t-enhanced version of the low-res grid by KDTree nearest-neighbor
@@ -113,7 +122,7 @@ class ExoRasterizer:
 
     def __init__(self, file_paths=None, source_file=None, feature=None,
                  s_enhance=1, t_enhance=1, input_handler_kwargs=None,
-                 input_handler_name=None, cache_dir='./exo_cache',
+                 input_handler_name=None, cache_dir=None,
                  distance_upper_bound=None, scale_factor=1.0,
                  fill_nans=None, source_handler_kwargs=None):
         """``scale_factor`` multiplies the raw source values (e.g.
@@ -126,7 +135,7 @@ class ExoRasterizer:
         self.source_file = source_file
         self.s_enhance = s_enhance
         self.t_enhance = t_enhance
-        self.cache_dir = cache_dir
+        self.cache_dir = cache_dir or _default_exo_cache_dir()
         self.distance_upper_bound = distance_upper_bound
         self.scale_factor = float(scale_factor)
         self.fill_nans = (self.FILL_NANS_DEFAULT if fill_nans is None
@@ -411,7 +420,7 @@ class ExoDataHandler:
 
     def __init__(self, file_paths, feature, model=None, steps=None,
                  source_file=None, input_handler_name=None,
-                 input_handler_kwargs=None, cache_dir='./exo_cache',
+                 input_handler_kwargs=None, cache_dir=None,
                  distance_upper_bound=None, scale_factor=1.0,
                  fill_nans=None, source_handler_kwargs=None):
         self.file_paths = file_paths
@@ -420,7 +429,7 @@ class ExoDataHandler:
         self.source_file = source_file
         self.input_handler_name = input_handler_name
         self.input_handler_kwargs = input_handler_kwargs or {}
-        self.cache_dir = cache_dir
+        self.cache_dir = cache_dir or _default_exo_cache_dir()
         self.distance_upper_bound = distance_upper_bound
         self.scale_factor = scale_factor
         self.fill_nans = fill_nans
