@@ -8,6 +8,7 @@ thread keeps a device-bound batch queue full while the train step runs.
 """
 
 from sup3r_tpu.preprocessing.grid import GridDataset, PairedDataset  # noqa
+from sup3r_tpu.preprocessing.lazy import LazyGridDataset  # noqa: F401
 from sup3r_tpu.preprocessing.data_handlers import (  # noqa: F401
     DailyDataHandler,
     DataHandler,

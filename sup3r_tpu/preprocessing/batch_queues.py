@@ -42,10 +42,11 @@ class AbstractBatchQueue:
                  s_enhance=1, t_enhance=1, queue_cap=4, max_workers=1,
                  transform_kwargs=None, mode='eager', thread_name='training'):
         """``mode`` is accepted for reference-config compatibility and
-        is a no-op: the reference's 'lazy' keeps dask graphs alive
-        until sample time, but this data plane is eager numpy in host
-        RAM (continental-scale streaming lives in the inference path's
-        chunked_io instead)."""
+        is a no-op at the QUEUE level: laziness lives in the dataset
+        here — build the containers with ``DataHandler(mode='lazy')``
+        and the samplers' window reads stream from disk inside these
+        producer threads (the reference defers dask compute to sample
+        time instead, batch_queues/abstract.py:135-141)."""
         self.samplers = samplers
         self.batch_size = batch_size
         self.n_batches = n_batches
@@ -58,6 +59,11 @@ class AbstractBatchQueue:
         self._thread = None
         self._pool = None
         self._thread_name = thread_name
+        #: consumer-side wait accounting: how often the train loop
+        #: found the queue empty (prefetch failing to hide producer
+        #: latency — the metric the lazy data plane is judged by)
+        self._gets = 0
+        self._starved_waits = 0
 
     # ------------------------------------------------------------------
     @property
@@ -158,14 +164,27 @@ class AbstractBatchQueue:
     def __len__(self):
         return self.n_batches
 
+    @property
+    def starvation_rate(self):
+        """Fraction of batch fetches that found the queue empty (0.0 =
+        prefetch fully hides production latency)."""
+        if self._gets == 0:
+            return 0.0
+        return self._starved_waits / self._gets
+
     def __iter__(self):
         self.start()
         for _ in range(self.n_batches):
+            starved = False
             while True:
                 try:
-                    yield self.queue.get(timeout=1.0)
+                    batch = self.queue.get(timeout=1.0)
+                    self._gets += 1
+                    self._starved_waits += int(starved)
+                    yield batch
                     break
                 except Empty:
+                    starved = True
                     if not self._training_flag.is_set():
                         return
                     if (self._thread is None

@@ -30,18 +30,63 @@ logger = logging.getLogger(__name__)
 class DataHandler:
     """Load + rasterize + derive features for one spatiotemporal extent.
 
-    ``.data`` is the derived GridDataset ready for sampling."""
+    ``.data`` is the derived GridDataset ready for sampling — or, with
+    ``mode='lazy'``, a ``LazyGridDataset`` that derives each sampled
+    window on demand so training can stream from larger-than-RAM
+    stores (the reference's ``mode='lazy'`` dask stores,
+    sup3r/preprocessing/batch_queues/abstract.py:135-141)."""
 
     FEATURE_REGISTRY = RegistryBase
+    #: handlers whose hooks reshape the full domain (daily coarsening,
+    #: clearsky injection) can't window their derivations
+    SUPPORTS_LAZY = True
 
     def __init__(self, file_paths, features='all', target=None,
                  shape=None, time_slice=slice(None), threshold=None,
                  raster_file=None, time_roll=0, time_shift=None,
                  hr_spatial_coarsen=1, nan_method_kwargs=None,
                  interp_kwargs=None, cache_kwargs=None, res_kwargs=None,
-                 FeatureRegistry=None, window=None):
+                 FeatureRegistry=None, window=None, mode='eager'):
         self.file_paths = file_paths
         registry = FeatureRegistry or self.FEATURE_REGISTRY
+
+        if mode not in ('eager', 'lazy'):
+            raise ValueError(f"mode must be 'eager' or 'lazy', got "
+                             f'{mode!r}')
+        if mode == 'lazy':
+            if not self.SUPPORTS_LAZY:
+                raise NotImplementedError(
+                    f'{type(self).__name__} reshapes the full domain '
+                    '(daily coarsening / clearsky injection) and does '
+                    "not support mode='lazy'")
+            unsupported = {
+                k: v for k, v in (('time_roll', time_roll or 0),
+                                  ('hr_spatial_coarsen',
+                                   hr_spatial_coarsen or 1),
+                                  ('cache_kwargs', cache_kwargs))
+                if v not in (0, 1, None)}
+            if unsupported:
+                raise NotImplementedError(
+                    f"mode='lazy' does not support "
+                    f'{sorted(unsupported)} — these materialize or '
+                    "remap the full domain; use mode='eager'")
+            from sup3r_tpu.preprocessing.lazy import LazyGridDataset
+
+            self.rasterizer = Rasterizer(
+                file_paths, features='all', target=target, shape=shape,
+                time_slice=time_slice, threshold=threshold,
+                raster_file=raster_file, res_kwargs=res_kwargs,
+                window=window, lazy=True)
+            self._rasterizer_hook()
+            raster_data = self.rasterizer.data
+            feats = (raster_data.features if features in ('all', None)
+                     else [f.lower() for f in features])
+            self.data = LazyGridDataset(
+                raster_data, feats, FeatureRegistry=registry,
+                interp_kwargs=interp_kwargs,
+                nan_method_kwargs=nan_method_kwargs,
+                time_shift=time_shift)
+            return
 
         cached = self._check_cache(cache_kwargs, features)
         if cached is not None:
@@ -133,6 +178,8 @@ class DailyDataHandler(DataHandler):
     """Produces a (daily, hourly) PairedDataset: hourly data trimmed to
     whole days + daily coarsening with min/max handling for temperature
     and RH extremes (reference: data_handlers/base.py:293-380)."""
+
+    SUPPORTS_LAZY = False
 
     def _cache_hit_hook(self):
         """Cached data is the hourly member; rebuild the daily view."""
@@ -257,6 +304,7 @@ class DataHandlerNCforCC(DataHandler):
     (reference: data_handlers/nc_cc.py:24-243)."""
 
     FEATURE_REGISTRY = RegistryNCforCC
+    SUPPORTS_LAZY = False
 
     def __init__(self, file_paths, features='all', nsrdb_source_fp=None,
                  nsrdb_agg=1, nsrdb_smoothing=0, clearsky_scale=None,

@@ -39,6 +39,24 @@ _IGNORE_VARS = {
 }
 
 
+def check_host_ram_budget(nbytes, what):
+    """Enforce the optional ``SUP3R_TPU_HOST_RAM_GB`` host-memory
+    budget: raise before an eager load that would exceed it, pointing
+    the user at the streaming data plane (``DataHandler(mode='lazy')``
+    — the TPU-native equivalent of the reference's dask-lazy stores,
+    sup3r/preprocessing/batch_queues/abstract.py:135-141)."""
+    budget = os.environ.get('SUP3R_TPU_HOST_RAM_GB')
+    if not budget:
+        return
+    limit = float(budget) * 1024 ** 3
+    if nbytes > limit:
+        raise MemoryError(
+            f'{what} would load {nbytes / 1024 ** 3:.4g} GB eagerly, '
+            f'exceeding the SUP3R_TPU_HOST_RAM_GB={budget} budget. '
+            "Use DataHandler(mode='lazy') to stream sample windows "
+            'from disk instead of loading the full extent.')
+
+
 def expand_paths(file_paths):
     """Expand glob patterns / lists into a sorted unique path list."""
     if isinstance(file_paths, str):
@@ -277,8 +295,69 @@ class _LazyTimeConcat:
         return self.isel({})
 
 
+def compose_slice(outer, inner, n):
+    """Compose two slices: the result selects, out of ``n`` elements,
+    what ``inner`` selects within the extent ``outer`` selects. Handles
+    arbitrary starts/stops/steps (range arithmetic)."""
+    r = range(n)[outer][inner]
+    stop = r.stop
+    if r.step < 0 and stop < 0:
+        stop = None
+    return slice(r.start, stop, r.step)
+
+
+def _is_lazy(x):
+    """Whether ``x`` reads from disk on demand (duck-typed on the
+    ``materialize`` method all lazy variable classes implement)."""
+    return hasattr(x, 'materialize')
+
+
+class _LazyWindow:
+    """A deferred window over another lazy variable: slicing composes
+    instead of reading, so chained ``RawDataset.isel`` calls (full
+    extent -> sample window) only touch disk when the innermost window
+    is finally accessed. This is what lets the streaming training data
+    plane sample from larger-than-RAM stores (reference ``mode='lazy'``,
+    sup3r/preprocessing/batch_queues/abstract.py:135-141)."""
+
+    def __init__(self, var, sel):
+        if isinstance(var, _LazyWindow):
+            size = dict(zip(var.dims, var.shape))
+            sel = {d: compose_slice(
+                var._sel.get(d, slice(None)), sel.get(d, slice(None)),
+                dict(zip(var._var.dims, var._var.shape))[d])
+                for d in var.dims}
+            var = var._var
+        self._var = var
+        self._sel = {d: sel.get(d, slice(None)) for d in var.dims}
+        self.dims = var.dims
+        self.shape = tuple(
+            len(range(n)[self._sel[d]])
+            for d, n in zip(var.dims, var.shape))
+        self.ndim = len(self.shape)
+        self.dtype = np.float32
+
+    def isel(self, sel):
+        """Read a window (``sel`` relative to THIS window's extent)."""
+        composed = {
+            d: compose_slice(self._sel[d], sel.get(d, slice(None)), n)
+            for d, n in zip(self._var.dims, self._var.shape)}
+        return self._var.isel(composed)
+
+    def __getitem__(self, idx):
+        return self.materialize()[idx]
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.materialize()
+        return out.astype(dtype) if dtype is not None else out
+
+    def materialize(self):
+        """Full read of this window in canonical order."""
+        return self._var.isel(self._sel)
+
+
 #: duck-type tuple for "reads from disk on demand"
-_LAZY_TYPES = (_LazyNCVar, _LazyTimeConcat)
+_LAZY_TYPES = (_LazyNCVar, _LazyTimeConcat, _LazyWindow)
 
 
 class RawDataset:
@@ -314,7 +393,7 @@ class RawDataset:
 
     def __getitem__(self, name):
         var = self.data_vars[str(name).lower()]
-        if isinstance(var, _LAZY_TYPES):
+        if _is_lazy(var):
             var = var.materialize()
             self.data_vars[str(name).lower()] = var
         return var
@@ -325,14 +404,15 @@ class RawDataset:
 
     def isel(self, s1=slice(None), s2=slice(None), t=slice(None)):
         """Slice all variables spatially/temporally. Lazy variables
-        read only the requested window from disk."""
+        stay lazy (the window composes); they read from disk only when
+        accessed through ``__getitem__``/``materialize``."""
         sel = {Dimension.SOUTH_NORTH: s1, Dimension.WEST_EAST: s2,
                Dimension.TIME: t}
         new_vars, new_dims = {}, {}
         for name, arr in self.data_vars.items():
             dims = self.var_dims[name]
-            if isinstance(arr, _LAZY_TYPES):
-                new_vars[name] = arr.isel(sel)
+            if _is_lazy(arr):
+                new_vars[name] = _LazyWindow(arr, sel)
             else:
                 idx = tuple(sel.get(dim, slice(None)) for dim in dims)
                 new_vars[name] = arr[idx]
@@ -549,6 +629,9 @@ class LoaderNC:
                 values = _LazyNCVar(arr, cdims, canon, scale=sf,
                                     offset=off, fill=fv)
             else:
+                check_host_ram_budget(
+                    int(np.prod(arr.shape)) * 4,
+                    f'Eager NetCDF load of variable "{name}"')
                 raw = np.asarray(arr[:])
                 values = raw.astype(np.float32)
                 # fill comparison happens in PACKED space

@@ -144,7 +144,8 @@ class Rasterizer:
     def __init__(self, file_paths=None, loader=None, features='all',
                  target=None, shape=None, time_slice=slice(None),
                  threshold=None, raster_file=None, max_delta=20,
-                 res_kwargs=None, full_grid_shape=None, window=None):
+                 res_kwargs=None, full_grid_shape=None, window=None,
+                 lazy=False):
         """``window`` short-circuits extent matching with a precomputed
         raster index: an (s1_slice, s2_slice) pair for gridded NC input
         or a 2D gid array for flattened H5. Used by chunked streaming.
@@ -155,6 +156,10 @@ class Rasterizer:
         inference (ForwardPassStrategy(chunked_io=True)) so per-chunk
         reads skip the coordinate search entirely."""
         assert file_paths is not None or loader is not None
+        self.lazy = lazy
+        if (lazy and loader is None
+                and get_source_type(file_paths) != 'h5'):
+            res_kwargs = {**(res_kwargs or {}), 'lazy': True}
         self.loader = loader if loader is not None else Loader(
             file_paths, features=features, **(res_kwargs or {}))
         self.file_paths = file_paths
@@ -236,24 +241,49 @@ class Rasterizer:
 
     def _rasterize_flat(self):
         """Flattened (time, sites) -> RawDataset on the reconstructed
-        grid (reference: rasterizers/extended.py:128)."""
+        grid (reference: rasterizers/extended.py:128). With
+        ``lazy=True`` each variable becomes a windowed-read view
+        (``_LazyH5Raster``) instead of an eager block."""
         gids = self.raster_index.ravel()
         s1, s2 = self.raster_index.shape
         data_vars, var_dims = {}, {}
+        if not self.lazy:
+            from sup3r_tpu.preprocessing.loaders import (
+                check_host_ram_budget,
+            )
+
+            n_t = (len(self.loader.time_index[self.time_slice])
+                   if self.loader.time_index is not None else 1)
+            check_host_ram_budget(
+                s1 * s2 * n_t * len(self.loader.features) * 4,
+                'Eager H5 rasterization')
         for feat in self.loader.features:
-            block = self.loader.get(feat, self.time_slice, gids)
-            t = block.shape[0]
-            arr = block.T.reshape(s1, s2, t)
-            data_vars[feat] = arr
+            if self.lazy:
+                from sup3r_tpu.preprocessing.lazy import _LazyH5Raster
+
+                data_vars[feat] = _LazyH5Raster(
+                    self.loader, feat, self.raster_index,
+                    self.time_slice)
+            else:
+                block = self.loader.get(feat, self.time_slice, gids)
+                t = block.shape[0]
+                data_vars[feat] = block.T.reshape(s1, s2, t)
             var_dims[feat] = ('south_north', 'west_east', 'time')
         if ('topography' not in data_vars
                 and self.loader.elevation is not None):
             elev = self.loader.elevation[gids].reshape(s1, s2)
-            t = (len(self.loader.time_index[self.time_slice])
-                 if self.loader.time_index is not None else 1)
-            data_vars['topography'] = np.repeat(
-                elev[:, :, None], t, axis=2).astype(np.float32)
-            var_dims['topography'] = ('south_north', 'west_east', 'time')
+            if self.lazy:
+                # keep 2D; the deriver broadcasts over the window's
+                # time axis (identical values, no t-sized memory)
+                data_vars['topography'] = elev.astype(np.float32)
+                var_dims['topography'] = ('south_north', 'west_east')
+            else:
+                t = (len(self.loader.time_index[self.time_slice])
+                     if self.loader.time_index is not None else 1)
+                data_vars['topography'] = np.repeat(
+                    elev[:, :, None], t, axis=2).astype(np.float32)
+                var_dims['topography'] = ('south_north', 'west_east',
+                                          'time')
         ti = (self.loader.time_index[self.time_slice]
               if self.loader.time_index is not None else None)
         return RawDataset(data_vars, var_dims, self.lat_lon,

@@ -13,12 +13,15 @@ logger = logging.getLogger(__name__)
 
 
 def unwrap_container(c):
-    """Resolve any container (DataHandler, GridDataset, PairedDataset)
-    to its underlying GridDataset/PairedDataset."""
-    if isinstance(c, (GridDataset, PairedDataset)):
+    """Resolve any container (DataHandler, GridDataset, PairedDataset,
+    LazyGridDataset) to its underlying dataset (duck-typed on the
+    ``sample`` method so lazy datasets unwrap too)."""
+    if isinstance(c, (GridDataset, PairedDataset)) or hasattr(
+            c, 'sample'):
         return c
     data = getattr(c, 'data', None)
-    if isinstance(data, (GridDataset, PairedDataset)):
+    if isinstance(data, (GridDataset, PairedDataset)) or hasattr(
+            data, 'sample'):
         return data
     return c
 
@@ -59,10 +62,10 @@ class StatsCollection:
             out.append(data)
         return out
 
-    def _stat_arrays(self, feature):
-        """Per-container arrays for one feature: taken from the
-        preferred (hr/hourly) member, falling back to any member that
-        carries it (lr-only features)."""
+    def _stat_members(self, feature):
+        """Per-container stats member for one feature: the preferred
+        (hr/hourly) member, falling back to any member that carries it
+        (lr-only features)."""
         out = []
         prefs = self._datasets()
         for c, pref in zip(self.containers, prefs):
@@ -70,14 +73,23 @@ class StatsCollection:
             members = (list(data.members.values())
                        if hasattr(data, 'members') else [data])
             ordered = [pref] + [m for m in members if m is not pref]
-            arr = next((m[feature] for m in ordered
-                        if feature in m.features), None)
-            if arr is None:
+            member = next((m for m in ordered
+                           if feature in m.features), None)
+            if member is None:
                 raise KeyError(
                     f'Feature "{feature}" not found in any member of '
                     f'container {type(c).__name__} for stats')
-            out.append(arr)
+            out.append(member)
         return out
+
+    @staticmethod
+    def _member_nanstats(member, feature):
+        """(nanmean, nanvar) for one member/feature — streamed for
+        lazy datasets, direct reductions otherwise."""
+        if hasattr(member, 'feature_nanstats'):
+            return member.feature_nanstats(feature)
+        arr = member[feature]
+        return float(np.nanmean(arr)), float(np.nanvar(arr))
 
     def _all_features(self):
         """Union of features over every container/member, preferred
@@ -132,8 +144,8 @@ class StatsCollection:
         weights = self.container_weights
         for f in self._all_features():
             if f not in out:
-                vals = [np.nanmean(a)
-                        for a in self._stat_arrays(f)]
+                vals = [self._member_nanstats(m, f)[0]
+                        for m in self._stat_members(f)]
                 out[f] = float(np.sum(weights * np.array(vals)))
         return out
 
@@ -144,8 +156,8 @@ class StatsCollection:
         weights = self.container_weights
         for f in self._all_features():
             if f not in out:
-                vals = [np.nanvar(a)
-                        for a in self._stat_arrays(f)]
+                vals = [self._member_nanstats(m, f)[1]
+                        for m in self._stat_members(f)]
                 out[f] = float(np.sqrt(np.sum(weights
                                               * np.array(vals))))
         return out

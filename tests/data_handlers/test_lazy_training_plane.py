@@ -1,0 +1,181 @@
+"""Streaming (lazy) TRAINING data plane: DataHandler(mode='lazy')
+produces a LazyGridDataset whose sampled windows are bit-identical to
+the eager path, stats stream without materializing, and the
+SUP3R_TPU_HOST_RAM_GB budget pushes users to lazy mode.
+
+Reference semantics: mode='lazy' defers compute to sample time
+(sup3r/preprocessing/batch_queues/abstract.py:135-141,
+samplers/base.py:228-243)."""
+
+import numpy as np
+import pytest
+
+from sup3r_tpu.preprocessing import DataHandler, LazyGridDataset
+from sup3r_tpu.preprocessing.data_handlers import (
+    DataHandlerH5SolarCC,
+    DataHandlerH5WindCC,
+    DataHandlerNCforCC,
+)
+from sup3r_tpu.utilities.test_helpers import (
+    make_fake_h5_file,
+    make_fake_nc4_file,
+)
+
+
+def _sample_indices(shape, sample_shape, n, rng):
+    """Deterministic random window indices over a (s1, s2, t, f)."""
+    out = []
+    for _ in range(n):
+        r = rng.integers(0, shape[0] - sample_shape[0] + 1)
+        c = rng.integers(0, shape[1] - sample_shape[1] + 1)
+        t = rng.integers(0, shape[2] - sample_shape[2] + 1)
+        out.append((slice(r, r + sample_shape[0]),
+                    slice(c, c + sample_shape[1]),
+                    slice(t, t + sample_shape[2])))
+    return out
+
+
+def test_lazy_nc_sample_parity(tmp_path):
+    """NC (h5py-backed) lazy handler: sampled windows (including a
+    level-interpolated feature) match the eager handler bit-exactly."""
+    sfc = make_fake_nc4_file(
+        str(tmp_path / 'era_sfc.nc'), (12, 11, 30), ['u100', 'v100'],
+        scale_factor=1e-4)
+    make_fake_nc4_file(
+        str(tmp_path / 'era_pl.nc'), (12, 11, 30), ['u'],
+        levels=[1000.0, 900.0, 800.0], scale_factor=1e-4)
+    path = [sfc, str(tmp_path / 'era_pl.nc')]
+    feats = ['u_100m', 'v_100m', 'windspeed_100m', 'u_900pa']
+    eager = DataHandler(path, features=feats)
+    lazy = DataHandler(path, features=feats, mode='lazy')
+    assert isinstance(lazy.data, LazyGridDataset)
+    assert lazy.data.shape == eager.data.shape
+    assert lazy.data.features == eager.data.features
+    np.testing.assert_array_equal(lazy.lat_lon, eager.lat_lon)
+    assert lazy.time_index.equals(eager.time_index)
+
+    rng = np.random.default_rng(0)
+    for s1, s2, t in _sample_indices(eager.data.shape, (5, 4, 6), 8,
+                                     rng):
+        idx = (s1, s2, t, feats)
+        np.testing.assert_array_equal(
+            lazy.data.sample(idx), eager.data.sample(idx))
+
+
+def test_lazy_h5_sample_parity(tmp_path):
+    """Flattened-H5 lazy handler: gid-window reads + window derivation
+    (wind rotation with halo) match eager bit-exactly, including
+    windows away from the top row (grid-angle halo) and topography."""
+    path = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (14, 13, 24),
+        ['windspeed_100m', 'winddirection_100m'],
+        value_range=(0, 300))
+    feats = ['u_100m', 'v_100m', 'topography']
+    eager = DataHandler(path, features=feats)
+    lazy = DataHandler(path, features=feats, mode='lazy')
+    assert lazy.data.shape == eager.data.shape
+
+    rng = np.random.default_rng(1)
+    indices = _sample_indices(eager.data.shape, (6, 5, 8), 8, rng)
+    # force windows at the top and bottom edges too
+    indices += [(slice(0, 6), slice(0, 5), slice(0, 8)),
+                (slice(8, 14), slice(8, 13), slice(16, 24))]
+    for s1, s2, t in indices:
+        idx = (s1, s2, t, feats)
+        np.testing.assert_array_equal(
+            lazy.data.sample(idx), eager.data.sample(idx))
+
+
+def test_lazy_time_slice_and_shift(tmp_path):
+    """time_slice restriction + time_shift compose with lazy reads."""
+    path = make_fake_nc4_file(str(tmp_path / 'a.nc'), (8, 8, 20),
+                              ['u100'])
+    eager = DataHandler(path, features=['u_100m'],
+                        time_slice=slice(4, 16), time_shift=-30)
+    lazy = DataHandler(path, features=['u_100m'],
+                       time_slice=slice(4, 16), time_shift=-30,
+                       mode='lazy')
+    assert lazy.time_index.equals(eager.time_index)
+    idx = (slice(1, 7), slice(2, 8), slice(3, 9), ['u_100m'])
+    np.testing.assert_array_equal(lazy.data.sample(idx),
+                                  eager.data.sample(idx))
+
+
+def test_lazy_streaming_stats_and_normalize(tmp_path):
+    """feature_nanstats streams to the same stats the eager arrays
+    give, and normalize() makes sampled windows match the eager
+    normalized block."""
+    path = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (10, 10, 50),
+        ['windspeed_100m', 'winddirection_100m'], value_range=(0, 300))
+    feats = ['u_100m', 'v_100m']
+    eager = DataHandler(path, features=feats)
+    lazy = DataHandler(path, features=feats, mode='lazy')
+    # force several streaming blocks
+    lazy.data._stats_block_elems = 10 * 10 * 7
+
+    for f in feats:
+        mean, var = lazy.data.feature_nanstats(f)
+        assert np.isclose(mean, np.nanmean(eager.data[f]), rtol=1e-5)
+        assert np.isclose(var, np.nanvar(eager.data[f]), rtol=1e-4)
+
+    means = {f: float(np.nanmean(eager.data[f])) for f in feats}
+    stds = {f: float(np.nanstd(eager.data[f])) for f in feats}
+    eager.data.normalize(means, stds)
+    lazy.data.normalize(means, stds)
+    idx = (slice(2, 8), slice(3, 9), slice(10, 20), feats)
+    np.testing.assert_array_equal(lazy.data.sample(idx),
+                                  eager.data.sample(idx))
+
+
+def test_ram_budget_guard(tmp_path, monkeypatch):
+    """Eager loads above SUP3R_TPU_HOST_RAM_GB raise (pointing at
+    mode='lazy'); the lazy handler sails through under the same
+    budget. Covers the NC and H5 eager read paths."""
+    nc = make_fake_nc4_file(str(tmp_path / 'a.nc'), (16, 16, 64),
+                            ['u100', 'v100'])
+    h5 = make_fake_h5_file(str(tmp_path / 'b.h5'), (16, 16, 64),
+                           ['windspeed_100m', 'winddirection_100m'],
+                           value_range=(0, 300))
+    # 16*16*64*4B per var ≈ 65 kB — set the budget below that
+    monkeypatch.setenv('SUP3R_TPU_HOST_RAM_GB', '0.00003')
+    with pytest.raises(MemoryError, match="mode='lazy'"):
+        DataHandler(nc, features=['u_100m'])
+    with pytest.raises(MemoryError, match="mode='lazy'"):
+        DataHandler(h5, features=['u_100m'])
+    lazy_nc = DataHandler(nc, features=['u_100m'], mode='lazy')
+    lazy_h5 = DataHandler(h5, features=['u_100m'], mode='lazy')
+    s = lazy_nc.data.sample(
+        (slice(0, 4), slice(0, 4), slice(0, 4), ['u_100m']))
+    assert s.shape == (4, 4, 4, 1)
+    s = lazy_h5.data.sample(
+        (slice(4, 8), slice(4, 8), slice(8, 16), ['u_100m']))
+    assert s.shape == (4, 4, 8, 1)
+
+
+def test_lazy_rejects_unsupported(tmp_path):
+    """Full-domain remaps and non-local derivations fail loudly."""
+    path = make_fake_nc4_file(str(tmp_path / 'a.nc'), (8, 8, 10),
+                              ['u100'])
+    with pytest.raises(NotImplementedError, match='time_roll'):
+        DataHandler(path, features=['u_100m'], mode='lazy', time_roll=3)
+    with pytest.raises(NotImplementedError, match='hr_spatial_coarsen'):
+        DataHandler(path, features=['u_100m'], mode='lazy',
+                    hr_spatial_coarsen=2)
+    with pytest.raises(NotImplementedError, match='cache_kwargs'):
+        DataHandler(path, features=['u_100m'], mode='lazy',
+                    cache_kwargs={'cache_pattern': str(
+                        tmp_path / 'c_{feature}.h5')})
+    with pytest.raises(ValueError, match='eager.*lazy'):
+        DataHandler(path, features=['u_100m'], mode='nope')
+    # CC handlers reshape the full domain
+    solar = make_fake_h5_file(
+        str(tmp_path / 'nsrdb.h5'), (8, 8, 48), ['ghi', 'clearsky_ghi'],
+        freq='h', value_range=(0, 600))
+    for cls in (DataHandlerH5WindCC, DataHandlerH5SolarCC,
+                DataHandlerNCforCC):
+        with pytest.raises(NotImplementedError, match='lazy'):
+            cls(solar, features=['ghi'], mode='lazy')
+    # non-local night-mask derivation
+    with pytest.raises(NotImplementedError, match='non-local'):
+        DataHandler(solar, features=['clearsky_ratio'], mode='lazy')
