@@ -301,16 +301,26 @@ class CollectorH5:
 
 
 class CollectorNC:
-    """Combine gridded NC chunk files by coordinates."""
+    """Combine gridded NC chunk files by coordinates.
+
+    Regular (separable lat/lon) grids combine across both spatial axes
+    (reference nc.py:109-115 ``xr.combine_by_coords``); curvilinear
+    grids are supported for chunks split by LATITUDE only via
+    ``is_regular_grid=False`` (reference nc.py:117-120 ``xr.concat``
+    along south_north), matching the reference's documented limitation
+    (nc.py:39-45)."""
 
     @classmethod
     def collect(cls, file_paths, out_file, features='all',
-                max_workers=None, res_kwargs=None):
+                max_workers=None, res_kwargs=None,
+                is_regular_grid=True):
         """Combine chunk nc files into one nc file. ``max_workers``
         bounds the thread pool loading chunk files (1 = serial);
-        ``res_kwargs`` is forwarded to the NC loader."""
-        from scipy.io import netcdf_file
-
+        ``res_kwargs`` is forwarded to the NC loader.
+        ``is_regular_grid=False`` collects curvilinear chunks that are
+        split by latitude: same-footprint chunks concatenate over
+        time, then footprints stack along south_north in spatial-chunk
+        -id order (reference nc.py:117-120)."""
         from sup3r_tpu.preprocessing.loaders import LoaderNC
 
         if isinstance(file_paths, str):
@@ -326,14 +336,19 @@ class CollectorNC:
             with ThreadPoolExecutor(max_workers=max_workers) as pool:
                 dsets = list(pool.map(load, file_paths))
 
+        if features in ('all', None):
+            features = dsets[0].features
+
+        if not is_regular_grid:
+            return cls._collect_curvilinear(
+                file_paths, dsets, out_file, features)
+
         lats = np.unique(np.concatenate(
             [d.lat_lon[..., 0].ravel() for d in dsets]))[::-1]
         lons = np.unique(np.concatenate(
             [d.lat_lon[..., 1].ravel() for d in dsets]))
         times = pd.DatetimeIndex(np.unique(np.concatenate(
             [d.time_index.values for d in dsets])))
-        if features in ('all', None):
-            features = dsets[0].features
 
         lat_pos = {v: i for i, v in enumerate(lats)}
         lon_pos = {v: i for i, v in enumerate(lons)}
@@ -350,10 +365,12 @@ class CollectorNC:
             if not (np.allclose(ll[..., 0], ll[:, :1, 0])
                     and np.allclose(ll[..., 1], ll[:1, :, 1])):
                 raise NotImplementedError(
-                    'CollectorNC requires regular (separable) '
-                    'lat/lon grids; got a curvilinear chunk grid. '
-                    'Collect to H5 (CollectorH5) for curvilinear '
-                    'domains.')
+                    'CollectorNC(is_regular_grid=True) requires '
+                    'regular (separable) lat/lon grids; got a '
+                    'curvilinear chunk grid. Pass '
+                    'is_regular_grid=False for latitude-split '
+                    'curvilinear chunks, or collect to H5 '
+                    '(CollectorH5).')
             rows = [lat_pos[v] for v in d.lat_lon[:, 0, 0]]
             cols = [lon_pos[v] for v in d.lat_lon[0, :, 1]]
             t_rows = [time_pos[t] for t in d.time_index]
@@ -361,18 +378,91 @@ class CollectorNC:
                 arr = np.transpose(d[f], (2, 0, 1))
                 full[f][np.ix_(t_rows, rows, cols)] = arr
 
+        lat2d, lon2d = np.meshgrid(lats, lons, indexing='ij')
+        cls._write_nc(out_file, times, lat2d, lon2d, full, features)
+        logger.info('Collected %d nc chunk files into %s',
+                    len(file_paths), out_file)
+        return out_file
+
+    @classmethod
+    def _collect_curvilinear(cls, file_paths, dsets, out_file,
+                             features):
+        """Collect curvilinear chunks split by latitude: group files
+        by spatial chunk id, concat each footprint over time, then
+        stack footprints along south_north in spatial-id order
+        (reference nc.py:117-120 ``xr.concat(..., dim=SOUTH_NORTH)``
+        after nc.py:132-141 ``group_spatial_chunks``)."""
+        groups = {}
+        for fp, d in zip(file_paths, dsets):
+            _, s_idx = get_chunk_indices(fp)
+            groups.setdefault(s_idx, []).append(d)
+
+        stitched = {}  # s_idx -> (lat_lon, times, {feat: (t, sn, we)})
+        for s_idx in sorted(groups):
+            parts = groups[s_idx]
+            ll = parts[0].lat_lon
+            for p in parts[1:]:
+                if not np.allclose(p.lat_lon, ll):
+                    raise ValueError(
+                        'Chunk files sharing spatial id %d have '
+                        'different lat/lon grids' % s_idx)
+            order = np.argsort([p.time_index[0] for p in parts])
+            parts = [parts[i] for i in order]
+            times = pd.DatetimeIndex(np.concatenate(
+                [p.time_index.values for p in parts]))
+            if times.duplicated().any():
+                raise ValueError(
+                    'Overlapping time indices across temporal chunks '
+                    'for spatial id %d' % s_idx)
+            data = {f: np.concatenate(
+                [np.transpose(np.asarray(p[f]), (2, 0, 1))
+                 for p in parts], axis=0) for f in features}
+            stitched[s_idx] = (ll, times, data)
+
+        s_ids = sorted(stitched)
+        ll0, times0, _ = stitched[s_ids[0]]
+        for s_idx in s_ids[1:]:
+            ll, times, _ = stitched[s_idx]
+            if ll.shape[1] != ll0.shape[1]:
+                raise NotImplementedError(
+                    'Curvilinear collection supports chunks split by '
+                    'latitude only (reference nc.py:39-45): spatial '
+                    'chunks %d and %d have different west_east '
+                    'extents (%d vs %d)'
+                    % (s_ids[0], s_idx, ll0.shape[1], ll.shape[1]))
+            if not times.equals(times0):
+                raise ValueError(
+                    'Spatial chunks %d and %d cover different time '
+                    'indices' % (s_ids[0], s_idx))
+
+        lat_lon = np.concatenate(
+            [stitched[s][0] for s in s_ids], axis=0)
+        full = {f: np.concatenate(
+            [stitched[s][2][f] for s in s_ids], axis=1)
+            for f in features}
+        cls._write_nc(out_file, times0, lat_lon[..., 0],
+                      lat_lon[..., 1], full, features)
+        logger.info('Collected %d curvilinear nc chunk files into %s',
+                    len(file_paths), out_file)
+        return out_file
+
+    @staticmethod
+    def _write_nc(out_file, times, lat2d, lon2d, full, features):
+        """Atomic tmp+rename write of (time, south_north, west_east)
+        feature cubes with 2D coords to a classic NetCDF file."""
+        from scipy.io import netcdf_file
+
         tmp = out_file + '.tmp'
         os.makedirs(os.path.dirname(os.path.abspath(out_file)),
                     exist_ok=True)
         with netcdf_file(tmp, 'w') as f:
             f.createDimension('time', len(times))
-            f.createDimension('south_north', len(lats))
-            f.createDimension('west_east', len(lons))
+            f.createDimension('south_north', lat2d.shape[0])
+            f.createDimension('west_east', lat2d.shape[1])
             v = f.createVariable('time', 'f8', ('time',))
             epoch = pd.Timestamp('1970-01-01')
             v[:] = (times - epoch).total_seconds() / 3600.0
             v.units = b'hours since 1970-01-01'
-            lat2d, lon2d = np.meshgrid(lats, lons, indexing='ij')
             f.createVariable('latitude', 'f4',
                              ('south_north', 'west_east'))[:] = lat2d
             f.createVariable('longitude', 'f4',
@@ -382,6 +472,4 @@ class CollectorNC:
                     feat, 'f4', ('time', 'south_north', 'west_east'))
                 var[:] = full[feat]
         os.replace(tmp, out_file)
-        logger.info('Collected %d nc chunk files into %s',
-                    len(file_paths), out_file)
         return out_file

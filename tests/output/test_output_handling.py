@@ -141,6 +141,64 @@ def test_collect_nc(tmp_path):
     np.testing.assert_allclose(dset['u_100m'], data[..., 0], atol=1e-4)
 
 
+def _curvi_grid(s1, s2):
+    """A rotated (non-separable) lat/lon grid."""
+    i, j = np.meshgrid(np.arange(s1), np.arange(s2), indexing='ij')
+    lat = 40.0 - 0.1 * i - 0.02 * j
+    lon = -105.0 + 0.1 * j + 0.02 * i
+    return np.dstack([lat, lon]).astype(np.float32)
+
+
+def test_collect_nc_curvilinear(tmp_path):
+    """Latitude-split curvilinear chunks collect bit-exactly with
+    is_regular_grid=False (reference nc.py:117-120), across 2 time x 3
+    spatial chunks; the regular path refuses them loudly."""
+    s1, s2, t = 9, 5, 6
+    data = RANDOM_GENERATOR.random((s1, s2, t, 2)).astype(np.float32)
+    lat_lon = _curvi_grid(s1, s2)
+    times = pd.date_range('2023-01-01', periods=t, freq='h')
+    feats = ['u_100m', 'v_100m']
+
+    chunks = []
+    for t_idx, ts in enumerate([slice(0, 3), slice(3, 6)]):
+        for s_idx, ss in enumerate(
+                [slice(0, 3), slice(3, 6), slice(6, 9)]):
+            fp = str(tmp_path / f'chunk_{t_idx:06d}_{s_idx:06d}.nc')
+            OutputHandlerNC._write_output(
+                data[ss, :, ts].copy(), feats, lat_lon[ss],
+                times[ts], fp)
+            chunks.append(fp)
+
+    with pytest.raises(NotImplementedError, match='is_regular_grid'):
+        CollectorNC.collect(chunks, str(tmp_path / 'bad.nc'))
+
+    out_file = str(tmp_path / 'collected.nc')
+    CollectorNC.collect(chunks, out_file, is_regular_grid=False)
+    dset = LoaderNC(out_file).data
+    np.testing.assert_array_equal(dset.lat_lon, lat_lon)
+    np.testing.assert_array_equal(
+        dset.time_index.values, times.values)
+    for k, f in enumerate(feats):
+        np.testing.assert_array_equal(np.asarray(dset[f]),
+                                      data[..., k])
+
+    # a longitude-width mismatch is refused loudly (reference only
+    # supports latitude splits, nc.py:39-45)
+    bad = str(tmp_path / f'chunk_{0:06d}_{3:06d}.nc')
+    OutputHandlerNC._write_output(
+        data[:3, :4, :3].copy(), feats, lat_lon[:3, :4], times[:3],
+        bad)
+    with pytest.raises(NotImplementedError, match='west_east'):
+        CollectorNC.collect([*chunks, bad],
+                            str(tmp_path / 'bad2.nc'),
+                            is_regular_grid=False)
+
+    # a missing temporal chunk for one footprint is refused loudly
+    with pytest.raises(ValueError, match='different time'):
+        CollectorNC.collect(chunks[:-1], str(tmp_path / 'bad3.nc'),
+                            is_regular_grid=False)
+
+
 def test_get_lat_lon_bilinear_matches_griddata():
     """The fast bilinear remesh agrees with the reference-style
     griddata remesh on regular and rotated grids."""
