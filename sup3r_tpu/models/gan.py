@@ -25,7 +25,7 @@ import pandas as pd
 
 from sup3r_tpu.models.abstract import AbstractSingleModel
 from sup3r_tpu.models.network import Network
-from sup3r_tpu.ops.losses import get_loss_fun
+from sup3r_tpu.ops.losses import apply_loss, get_loss_fun
 
 logger = logging.getLogger(__name__)
 
@@ -254,7 +254,7 @@ class Sup3rGan(AbstractSingleModel):
                       for l in disc.layers)
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
-            k_g, k_d1, k_d2 = jax.random.split(key, 3)
+            k_g, k_d1, k_d2, k_loss = jax.random.split(key, 4)
             exo = split_exo(hr)
             gkw = ({'train': True, 'dropout_key': k_g}
                    if gen_do else {})
@@ -269,7 +269,11 @@ class Sup3rGan(AbstractSingleModel):
             d_true = disc.apply(disc_params, hr, **d1kw)
             d_gen = disc.apply(disc_params, full, **d2kw)
             slc = slice(0, -n_exo) if n_exo else slice(None)
-            content = loss_fun(out, hr[..., slc])
+            # per-call-randomized losses (SlicedWasserstein) redraw
+            # from the step key, matching the reference's per-call
+            # tf.random.normal (loss_metrics.py:724)
+            content = apply_loss(loss_fun, out, hr[..., slc],
+                                 key=k_loss)
             advers = relativistic_disc_loss(d_gen, d_true)
             loss = content + w_adv * advers
             aux = {'content': content, 'advers': advers,

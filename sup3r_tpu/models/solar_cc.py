@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sup3r_tpu.models.gan import Sup3rGan, relativistic_disc_loss
+from sup3r_tpu.ops.losses import apply_loss
 
 logger = logging.getLogger(__name__)
 
@@ -91,12 +92,15 @@ class SolarCC(Sup3rGan):
 
                 # content: center-hours pointwise + daily-mean match
                 p0 = base + (24 - plh) // 2
-                content += loss_fun(out[:, :, :, p0:p0 + plh, :],
-                                    hr[:, :, :, p0:p0 + plh, :])
+                key, k_l1, k_l2 = jax.random.split(key, 3)
+                content += apply_loss(
+                    loss_fun, out[:, :, :, p0:p0 + plh, :],
+                    hr[:, :, :, p0:p0 + plh, :], key=k_l1)
                 true_mean = jnp.mean(true_sub, axis=3)
                 gen_mean = jnp.mean(out[:, :, :, base:base + 24, :],
                                     axis=3)
-                content += loss_fun(gen_mean, true_mean)
+                content += apply_loss(loss_fun, gen_mean, true_mean,
+                                      key=k_l2)
             content = content / n_days
             d_true = jnp.concatenate(d_true, axis=0)
             d_gen = jnp.concatenate(d_gen, axis=0)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from sup3r_tpu.models.gan import Sup3rGan, relativistic_disc_loss
+from sup3r_tpu.ops.losses import apply_loss
 
 logger = logging.getLogger(__name__)
 
@@ -91,7 +92,7 @@ class Sup3rGanWithObs(Sup3rGan):
                       for l in disc.layers)
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
-            key, k_g, k_d1, k_d2 = jax.random.split(key, 4)
+            key, k_g, k_d1, k_d2, k_loss = jax.random.split(key, 5)
             exo = split_exo(hr)
             n_out_ch = hr.shape[-1] - n_exo
             obs_mask_shape = (*hr.shape[:-1], n_out_ch)
@@ -121,7 +122,8 @@ class Sup3rGanWithObs(Sup3rGan):
             d_true = disc.apply(disc_params, hr, **d1kw)
             d_gen = disc.apply(disc_params, full, **d2kw)
             slc = slice(0, -n_exo) if n_exo else slice(None)
-            content = loss_fun(out, hr[..., slc])
+            content = apply_loss(loss_fun, out, hr[..., slc],
+                                 key=k_loss)
             advers = relativistic_disc_loss(d_gen, d_true)
             obs_w = (~not_obs).astype(out.dtype)
             loss_obs = _masked_mae(out, hr[..., slc], obs_w)

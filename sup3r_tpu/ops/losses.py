@@ -218,17 +218,23 @@ class LowResLoss:
 class SlicedWassersteinLoss:
     """Sliced Wasserstein distance via sorted random 1D projections.
 
-    Projection directions are drawn from a fixed fold-in of a global seed
-    each call would break jit purity, so the direction matrix is sampled
-    once per loss instance and treated as a constant. Reference parity:
-    sup3r/utilities/loss_metrics.py:724.
+    The reference redraws projection directions every call
+    (sup3r/utilities/loss_metrics.py:724 ``tf.random.normal`` inside
+    ``__call__``). Under jit that is expressed functionally: callers
+    that thread a PRNG ``key`` (the fused train step folds the step
+    counter into it) get fresh projections per call — same
+    distribution as the reference. With ``key=None`` the instance
+    seed is used, giving a deterministic (fixed-projection) loss for
+    standalone evaluation.
     """
+
+    needs_key = True
 
     def __init__(self, n_projections=1024, seed=0):
         self._n_projections = n_projections
         self._seed = seed
 
-    def __call__(self, x1, x2):
+    def __call__(self, x1, x2, key=None):
         assert x1.ndim in (4, 5), 'SWL needs 4D or 5D tensors'
         if x1.ndim == 4:
             x1 = x1[:, :, :, None, :]
@@ -237,13 +243,25 @@ class SlicedWassersteinLoss:
         hwt = h * w * t
         x1f = jnp.reshape(x1, (b, hwt, c))
         x2f = jnp.reshape(x2, (b, hwt, c))
+        if key is None:
+            key = jax.random.PRNGKey(self._seed)
+        else:
+            key = jax.random.fold_in(key, self._seed)
         proj = jax.random.normal(
-            jax.random.PRNGKey(self._seed), (self._n_projections, hwt),
-            dtype=x1.dtype)
+            key, (self._n_projections, hwt), dtype=x1.dtype)
         proj = proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
         p1 = jnp.einsum('ph,bhc->bpc', proj, x1f)
         p2 = jnp.einsum('ph,bhc->bpc', proj, x2f)
         return jnp.mean((jnp.sort(p1, axis=1) - jnp.sort(p2, axis=1)) ** 2)
+
+
+def apply_loss(loss_fun, x1, x2, key=None):
+    """Call ``loss_fun(x1, x2)``, threading ``key`` only to losses
+    that declare ``needs_key`` (per-call randomized losses like
+    :class:`SlicedWassersteinLoss`)."""
+    if getattr(loss_fun, 'needs_key', False):
+        return loss_fun(x1, x2, key=key)
+    return loss_fun(x1, x2)
 
 
 #: VGG16 feature-trunk topology (layer name order and pool placement;
@@ -516,8 +534,15 @@ def get_loss_fun(loss):
                 spec, weight = item, 1.0
             terms.append((get_loss_fun(spec), float(weight)))
 
-        def multi(x1, x2):
-            return sum(w * f(x1, x2) for f, w in terms)
+        def multi(x1, x2, key=None):
+            total = 0.0
+            for i, (f, w) in enumerate(terms):
+                sub = (None if key is None
+                       else jax.random.fold_in(key, i))
+                total = total + w * apply_loss(f, x1, x2, key=sub)
+            return total
 
+        multi.needs_key = any(
+            getattr(f, 'needs_key', False) for f, _ in terms)
         return multi
     raise TypeError(f'Cannot resolve loss spec: {loss!r}')

@@ -485,3 +485,36 @@ def test_tensorboard_logging_writes_events(tmp_path):
         'events.out.tfevents.*'))
     assert logs, 'no TB event files written'
     assert logs[0].stat().st_size > 0
+
+
+def test_sliced_wasserstein_resamples_inside_jitted_step():
+    """SlicedWasserstein projections redraw PER TRAIN STEP inside the
+    jitted step (reference redraws per call, loss_metrics.py:778):
+    with learning_rate=0 (frozen params) the content loss still
+    changes between steps on the SAME batch, while an MSE model's
+    content loss stays bit-identical."""
+    gen = [{'class': 'Conv2D', 'filters': 8, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'},
+           {'class': 'SpatialExpansion', 'spatial_mult': 2},
+           {'class': 'Conv2D', 'filters': 2, 'kernel_size': 3,
+            'strides': 1, 'padding': 'same'}]
+    disc = [{'class': 'Conv2D', 'filters': 4, 'kernel_size': 3,
+             'strides': 2, 'padding': 'same'},
+            {'class': 'Flatten'}, {'class': 'Dense', 'units': 1}]
+    rng = np.random.default_rng(0)
+    lr = rng.random((2, 6, 6, 2)).astype(np.float32)
+    hr = rng.random((2, 12, 12, 2)).astype(np.float32)
+
+    swl = Sup3rGan(
+        gen, disc, learning_rate=0.0,
+        loss={'SlicedWassersteinLoss': {'n_projections': 16}})
+    swl.init_weights(lr.shape, hr.shape)
+    c1 = swl.run_gradient_descent(lr, hr)['loss_gen_content']
+    c2 = swl.run_gradient_descent(lr, hr)['loss_gen_content']
+    assert c1 != c2
+
+    mse = Sup3rGan(gen, disc, learning_rate=0.0)
+    mse.init_weights(lr.shape, hr.shape)
+    m1 = mse.run_gradient_descent(lr, hr)['loss_gen_content']
+    m2 = mse.run_gradient_descent(lr, hr)['loss_gen_content']
+    assert m1 == m2
