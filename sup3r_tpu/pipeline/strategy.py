@@ -216,6 +216,12 @@ class ForwardPassStrategy:
              grid_shape[1] * self.s_enhance))
         self._hr_lat_lon = None
         self._out_files = None
+        # freeze the node plan NOW: with redistribute_chunks the split
+        # depends on which outputs exist, and deferring it to first
+        # access would let nodes that start late see other nodes'
+        # fresh outputs and compute a DIFFERENT (shifted) plan,
+        # orphaning chunks (tests/pipeline/test_chaos.py)
+        _ = self.node_chunks
 
     # ------------------------------------------------------------------
     def get_model(self):
@@ -292,12 +298,22 @@ class ForwardPassStrategy:
 
     @property
     def node_chunks(self):
-        """Chunk-id lists per node (reference: strategy.py:364)."""
-        chunks = self.unmasked_chunks
-        if self.redistribute_chunks:
-            chunks = [c for c in chunks if not self.chunk_finished(c)]
-        n_nodes = int(min(self.max_nodes or np.inf, max(len(chunks), 1)))
-        return np.array_split(chunks, n_nodes)
+        """Chunk-id lists per node (reference: strategy.py:364).
+
+        Computed ONCE and cached: with ``redistribute_chunks`` the
+        split depends on which outputs exist, and re-deriving it at
+        run time would shift every node's assignment as other nodes
+        complete chunks — orphaning work (found by
+        tests/pipeline/test_chaos.py kill-resume)."""
+        if not hasattr(self, '_node_chunks'):
+            chunks = self.unmasked_chunks
+            if self.redistribute_chunks:
+                chunks = [c for c in chunks
+                          if not self.chunk_finished(c, log=False)]
+            n_nodes = int(min(self.max_nodes or np.inf,
+                              max(len(chunks), 1)))
+            self._node_chunks = np.array_split(chunks, n_nodes)
+        return self._node_chunks
 
     @property
     def fwp_mask(self):

@@ -58,35 +58,64 @@ print('LOSSES', ' '.join(f'{k}={v:.8f}'
 '''
 
 
-def _run_dcn(tmp_path, nproc, timeout=180):
+def _free_port():
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        return s.getsockname()[1]
+
+
+def _run_dcn(tmp_path, nproc, timeout=240, attempts=3):
+    """Spawn ``nproc`` controller processes and collect their losses.
+
+    Flake-hardened for a loaded 1-vCPU box: the coordinator port is
+    re-picked and the whole group relaunched (with a doubled timeout)
+    on timeout, nonzero exit, or a close-then-rebind port collision —
+    up to ``attempts`` tries. Failure output from the last attempt is
+    surfaced on final failure."""
     worker_fp = str(tmp_path / 'worker.py')
     with open(worker_fp, 'w') as f:
         f.write(WORKER)
-    with socket.socket() as s:
-        s.bind(('127.0.0.1', 0))
-        port = s.getsockname()[1]
-
     env = {k: v for k, v in os.environ.items()
            if k not in ('XLA_FLAGS', 'JAX_PLATFORMS')}
-    procs = [subprocess.Popen(
-        [sys.executable, worker_fp, str(i), str(port), str(nproc)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        env=env) for i in range(nproc)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
-        assert p.returncode == 0, out[-2000:]
-    losses = []
-    for out in outs:
-        lines = [ln for ln in out.splitlines()
-                 if ln.startswith('LOSSES')]
-        assert lines, out[-2000:]
-        losses.append(lines[-1])
-    # every controller computed the SAME global step
-    assert all(x == losses[0] for x in losses[1:])
-    assert 'nan' not in losses[0].lower()
-    return losses[0]
+    last_out = ''
+    for attempt in range(attempts):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker_fp, str(i), str(port), str(nproc)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env) for i in range(nproc)]
+        outs, timed_out = [], False
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                timed_out = True
+                out = ''
+            outs.append(out)
+        if timed_out:
+            for p in procs:  # kill by handle, never by pattern
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+            last_out = f'attempt {attempt}: timeout after {timeout}s'
+            timeout *= 2
+            continue
+        if any(p.returncode != 0 for p in procs):
+            last_out = '\n'.join(o[-2000:] for o in outs)
+            timeout *= 2
+            continue
+        losses = []
+        for out in outs:
+            lines = [ln for ln in out.splitlines()
+                     if ln.startswith('LOSSES')]
+            assert lines, out[-2000:]
+            losses.append(lines[-1])
+        # every controller computed the SAME global step
+        assert all(x == losses[0] for x in losses[1:])
+        assert 'nan' not in losses[0].lower()
+        return losses[0]
+    pytest.fail(f'DCN group failed after {attempts} attempts:\n'
+                + last_out)
 
 
 @pytest.mark.skipif(sys.platform != 'linux', reason='linux only')
@@ -99,4 +128,4 @@ def test_four_process_dcn_train_step(tmp_path):
     """Scale the controller count past two: a 4-process / 8-device
     global mesh runs the same data-parallel step (each process feeds
     its 2-sample shard of the global batch of 8)."""
-    _run_dcn(tmp_path, 4, timeout=300)
+    _run_dcn(tmp_path, 4, timeout=360)
