@@ -5,7 +5,11 @@ plus train-step throughput and achieved TFLOP/s / MFU.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "train_hr_voxels_per_sec": N, "train_vs_baseline": N,
-   "inference_tflops": N, "train_tflops": N, "mfu_pct_bf16_peak": N}
+   "inference_tflops": N, "train_tflops": N, "mfu_pct_bf16_peak": N,
+   "fast_hr_voxels_per_sec": N, "fast_max_abs_err_norm_units": N,
+   "train_loop_hr_voxels_per_sec": N,
+   "fwp_e2e_hr_voxels_per_sec": N,
+   "fwp_e2e_dispatch_hr_voxels_per_sec": N}
 
 Baselines (both measured in this image; the reference runs TF kernels
 on CPU for inference — use_cpu=True default, reference:
@@ -30,7 +34,9 @@ fp32-conv practical ceiling is lower (~67 TFLOP/s measured).
 """
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -48,8 +54,12 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 def _bench_fwp_e2e():
     """End-to-end chunked ForwardPass (disk -> chunk prep -> device
     batches -> crop/stitch -> H5), the BASELINE.md north-star metric's
-    system form. Small domain to bound runtime; returns voxels/s or
-    None on failure (the device-apply metrics still print)."""
+    system form, plus a DISPATCH-ONLY variant (disk -> chunk prep ->
+    H2D -> device compute, one scalar sync, no device->host output
+    fetch / H5 write) that isolates tunnel-fetch + host-write cost
+    from the producer pipeline. Small domain to bound runtime; returns
+    (e2e_voxels_per_sec, dispatch_voxels_per_sec) with None entries on
+    failure (the device-apply metrics still print)."""
     import shutil
     import tempfile
 
@@ -62,6 +72,7 @@ def _bench_fwp_e2e():
     try:
         s1 = s2 = 40
         t = 40
+        hr_voxels = (s1 * 3) * (s2 * 3) * (t * 4)
         input_file = make_fake_nc4_file(
             f'{tmp}/input.nc', (s1, s2, t), ['u100', 'v100'],
             lat_range=(45.0, 42.0), lon_range=(-110.0, -107.0))
@@ -76,23 +87,86 @@ def _bench_fwp_e2e():
         model.init_weights((1, 20, 20, 24, 2), (1, 60, 60, 96, 2))
         model_dir = f'{tmp}/model'
         model.save(model_dir)
-        def run_once(tag):
-            strategy = ForwardPassStrategy(
+
+        def make_strategy(tag):
+            return ForwardPassStrategy(
                 file_paths=input_file,
                 model_kwargs={'model_dir': model_dir},
                 fwp_chunk_shape=(16, 16, 20), spatial_pad=2,
                 temporal_pad=2,
                 out_pattern=f'{tmp}/out{tag}/chunk_{{file_id}}.h5',
                 device_batch_size=8, chunked_io=True)
+
+        def run_once(tag):
             t0 = time.perf_counter()
-            ForwardPass.run(strategy, 0)
+            ForwardPass.run(make_strategy(tag), 0)
             return time.perf_counter() - t0
 
         run_once('_warm')  # populate the XLA compile cache
         dt = run_once('')  # steady-state system throughput
-        return (s1 * 3) * (s2 * 3) * (t * 4) / dt
+        e2e = hr_voxels / dt
+
+        dispatch = None
+        try:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            import jax
+            import jax.numpy as jnp
+
+            fwp = ForwardPass(make_strategy('_disp'), 0)
+            bs = int(fwp.strategy.device_batch_size)
+            ssum = jax.jit(jnp.sum)
+
+            def one_pass():
+                """Chunk prep (threaded, as in run_chunks_batched) +
+                H2D + device dispatch for the whole node, then ONE
+                scalar fetch on the final dispatch — device work is
+                ordered, so that syncs the queue without pulling
+                outputs through the ~30 MB/s tunnel."""
+                chunk_ids = iter(fwp.strategy.node_chunks[0])
+                buffers, last = {}, None
+                with ThreadPoolExecutor(
+                        max(fwp.strategy.pass_workers, 2)) as pool:
+                    inflight = deque()
+
+                    def submit_next():
+                        i = next(chunk_ids, None)
+                        if i is None:
+                            return False
+                        inflight.append(
+                            pool.submit(fwp.get_input_chunk, i))
+                        return True
+
+                    for _ in range(max(2 * bs, 4)):
+                        if not submit_next():
+                            break
+                    while inflight:
+                        chunk = inflight.popleft().result()
+                        submit_next()
+                        key = chunk.input_data.shape
+                        buffers.setdefault(key, []).append(chunk)
+                        if len(buffers[key]) == bs:
+                            last = fwp._dispatch_chunk_batch(
+                                buffers.pop(key))
+                    for batch in buffers.values():
+                        last = fwp._dispatch_chunk_batch(batch)
+                float(ssum(last[0]))
+
+            # warm pass loads/compiles each padded-chunk-shape program
+            # for THIS model instance (per-instance jit caches); the
+            # timed pass is the steady-state producer rate, matching
+            # how the e2e number above is measured (warm run first)
+            one_pass()
+            t0 = time.perf_counter()
+            one_pass()
+            dispatch = hr_voxels / (time.perf_counter() - t0)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+        return e2e, dispatch
     except Exception:
-        return None
+        traceback.print_exc(file=sys.stderr)
+        return None, None
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -153,6 +227,34 @@ def main():
     voxels_per_sec = hr_voxels / best
     infer_tflops = (infer_flops / best / 1e12) if infer_flops else None
 
+    # ---- fast inference mode: subpixel tail + bf16 body, one flag
+    # (Sup3rGan.inference_mode='fast'); the accuracy budget is
+    # validated end-to-end in tests/forward_pass/test_fast_mode.py,
+    # and the on-device max abs deviation vs the exact path (in
+    # normalized output units) is reported alongside the rate ----
+    fast_vps = fast_err = None
+    try:
+        model.inference_mode = 'fast'
+        fast_apply, ffparams = model._get_fused_apply()
+        ffparams = jax.device_put(ffparams)
+        ffwd = jax.jit(lambda p, x: fast_apply(p, x, {}))
+        maxerr = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))
+        fout = ffwd(ffparams, x)
+        float(ssum(fout))  # warm compile + full sync
+        fbest = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                fout = ffwd(ffparams, x)
+            float(ssum(fout))
+            fbest = min(fbest, (time.perf_counter() - t0) / n_iters)
+        fast_vps = hr_voxels / fbest
+        fast_err = float(maxerr(fout, out))
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        model.inference_mode = 'exact'
+
     # ---- train step: full fused GAN step (gen fwd/bwd + disc fwd/bwd
     # + both optimizer updates in ONE XLA program) ----
     tb, tlr, thr = 16, (12, 12, 12), (36, 36, 48)
@@ -174,6 +276,33 @@ def main():
             jnp.bool_(True), jax.random.PRNGKey(0))
     except Exception:
         pass
+    # ---- full train-LOOP rate: what model.train's inner loop pays
+    # per step — host batch -> H2D upload -> fused step -> loss-dict
+    # fetch (scripts/bench_train.py path). The gap vs the pure step
+    # rate below is the per-step host/tunnel cost that prefetch hides
+    # when batches are produced ahead of the device. Must run BEFORE
+    # the raw-step loop: that loop donates the model's param buffers
+    # into the step, after which model.gen_params is deleted ----
+    train_voxels = int(tb * np.prod(thr))
+    train_loop_vps = None
+    try:
+        lr_np = rng.random((tb, *tlr, 2)).astype(np.float32)
+        hr_np = rng.random((tb, *thr, 2)).astype(np.float32)
+        model.run_gradient_descent(lr_np, hr_np, train_gen=True,
+                                   train_disc=True)  # warm
+        n_loop = 4
+        l_best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_loop):
+                model.run_gradient_descent(lr_np, hr_np,
+                                           train_gen=True,
+                                           train_disc=True)
+            l_best = min(l_best, (time.perf_counter() - t0) / n_loop)
+        train_loop_vps = train_voxels / l_best
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
     # drive the jitted step directly, feeding donated state back in;
     # ONE loss-value fetch per timed block (not per step: each host
     # fetch is a full tunnel round trip)
@@ -193,7 +322,6 @@ def main():
             *state, det = step(*state, lr_b, hr_b, w_adv, tt, tt, key)
         float(det['loss_gen'])  # host value fetch = device completion
         t_best = min(t_best, (time.perf_counter() - t0) / n_train)
-    train_voxels = int(tb * np.prod(thr))
     train_vps = train_voxels / t_best
     train_tflops = (train_flops / t_best / 1e12) if train_flops else None
 
@@ -206,11 +334,24 @@ def main():
         'train_vs_baseline': round(train_vps / TRAIN_BASELINE, 2),
         'train_baseline_batch': TRAIN_BASELINE_BATCH,
     }
-    e2e = _bench_fwp_e2e()
+    if fast_vps is not None:
+        rec['fast_hr_voxels_per_sec'] = round(fast_vps, 1)
+        rec['fast_speedup_vs_exact'] = round(fast_vps
+                                             / voxels_per_sec, 2)
+    if fast_err is not None:
+        rec['fast_max_abs_err_norm_units'] = round(fast_err, 5)
+    if train_loop_vps is not None:
+        rec['train_loop_hr_voxels_per_sec'] = round(train_loop_vps, 1)
+    e2e, dispatch = _bench_fwp_e2e()
     if e2e is not None:
         # system number: single-vCPU host + ~30 MB/s tunnel fetch
         # bound this far below the device-apply rate in this image
         rec['fwp_e2e_hr_voxels_per_sec'] = round(e2e, 1)
+    if dispatch is not None:
+        # producer-side ceiling: same chunk prep + H2D + compute but
+        # no output fetch/write — the e2e/dispatch gap is pure
+        # drain-side (tunnel fetch + 1-vCPU H5 write) cost
+        rec['fwp_e2e_dispatch_hr_voxels_per_sec'] = round(dispatch, 1)
     if infer_tflops is not None:
         rec['inference_tflops'] = round(infer_tflops, 2)
         rec['mfu_pct_bf16_peak'] = round(

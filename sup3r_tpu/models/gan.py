@@ -536,6 +536,45 @@ class Sup3rGan(AbstractSingleModel):
     #: fp32 (TF float32 Keras inference).
     inference_dtype = None
 
+    @property
+    def inference_mode(self):
+        """Named inference speed/accuracy profile.
+
+        - ``'exact'`` (default): fp32 body + exact-fp32 Pallas tail —
+          bit-identical to the unfused reference computation.
+        - ``'fast'``: subpixel tail + bf16 body. Validated accuracy
+          budget (tests/forward_pass/test_fast_mode.py): max abs
+          error <= 0.05 on normalized-scale outputs through the full
+          chunked forward-pass pipeline, and QA wavenumber/frequency
+          spectra equal to the exact path within the reference parity
+          tolerances (tests/conftest.py spectra bar). Measured 1.45x
+          tail + ~1.07-1.26x body over exact on v5e
+          (docs/PERFORMANCE.md "Subpixel tail").
+        - ``'custom'`` (read-only): reported when the underlying
+          flags (``inference_subpixel_tail`` / ``inference_dtype``)
+          were set to some other combination by hand.
+        """
+        if (self.inference_subpixel_tail
+                and self.inference_dtype == 'bfloat16'):
+            return 'fast'
+        if (not self.inference_subpixel_tail
+                and self.inference_dtype is None):
+            return 'exact'
+        return 'custom'
+
+    @inference_mode.setter
+    def inference_mode(self, mode):
+        if mode == 'exact':
+            self.inference_subpixel_tail = False
+            self.inference_dtype = None
+        elif mode == 'fast':
+            self.inference_subpixel_tail = True
+            self.inference_dtype = 'bfloat16'
+        else:
+            raise ValueError(
+                f'inference_mode must be "exact" or "fast", got '
+                f'{mode!r}')
+
     def _get_gen_apply(self):
         if not isinstance(self._gen_apply_fn, dict):
             self._gen_apply_fn = {}

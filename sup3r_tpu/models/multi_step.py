@@ -54,6 +54,29 @@ class MultiStepGan(AbstractInterface):
         return self._models
 
     @property
+    def inference_mode(self):
+        """Chain-level inference profile: the common mode of the
+        member models that support one (see
+        :attr:`Sup3rGan.inference_mode`), or ``'custom'`` if they
+        disagree."""
+        modes = {m.inference_mode for m in self._models
+                 if hasattr(type(m), 'inference_mode')}
+        if len(modes) == 1:
+            return modes.pop()
+        return 'custom' if modes else 'exact'
+
+    @inference_mode.setter
+    def inference_mode(self, mode):
+        supported = [m for m in self._models
+                     if hasattr(type(m), 'inference_mode')]
+        if mode != 'exact' and not supported:
+            raise ValueError(
+                f'No member of this {type(self).__name__} supports '
+                f'inference_mode={mode!r}')
+        for m in supported:
+            m.inference_mode = mode
+
+    @property
     def meta(self):
         """Tuple of each step's meta."""
         return tuple(m.meta for m in self._models)

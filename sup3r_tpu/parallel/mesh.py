@@ -207,31 +207,62 @@ def init_multihost(coordinator_address=None, num_processes=None,
     return jax.process_index(), jax.process_count()
 
 
+_COLLECTIVE_DTYPE_BYTES = {
+    'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4, 'f64': 8,
+    'u32': 4, 's8': 1, 'u8': 1, 'pred': 1}
+
+
+def _collective_bytes(compiled, op_names):
+    """Sum result-shape bytes of every HLO instruction applying one of
+    ``op_names`` in a compiled (per-shard) SPMD program. Parses line
+    by line and sums EVERY array in a tuple-shaped result — XLA packs
+    a whole gradient pytree into ONE all-reduce, so matching only the
+    first tuple element undercounts ~100x."""
+    import re
+
+    op_re = re.compile(
+        r'\b(' + '|'.join(op_names) + r')(?:-start)?\(')
+    shape_re = re.compile(r'(\w+)\[([0-9,]*)\]')
+    total = 0
+    n_ops = 0
+    for line in compiled.as_text().splitlines():
+        if ' = ' not in line:
+            continue
+        lhs, rhs = line.split(' = ', 1)
+        m = op_re.search(rhs)
+        if m is None:
+            continue
+        # result shape(s): everything on the rhs before the op name
+        n_ops += 1
+        for dt, dims in shape_re.findall(rhs[:m.start()]):
+            if dt not in _COLLECTIVE_DTYPE_BYTES:
+                continue
+            size = 1
+            for d in dims.split(','):
+                if d:
+                    size *= int(d)
+            total += size * _COLLECTIVE_DTYPE_BYTES[dt]
+    return total, n_ops
+
+
 def halo_bytes_from_compiled(compiled):
     """Measured ICI halo-exchange bytes of a compiled SPMD program:
-    sums the operand bytes of every collective-permute / all-to-all
+    sums the result bytes of every collective-permute / all-to-all
     in the (per-shard) compiled HLO. Ground truth for the analytic
     estimate in pipeline/memory.py — log this when validating a
     spatial sharding on a virtual mesh before committing real chips
     (round-2 review ask: don't fly blind on halo volume)."""
-    import re
+    return _collective_bytes(
+        compiled, ('collective-permute', 'all-to-all'))
 
-    text = compiled.as_text()
-    dtype_bytes = {'f32': 4, 'bf16': 2, 'f16': 2, 's32': 4, 'f64': 8,
-                   'u32': 4, 's8': 1, 'u8': 1, 'pred': 1}
-    total = 0
-    n_ops = 0
-    for m in re.finditer(
-            r'(collective-permute|all-to-all)[^=]*=\s*'
-            r'(\w+)\[([0-9,]*)\]', text):
-        dt = m.group(2)
-        dims = m.group(3)
-        if dt not in dtype_bytes:
-            continue
-        size = 1
-        for d in dims.split(','):
-            if d:
-                size *= int(d)
-        total += size * dtype_bytes[dt]
-        n_ops += 1
-    return total, n_ops
+
+def allreduce_bytes_from_compiled(compiled):
+    """Measured all-reduce payload bytes of a compiled SPMD program:
+    sums the result bytes of every ``all-reduce`` /
+    ``reduce-scatter`` / ``all-gather`` in the (per-shard) compiled
+    HLO — for a replicated-param train step this is the gradient
+    all-reduce volume per step per device. Companion ground truth to
+    :func:`halo_bytes_from_compiled` for the scale-out evidence pack
+    (docs/PERFORMANCE.md scaling study)."""
+    return _collective_bytes(
+        compiled, ('all-reduce', 'reduce-scatter', 'all-gather'))

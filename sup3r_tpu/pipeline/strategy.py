@@ -104,6 +104,11 @@ class ForwardPassStrategy:
     max_nodes: int = 1
     head_node: bool = False
     redistribute_chunks: bool = False
+    #: 'exact' (default) or 'fast' — named speed/accuracy profile
+    #: applied to the loaded model (Sup3rGan.inference_mode): 'fast'
+    #: enables the subpixel tail + bf16 body with a validated
+    #: accuracy budget (tests/forward_pass/test_fast_mode.py)
+    inference_mode: str = 'exact'
     #: stack this many same-shaped padded chunks into one device batch
     #: (TPU throughput: amortizes dispatch + fills the MXU). 'auto'
     #: sizes the batch from a per-chunk HBM estimate of the generator
@@ -236,7 +241,14 @@ class ForwardPassStrategy:
         kwargs = self.model_kwargs
         if isinstance(kwargs, str):
             kwargs = {'model_dir': kwargs}
-        return ModelClass.load(**kwargs)
+        model = ModelClass.load(**kwargs)
+        if self.inference_mode != 'exact':
+            if not hasattr(type(model), 'inference_mode'):
+                raise ValueError(
+                    f'{self.model_class} does not support '
+                    f'inference_mode={self.inference_mode!r}')
+            model.inference_mode = self.inference_mode
+        return model
 
     def load_exo_data(self, model):
         """Build ExoData for all exo features (reference:
