@@ -103,6 +103,23 @@ def main():
                  'analytic_halo_bytes': int(halo_est),
                  'analytic_allreduce_bytes': 0})
 
+    # ---- sp8 inference, SHARD-ALIGNED s1 convs (the fix for the
+    # above: ops/conv_ad.reflect_conv_shard_aligned — zero-pad s1
+    # in-conv + local boundary corrections, no global resize). The
+    # forward-pass runner enables this automatically under
+    # use_mesh='spatial'.
+    model.inference_shard_aligned = True
+    apply_sa, fparams_sa = model._get_fused_apply()
+    fwd_sa = jax.jit(lambda p, x: apply_sa(p, x, {}))
+    p_sa = replicate(mesh, fparams_sa)
+    with mesh:
+        c = fwd_sa.lower(p_sa, x_sp).compile()
+    model.inference_shard_aligned = False
+    rows.append({'config': 'sp8 inference shard-aligned',
+                 'shape': list(x_sp.shape), **_collectives(c),
+                 'analytic_halo_bytes': int(halo_est),
+                 'analytic_allreduce_bytes': 0})
+
     # analytic grad all-reduce volume: one f32 grad per param, both
     # networks (ring all-reduce payload; per-device wire traffic is
     # 2(n-1)/n of this)

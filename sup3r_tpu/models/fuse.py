@@ -30,7 +30,10 @@ from sup3r_tpu.models.layers import (
     Layer,
     LeakyReLU,
 )
-from sup3r_tpu.ops.conv_ad import reflect_conv_ad
+from sup3r_tpu.ops.conv_ad import (
+    reflect_conv_ad,
+    reflect_conv_shard_aligned,
+)
 from sup3r_tpu.ops.pallas_kernels import (
     reflect_conv,
     reflect_conv_reference,
@@ -62,6 +65,16 @@ class FusedReflectConv(Layer):
     accumulation order differs from XLA's at the fp32 ulp level."""
 
     use_pallas = False
+
+    #: shard-aligned s1 formulation for spatially-sharded inference
+    #: (use_mesh='spatial'): zero-pad s1 in-conv + local boundary
+    #: corrections instead of a global reflect-pad resize, so the
+    #: SPMD partitioner inserts true 1-row halos instead of
+    #: re-balancing shard boundaries at every conv (~10x wire
+    #: reduction, scripts/scaling_study.py). Matches the default path
+    #: to fp32 reassociation (~1e-6). Also bypasses the Pallas
+    #: small-channel kernel (pallas_call does not partition).
+    shard_aligned = False
 
     def __init__(self, n_spatial, alpha=None):
         self.n_spatial = n_spatial
@@ -103,6 +116,9 @@ class FusedReflectConv(Layer):
     def apply(self, params, x, ctx):
         kernel = params['kernel'].astype(x.dtype)
         bias = params['bias'].astype(x.dtype)
+        if self.shard_aligned:
+            return reflect_conv_shard_aligned(
+                x, kernel, bias, self.n_spatial, self.alpha)
         on_tpu = jax.default_backend() == 'tpu'
         if (self.small_channel_kernel and on_tpu
                 and self._small_ok(x, kernel)):

@@ -535,6 +535,12 @@ class Sup3rGan(AbstractSingleModel):
     #: decimal digits) so it is off by default — the reference serves
     #: fp32 (TF float32 Keras inference).
     inference_dtype = None
+    #: shard-aligned s1 conv formulation for spatially-sharded
+    #: inference — set automatically by the forward-pass runner when
+    #: use_mesh='spatial' (see ops/conv_ad.reflect_conv_shard_aligned:
+    #: true 1-row SPMD halos instead of per-conv shard re-balancing,
+    #: ~10x wire reduction; matches the default path to ~1e-6).
+    inference_shard_aligned = False
 
     @property
     def inference_mode(self):
@@ -605,7 +611,8 @@ class Sup3rGan(AbstractSingleModel):
         # compares identity — an id() key could collide after training
         # frees the old list and CPython reuses its address
         key = (self.gen_params, self.inference_pallas,
-               self.inference_dtype, self.inference_subpixel_tail)
+               self.inference_dtype, self.inference_subpixel_tail,
+               self.inference_shard_aligned)
         cached = getattr(self, '_fused_cache', None)
         if (cached is None or cached[0][0] is not key[0]
                 or cached[0][1:] != key[1:]):
@@ -623,6 +630,7 @@ class Sup3rGan(AbstractSingleModel):
             for lyr in layers:
                 if isinstance(lyr, FusedReflectConv):
                     lyr.use_pallas = self.inference_pallas
+                    lyr.shard_aligned = self.inference_shard_aligned
             fnet = Network(layers)
             dt = self.inference_dtype
             if dt is None:

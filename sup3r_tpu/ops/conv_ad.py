@@ -26,10 +26,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ['reflect_conv_ad']
+__all__ = ['reflect_conv_ad', 'reflect_conv_shard_aligned']
 
 
 def _dim_numbers(n_spatial):
+    if n_spatial == 1:
+        return ('NWC', 'WIO', 'NWC')
     if n_spatial == 2:
         return ('NHWC', 'HWIO', 'NHWC')
     return ('NDHWC', 'DHWIO', 'NDHWC')
@@ -56,6 +58,57 @@ def reflect_conv_ad(x, kernel, bias, n_spatial, alpha):
     y = jax.lax.conv_general_dilated(
         xp, kernel, (1,) * n_spatial, 'VALID',
         dimension_numbers=_dim_numbers(n_spatial))
+    y = y + bias
+    if alpha is not None:
+        y = jax.nn.leaky_relu(y, alpha)
+    return y
+
+
+def reflect_conv_shard_aligned(x, kernel, bias, n_spatial, alpha):
+    """Same math as :func:`reflect_conv_ad` but SHARD-ALIGNED along
+    the first spatial dim (s1): instead of reflect-padding s1 (which
+    grows the global size by 2 and, under ``shard_spatial`` s1
+    sharding, forces XLA's partitioner to re-balance shard boundaries
+    at EVERY conv — measured 600 MB of multi-row shard shifts per
+    device per generator application, scripts/scaling_study.py), s1
+    is zero-padded INSIDE the conv (keeps the global size, so SPMD
+    inserts true 1-row halo exchanges only) and the two boundary rows
+    get local corrections restoring the reflect contribution:
+
+        out[0]  += conv_{s2,t}(x[1],  kernel[s1_tap=0])
+        out[-1] += conv_{s2,t}(x[-2], kernel[s1_tap=2])
+
+    (zero padding contributed 0 where reflection contributes the
+    mirrored row). Matches ``reflect_conv_ad`` up to fp32
+    reassociation (~1e-6 — the boundary taps accumulate in a second
+    add); the unsharded dims (s2, t) keep the exact reflect-pad
+    sequence."""
+    for d in range(2, 1 + n_spatial):
+        first = jax.lax.slice_in_dim(x, 1, 2, axis=d)
+        last = jax.lax.slice_in_dim(x, x.shape[d] - 2, x.shape[d] - 1,
+                                    axis=d)
+        x = jnp.concatenate([first, x, last], axis=d)
+    pads = [(1, 1)] + [(0, 0)] * (n_spatial - 1)
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1,) * n_spatial, pads,
+        dimension_numbers=_dim_numbers(n_spatial))
+    dn2 = _dim_numbers(n_spatial - 1)
+    s1 = y.shape[1]
+
+    def _edge(row, tap):
+        t = jax.lax.conv_general_dilated(
+            jax.lax.index_in_dim(x, row, axis=1, keepdims=False),
+            kernel[tap], (1,) * (n_spatial - 1), 'VALID',
+            dimension_numbers=dn2)
+        return t[:, None]
+
+    zero_hi = [(0, 0, 0)] * y.ndim
+    zero_hi[1] = (0, s1 - 1, 0)
+    zero_lo = [(0, 0, 0)] * y.ndim
+    zero_lo[1] = (s1 - 1, 0, 0)
+    zval = jnp.asarray(0, y.dtype)
+    y = (y + jax.lax.pad(_edge(1, 0), zval, zero_hi)
+         + jax.lax.pad(_edge(x.shape[1] - 2, 2), zval, zero_lo))
     y = y + bias
     if alpha is not None:
         y = jax.nn.leaky_relu(y, alpha)

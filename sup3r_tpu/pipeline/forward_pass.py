@@ -387,6 +387,13 @@ class ForwardPass:
                 np.asarray(stacked, dtype=np.float32), exo_batched)
         lr = self.model.norm_input(stacked)
         use_mesh = getattr(self.strategy, 'use_mesh', False)
+        if (use_mesh == 'spatial'
+                and hasattr(type(self.model),
+                            'inference_shard_aligned')):
+            # shard-aligned s1 convs: true 1-row SPMD halos instead of
+            # per-conv shard re-balancing (~10x wire reduction; see
+            # ops/conv_ad.reflect_conv_shard_aligned)
+            self.model.inference_shard_aligned = True
         if use_mesh == 'spatial':
             # spatial (sp) domain decomposition: ONE chunk's s1 dim
             # split over the mesh; XLA inserts the conv halo
