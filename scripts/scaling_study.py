@@ -170,6 +170,27 @@ def main():
                  'analytic_halo_bytes': int(2 * halo_est2 * 16 // 4),
                  'analytic_allreduce_bytes': grad_bytes})
 
+    # ---- dp4 x sp2 train, SHARD-ALIGNED s1 convs — forced on to
+    # document WHY the auto gate requires a >= 4-wide spatial axis:
+    # at sp2 the reflect pad keeps s1 divisible (shard shifts are
+    # already 1-row) and the boundary-correction collectives make the
+    # aligned path a net LOSS here (halo 404 -> 327 MB but all-reduce
+    # 254 -> 447 MB). At sp8 it wins big (129.4 -> 36.1 MB halo,
+    # total 1.7x down — tests/forward_pass/test_shard_aligned_conv.py
+    # measures it). attach_mesh auto-enables only when the spatial
+    # axis is >= 4 wide (models/abstract.py _auto_shard_aligned).
+    model.train_shard_aligned = True
+    model._train_step_fn = None
+    step_sa = model.train_step_fn
+    with mesh2:
+        c = step_sa.lower(*args).compile()
+    model.train_shard_aligned = None
+    model._train_step_fn = None
+    rows.append({'config': 'dp4xsp2 train shard-aligned',
+                 'shape': list(lr2.shape), **_collectives(c),
+                 'analytic_halo_bytes': int(2 * halo_est2 * 16 // 4),
+                 'analytic_allreduce_bytes': grad_bytes})
+
     for r in rows:
         print(json.dumps(r))
 

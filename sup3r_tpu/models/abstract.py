@@ -222,6 +222,29 @@ class AbstractSingleModel(AbstractInterface):
     #: structure is rebuilt in-graph with jax.tree.unflatten.
     train_fuse = True
 
+    #: shard-aligned s1 conv formulation inside the train step: None
+    #: (default) auto-enables it when a mesh with a spatial axis of
+    #: width >= 4 is attached (``attach_mesh(..., spatial_axis=...)``
+    #: / a 2D dp x sp mesh) — the reflect-pad formulation re-balances
+    #: shard boundaries at every conv under s1 sharding (see
+    #: ops/conv_ad.reflect_conv_shard_aligned; both its forward AND
+    #: custom-VJP backward keep the global s1 size, so SPMD emits
+    #: true 1-row halos in both passes: measured 173.6 -> 102.3 MB
+    #: per step at sp8). At sp2 the reflect pad keeps s1 divisible,
+    #: so the aligned path's boundary-correction collectives make it
+    #: a net LOSS (scripts/scaling_study.py) — hence the width gate.
+    #: True/False force it on/off.
+    train_shard_aligned = None
+
+    def _auto_shard_aligned(self):
+        """Resolve ``train_shard_aligned=None`` from the attached
+        mesh: on when the spatial axis is >= 4 wide."""
+        axis = getattr(self, '_mesh_spatial_axis', None)
+        mesh = getattr(self, '_mesh', None)
+        if axis is None or mesh is None:
+            return False
+        return int(mesh.shape[axis]) >= 4
+
     def _train_gen_apply(self):
         """Generator apply for traced training paths, with fusable
         blocks rewritten (see ``train_fuse``). Falls back to the plain
@@ -235,6 +258,13 @@ class AbstractSingleModel(AbstractInterface):
         layers, ftmpl = fuse_network(self._gen.layers, self.gen_params)
         if not any(isinstance(lyr, FusedReflectConv) for lyr in layers):
             return self._gen.apply
+        shard_aligned = self.train_shard_aligned
+        if shard_aligned is None:
+            shard_aligned = self._auto_shard_aligned()
+        if shard_aligned:
+            for lyr in layers:
+                if isinstance(lyr, FusedReflectConv):
+                    lyr.shard_aligned = True
         orig_leaves = jax.tree.leaves(self.gen_params)
         fused_leaves = jax.tree.leaves(ftmpl)
         same = (len(orig_leaves) == len(fused_leaves) and all(

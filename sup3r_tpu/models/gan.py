@@ -456,6 +456,11 @@ class Sup3rGan(AbstractSingleModel):
             spatial_axis = next(a for a in mesh.axis_names
                                 if a != axis)
         self._mesh_spatial_axis = spatial_axis or None
+        # step closures baked in the pre-mesh conv formulation (a
+        # spatial axis switches the fused blocks to shard-aligned s1
+        # convs — see train_shard_aligned); rebuild on next use
+        self._train_step_fn = None
+        self._sample_step_fn = None
         if self.gen_params is not None:
             self.gen_params = replicate(mesh, self.gen_params)
             self.disc_params = replicate(mesh, self.disc_params)

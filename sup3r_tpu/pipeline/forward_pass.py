@@ -387,13 +387,6 @@ class ForwardPass:
                 np.asarray(stacked, dtype=np.float32), exo_batched)
         lr = self.model.norm_input(stacked)
         use_mesh = getattr(self.strategy, 'use_mesh', False)
-        if (use_mesh == 'spatial'
-                and hasattr(type(self.model),
-                            'inference_shard_aligned')):
-            # shard-aligned s1 convs: true 1-row SPMD halos instead of
-            # per-conv shard re-balancing (~10x wire reduction; see
-            # ops/conv_ad.reflect_conv_shard_aligned)
-            self.model.inference_shard_aligned = True
         if use_mesh == 'spatial':
             # spatial (sp) domain decomposition: ONE chunk's s1 dim
             # split over the mesh; XLA inserts the conv halo
@@ -404,6 +397,18 @@ class ForwardPass:
             from sup3r_tpu.pipeline.memory import estimate_halo_bytes
 
             mesh = get_mesh()
+            if (mesh.devices.size >= 4
+                    and hasattr(type(self.model),
+                                'inference_shard_aligned')):
+                # shard-aligned s1 convs: true 1-row SPMD halos
+                # instead of per-conv shard re-balancing (~10x wire
+                # reduction at sp8; see ops/conv_ad.
+                # reflect_conv_shard_aligned). Gated on >= 4-wide
+                # spatial meshes: at sp2 the reflect pad keeps s1
+                # divisible, the shard shifts are already 1-row, and
+                # the boundary-correction plane broadcasts make the
+                # aligned path a net LOSS (scripts/scaling_study.py)
+                self.model.inference_shard_aligned = True
             if not getattr(self, '_sp_halo_logged', False):
                 self._sp_halo_logged = True
                 halo = lr.shape[0] * estimate_halo_bytes(
