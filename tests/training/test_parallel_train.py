@@ -212,3 +212,51 @@ def test_mesh_2d_sharding_layout():
         shard_batch_spatial(mesh, np.zeros((3, 8, 6, 2), np.float32))
     with _pytest.raises(ValueError, match='not divisible'):
         shard_batch_spatial(mesh, np.zeros((4, 6, 6, 2), np.float32))
+
+
+def _fusable_gen_s(n_feats=2, mult=2):
+    """Reference-style pad/conv/crop blocks so the train step carries
+    FusedReflectConv layers (the shard-aligned formulation's target)."""
+    return [
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]],
+         'mode': 'REFLECT'},
+        {'class': 'Conv2D', 'filters': 8 * mult * mult,
+         'kernel_size': 3, 'strides': 1},
+        {'class': 'Cropping2D', 'cropping': 2},
+        {'class': 'SpatialExpansion', 'spatial_mult': mult},
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        {'class': 'FlexiblePadding',
+         'paddings': [[0, 0], [3, 3], [3, 3], [0, 0]],
+         'mode': 'REFLECT'},
+        {'class': 'Conv2D', 'filters': n_feats, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping2D', 'cropping': 2},
+    ]
+
+
+def test_mesh_2d_full_training_loop():
+    """Full model.train() epoch loop on a composed dp x sp mesh: the
+    epoch loop's _place_batch shards batches over 'data' AND each
+    sample's s1 dim over the 4-wide 'space' axis, which auto-engages
+    the shard-aligned conv formulation on the fused reflect-conv
+    blocks (train_shard_aligned=None + >= 4-wide spatial axis)."""
+    assert jax.device_count() >= 8
+    from sup3r_tpu.parallel import get_mesh_2d
+
+    features = ['u_100m', 'v_100m']
+    handler = BatchHandler(
+        [make_fake_dset((20, 20, 40), features)], batch_size=4,
+        n_batches=2, s_enhance=2, t_enhance=1, sample_shape=(16, 16, 1))
+    model = Sup3rGan(_fusable_gen_s(), _small_disc())
+    model.init_weights((1, 8, 8, 2), (1, 16, 16, 2))
+    model.attach_mesh(get_mesh_2d(2, 4))
+    assert model._mesh_spatial_axis == 'space'
+    assert model._auto_shard_aligned() is True
+    w_before = np.asarray(model.gen_params[1]['kernel']).copy()
+    model.train(handler, input_resolution={'spatial': '30km',
+                                           'temporal': '60min'},
+                n_epoch=1, out_dir=None)
+    w_after = np.asarray(model.gen_params[1]['kernel'])
+    assert not np.allclose(w_before, w_after)
+    assert np.isfinite(model.history['train_loss_gen'].values[-1])
