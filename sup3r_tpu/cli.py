@@ -163,6 +163,12 @@ def forward_pass(ctx):
                if k not in ('log_file', 'log_level')},
             head_node=True)
         n_nodes = len(strategy.node_chunks)
+        # freeze the node plan HERE and ship it to every node: with
+        # redistribute_chunks each node re-deriving the plan at its
+        # own (staggered) start time would see a different set of
+        # finished chunks and orphan work (strategy.node_chunks_plan)
+        run_cfg = {**run_cfg, 'node_chunks_plan': [
+            [int(x) for x in c] for c in strategy.node_chunks]}
         # ship expensive head-computed preflight artifacts to the
         # nodes (the chunked_io NCforCC per-pixel clearsky scale
         # raster is a full NSRDB scan — workers must not redo it N

@@ -239,11 +239,13 @@ class AbstractSingleModel(AbstractInterface):
     def _auto_shard_aligned(self):
         """Resolve ``train_shard_aligned=None`` from the attached
         mesh: on when the spatial axis is >= 4 wide."""
+        from sup3r_tpu.ops.conv_ad import shard_aligned_worthwhile
+
         axis = getattr(self, '_mesh_spatial_axis', None)
         mesh = getattr(self, '_mesh', None)
         if axis is None or mesh is None:
             return False
-        return int(mesh.shape[axis]) >= 4
+        return shard_aligned_worthwhile(mesh.shape[axis])
 
     def _train_gen_apply(self):
         """Generator apply for traced training paths, with fusable

@@ -26,7 +26,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ['reflect_conv_ad', 'reflect_conv_shard_aligned']
+__all__ = ['reflect_conv_ad', 'reflect_conv_shard_aligned',
+           'shard_aligned_worthwhile']
+
+
+def shard_aligned_worthwhile(spatial_width):
+    """Whether the shard-aligned s1 formulation pays off on a spatial
+    mesh axis of this width. THE policy gate, used by training
+    (``_auto_shard_aligned``) and the inference runner alike: at sp2
+    the reflect pad keeps s1 divisible, shard shifts are already
+    1-row, and the boundary-correction plane broadcasts make the
+    aligned path a net LOSS; from sp4 up it wins (~10x wire reduction
+    at sp8 — scripts/scaling_study.py)."""
+    return int(spatial_width) >= 4
 
 
 def _dim_numbers(n_spatial):
@@ -37,10 +49,11 @@ def _dim_numbers(n_spatial):
     return ('NDHWC', 'DHWIO', 'NDHWC')
 
 
-def _reflect_pad1(x, n_spatial):
-    """1-cell reflect pad of the spatial dims (same op sequence
-    jnp.pad(mode='reflect') lowers to: slice + concat per dim)."""
-    for d in range(1, 1 + n_spatial):
+def _reflect_pad1(x, n_spatial, start_dim=1):
+    """1-cell reflect pad of the spatial dims from ``start_dim`` on
+    (same op sequence jnp.pad(mode='reflect') lowers to: slice +
+    concat per dim)."""
+    for d in range(start_dim, 1 + n_spatial):
         first = jax.lax.slice_in_dim(x, 1, 2, axis=d)
         last = jax.lax.slice_in_dim(x, x.shape[d] - 2, x.shape[d] - 1,
                                     axis=d)
@@ -67,12 +80,7 @@ def reflect_conv_ad(x, kernel, bias, n_spatial, alpha):
 def _pad_st(x, n_spatial):
     """1-cell reflect pad of the NON-sharded spatial dims only (s2..t;
     s1 / axis 1 is left alone so SPMD sharding stays aligned)."""
-    for d in range(2, 1 + n_spatial):
-        first = jax.lax.slice_in_dim(x, 1, 2, axis=d)
-        last = jax.lax.slice_in_dim(x, x.shape[d] - 2, x.shape[d] - 1,
-                                    axis=d)
-        x = jnp.concatenate([first, x, last], axis=d)
-    return x
+    return _reflect_pad1(x, n_spatial, start_dim=2)
 
 
 def _sa_impl(x, kernel, bias, n_spatial, alpha):

@@ -217,11 +217,16 @@ def _collective_bytes(compiled, op_names):
     ``op_names`` in a compiled (per-shard) SPMD program. Parses line
     by line and sums EVERY array in a tuple-shaped result — XLA packs
     a whole gradient pytree into ONE all-reduce, so matching only the
-    first tuple element undercounts ~100x."""
+    first tuple element undercounts ~100x.
+
+    Async pairs are counted once: ``*-start`` results alias the input
+    buffers (e.g. all-gather-start is ``(f32[N], f32[8N])``), so bytes
+    come from the sync form or the ``*-done`` result (payload only);
+    op instances come from the sync or ``*-start`` form."""
     import re
 
     op_re = re.compile(
-        r'\b(' + '|'.join(op_names) + r')(?:-start)?\(')
+        r'\b(' + '|'.join(op_names) + r')(-start|-done)?\(')
     shape_re = re.compile(r'(\w+)\[([0-9,]*)\]')
     total = 0
     n_ops = 0
@@ -232,8 +237,12 @@ def _collective_bytes(compiled, op_names):
         m = op_re.search(rhs)
         if m is None:
             continue
+        suffix = m.group(2)
+        if suffix != '-done':
+            n_ops += 1
+        if suffix == '-start':
+            continue
         # result shape(s): everything on the rhs before the op name
-        n_ops += 1
         for dt, dims in shape_re.findall(rhs[:m.start()]):
             if dt not in _COLLECTIVE_DTYPE_BYTES:
                 continue

@@ -396,18 +396,17 @@ class ForwardPass:
             from sup3r_tpu.parallel import get_mesh, shard_spatial
             from sup3r_tpu.pipeline.memory import estimate_halo_bytes
 
+            from sup3r_tpu.ops.conv_ad import shard_aligned_worthwhile
+
             mesh = get_mesh()
-            if (mesh.devices.size >= 4
+            # shard-aligned s1 convs: true 1-row SPMD halos instead
+            # of per-conv shard re-balancing (~10x wire reduction at
+            # sp8; see ops/conv_ad.reflect_conv_shard_aligned). This
+            # 1D mesh IS the spatial axis, so its size is the width
+            # the shared policy gate reasons about.
+            if (shard_aligned_worthwhile(mesh.devices.size)
                     and hasattr(type(self.model),
                                 'inference_shard_aligned')):
-                # shard-aligned s1 convs: true 1-row SPMD halos
-                # instead of per-conv shard re-balancing (~10x wire
-                # reduction at sp8; see ops/conv_ad.
-                # reflect_conv_shard_aligned). Gated on >= 4-wide
-                # spatial meshes: at sp2 the reflect pad keeps s1
-                # divisible, the shard shifts are already 1-row, and
-                # the boundary-correction plane broadcasts make the
-                # aligned path a net LOSS (scripts/scaling_study.py)
                 self.model.inference_shard_aligned = True
             if not getattr(self, '_sp_halo_logged', False):
                 self._sp_halo_logged = True

@@ -126,6 +126,14 @@ class ForwardPassStrategy:
     #: dask-lazy input handlers (sup3r/pipeline/strategy.py:253-266)
     #: for continental-scale domains that don't fit in host RAM.
     chunked_io: bool = False
+    #: internal: explicit per-node chunk-id lists computed ONCE by the
+    #: head process and shipped to every node subprocess through the
+    #: node config. With ``redistribute_chunks`` the plan depends on
+    #: which outputs exist WHEN IT IS COMPUTED — a late-starting node
+    #: re-deriving it after its siblings finished chunks would get a
+    #: shifted ``array_split`` and orphan work (the in-process variant
+    #: of this race was found by tests/pipeline/test_chaos.py).
+    node_chunks_plan: Optional[list] = None
 
     def __post_init__(self):
         self.timer = Timer()
@@ -318,6 +326,14 @@ class ForwardPassStrategy:
         complete chunks — orphaning work (found by
         tests/pipeline/test_chaos.py kill-resume)."""
         if not hasattr(self, '_node_chunks'):
+            if self.node_chunks_plan is not None:
+                # head-computed plan shipped through the node config:
+                # every node subprocess uses the ONE plan the head
+                # froze, however late it starts (see the field doc)
+                self._node_chunks = [
+                    np.asarray(c, dtype=int)
+                    for c in self.node_chunks_plan]
+                return self._node_chunks
             chunks = self.unmasked_chunks
             if self.redistribute_chunks:
                 chunks = [c for c in chunks

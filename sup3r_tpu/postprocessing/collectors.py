@@ -437,6 +437,22 @@ class CollectorNC:
 
         lat_lon = np.concatenate(
             [stitched[s][0] for s in s_ids], axis=0)
+        # latitude-split sanity beyond the width check: an EQUAL-width
+        # longitude split passes the west_east-extent test but stacks
+        # longitude-adjacent footprints vertically. On a latitude
+        # split, latitude runs monotonically down (or up) every column
+        # of the stitched grid; a longitude split jumps back to the
+        # top of the band at the stitch boundary. (The reference
+        # xr.concat's silently garbles this case — nc.py:117-120; we
+        # promise a loud error instead.)
+        dlat = np.diff(lat_lon[..., 0], axis=0)
+        if dlat.size and not (np.all(dlat > 0) or np.all(dlat < 0)):
+            raise NotImplementedError(
+                'Curvilinear collection supports chunks split by '
+                'latitude only: stitching spatial chunks %s along '
+                'south_north does not give per-column monotonic '
+                'latitudes — these look like longitude-split (or '
+                'both-axis-split) chunks' % (s_ids,))
         full = {f: np.concatenate(
             [stitched[s][2][f] for s in s_ids], axis=1)
             for f in features}

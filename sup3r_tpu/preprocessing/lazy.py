@@ -185,11 +185,15 @@ class LazyGridDataset:
         start1, stop1, _ = s1.indices(self.shape[0])
         halo = 1 if start1 > 0 else 0
         win = self.raw.isel(s1=slice(start1 - halo, stop1), s2=s2, t=t)
-        if self.time_index is not None:
-            # honor time_shift: the deriver only sees the window's
-            # coords, so hand it the shifted index
+        if self.raw.time_index is not None:
+            # the deriver must see the RAW file timestamps, never the
+            # time_shift-ed labels: the eager path derives first and
+            # shifts only the label index afterwards
+            # (derivers.py:312-314), so time-DEPENDENT derivations
+            # (sza) anchor to the file clock. Handing the shifted
+            # index here moved sza by time_shift (~5.8 deg at -30 min)
             tsl = t if isinstance(t, slice) else slice(t, t + 1)
-            win.time_index = self.time_index[tsl]
+            win.time_index = self.raw.time_index[tsl]
         der = Deriver(win, features,
                       nan_method_kwargs=self.nan_method_kwargs,
                       FeatureRegistry=self.registry,
@@ -200,23 +204,54 @@ class LazyGridDataset:
         return block
 
     def sample(self, idx):
-        """Crop by an index tuple (s1_slice, s2_slice, t_slice,
-        feature_list_or_slice) — the sampler hot path. Reads only the
-        sampled window (+1 halo row) from disk and derives on it."""
+        """Crop by an index tuple (s1, s2, t, feature_list_or_slice)
+        — the sampler hot path. Reads only the sampled window (+1 halo
+        row) from disk and derives on it.
+
+        Matches ``GridDataset``'s plain-numpy indexing semantics:
+        integer indices squeeze their axis, slice steps are honored.
+        Strided windows derive on the CONTIGUOUS span then stride —
+        wind rotation's row angle uses adjacent rows, so deriving on
+        the strided rows directly would diverge from eager. Negative
+        steps are rejected (row order matters to the rotation)."""
         s1, s2, t, f = idx
+        f_squeeze = False
         if isinstance(f, (list, tuple)) and f and isinstance(f[0], str):
             feats = [x.lower() for x in f]
         elif isinstance(f, slice):
             feats = self.features[f]
+        elif np.ndim(f) == 0:
+            feats = [self.features[int(f)]]
+            f_squeeze = True
         else:
             feats = [self.features[i] for i in np.atleast_1d(f)]
-        block = self._derive_window(s1, s2, t, feats)
+        spans, post = [], []
+        for ax, ix in enumerate((s1, s2, t)):
+            n = self.shape[ax]
+            if isinstance(ix, slice):
+                start, stop, step = ix.indices(n)
+                if step < 0:
+                    raise NotImplementedError(
+                        'negative-step slices are unsupported in lazy '
+                        'sampling (wind rotation depends on row '
+                        "order) — use mode='eager'")
+                spans.append(slice(start, max(stop, start)))
+                post.append(slice(None, None, step))
+            else:
+                i = int(ix)
+                i += n if i < 0 else 0
+                spans.append(slice(i, i + 1))
+                post.append(0)
+        block = self._derive_window(*spans, feats)
+        block = block[tuple(post)]
         if self._means is not None:
             mean = np.array([self._means.get(x, 0.0) for x in feats],
                             dtype=np.float32)
             std = np.array([self._stds.get(x, 1.0) or 1.0 for x in feats],
                            dtype=np.float32)
             block = (block - mean) / std
+        if f_squeeze:
+            block = block[..., 0]
         return block
 
     # ------------------------------------------------------------------
@@ -244,19 +279,31 @@ class LazyGridDataset:
         count = 0
         total = 0.0
         total_sq = 0.0
+        # shifted accumulation: sum (x - shift) and (x - shift)^2 with
+        # shift = the first block's mean, so the closing
+        # E[d^2] - E[d]^2 subtracts numbers of the VARIANCE's scale.
+        # A raw one-pass E[x^2] - mean^2 cancels catastrophically for
+        # large-mean/small-variance features (~15% of the variance
+        # gone at mean~1e5, std~0.01 even in float64 accumulators).
+        shift = None
         for t0 in range(0, n_t, block_t):
             block = self._derive_window(
                 slice(0, s1), slice(0, s2),
                 slice(t0, min(t0 + block_t, n_t)), [feature])
             arr = block[..., 0].astype(np.float64)
-            finite = np.isfinite(arr)
+            if shift is None:
+                m = np.nanmean(arr)
+                shift = float(m) if np.isfinite(m) else 0.0
+            d = arr - shift
+            finite = np.isfinite(d)
             count += int(finite.sum())
-            total += float(np.nansum(arr))
-            total_sq += float(np.nansum(arr * arr))
+            total += float(np.nansum(d))
+            total_sq += float(np.nansum(d * d))
         if count == 0:
             stats = (float('nan'), float('nan'))
         else:
-            mean = total / count
-            stats = (mean, max(total_sq / count - mean * mean, 0.0))
+            dmean = total / count
+            stats = (shift + dmean,
+                     max(total_sq / count - dmean * dmean, 0.0))
         self._stats_cache[feature] = stats
         return stats

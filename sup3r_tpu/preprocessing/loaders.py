@@ -322,7 +322,6 @@ class _LazyWindow:
 
     def __init__(self, var, sel):
         if isinstance(var, _LazyWindow):
-            size = dict(zip(var.dims, var.shape))
             sel = {d: compose_slice(
                 var._sel.get(d, slice(None)), sel.get(d, slice(None)),
                 dict(zip(var._var.dims, var._var.shape))[d])
@@ -592,6 +591,7 @@ class LoaderNC:
         target_order = (Dimension.SOUTH_NORTH, Dimension.WEST_EAST,
                         Dimension.TIME, Dimension.PRESSURE_LEVEL)
         data_vars, var_dims = {}, {}
+        eager_bytes = 0
         for name, (dims, arr, attrs) in raw_vars.items():
             if name in coord_names or name.lower() in _IGNORE_VARS:
                 continue
@@ -629,9 +629,13 @@ class LoaderNC:
                 values = _LazyNCVar(arr, cdims, canon, scale=sf,
                                     offset=off, fill=fv)
             else:
+                # budget the CUMULATIVE eager load, not each variable
+                # in isolation — many medium variables can blow the
+                # host-RAM cap just as surely as one big one
+                eager_bytes += int(np.prod(arr.shape)) * 4
                 check_host_ram_budget(
-                    int(np.prod(arr.shape)) * 4,
-                    f'Eager NetCDF load of variable "{name}"')
+                    eager_bytes,
+                    f'Eager NetCDF load through variable "{name}"')
                 raw = np.asarray(arr[:])
                 values = raw.astype(np.float32)
                 # fill comparison happens in PACKED space

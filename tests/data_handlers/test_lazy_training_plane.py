@@ -179,3 +179,100 @@ def test_lazy_rejects_unsupported(tmp_path):
     # non-local night-mask derivation
     with pytest.raises(NotImplementedError, match='non-local'):
         DataHandler(solar, features=['clearsky_ratio'], mode='lazy')
+
+
+def test_lazy_time_shift_time_dependent_parity(tmp_path):
+    """Time-DEPENDENT derivations (sza) under time_shift: the eager
+    path derives from raw file timestamps and shifts only the label
+    index afterwards (derivers.py); lazy must match. Regression: lazy
+    used to hand the deriver the SHIFTED index, moving sza by
+    time_shift (max divergence ~5.8 degrees at -30 min)."""
+    path = make_fake_nc4_file(str(tmp_path / 'a.nc'), (8, 8, 20),
+                              ['u100'])
+    feats = ['u_100m', 'sza']
+    eager = DataHandler(path, features=feats, time_shift=-30)
+    lazy = DataHandler(path, features=feats, time_shift=-30,
+                       mode='lazy')
+    assert lazy.time_index.equals(eager.time_index)
+    idx = (slice(1, 7), slice(2, 8), slice(3, 19), feats)
+    np.testing.assert_array_equal(lazy.data.sample(idx),
+                                  eager.data.sample(idx))
+
+
+def test_lazy_sample_numpy_semantics(tmp_path):
+    """sample() matches GridDataset's plain-numpy indexing: integer
+    indices squeeze their axis, slice steps are honored (strided s1
+    derives on the contiguous span then strides — wind rotation is
+    row-nonlocal), and negative s1 strides fail loudly."""
+    path = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (12, 10, 16),
+        ['windspeed_100m', 'winddirection_100m'], value_range=(0, 300))
+    feats = ['u_100m', 'v_100m']
+    eager = DataHandler(path, features=feats)
+    lazy = DataHandler(path, features=feats, mode='lazy')
+    cases = [
+        (slice(2, 8), slice(1, 7), slice(0, 8), 1),          # int f
+        (slice(2, 8), slice(1, 7), slice(0, 8), 0),
+        (3, slice(1, 7), slice(0, 8), feats),                # int s1
+        (slice(2, 8), 4, slice(0, 8), feats),                # int s2
+        (slice(2, 8), slice(1, 7), 5, feats),                # int t
+        (slice(1, 11, 2), slice(0, 9, 3), slice(0, 16, 4),
+         feats),                                             # strides
+        (slice(2, 9, 3), slice(1, 7), slice(0, 8), 1),       # both
+    ]
+    for idx in cases:
+        got = lazy.data.sample(idx)
+        want = eager.data.sample(idx)
+        assert got.shape == want.shape, idx
+        np.testing.assert_array_equal(got, want, err_msg=str(idx))
+    with pytest.raises(NotImplementedError, match='negative'):
+        lazy.data.sample((slice(8, 2, -1), slice(1, 7), slice(0, 8),
+                          feats))
+
+
+def test_lazy_stats_large_offset_precision():
+    """feature_nanstats keeps two-pass accuracy for large-mean/
+    small-variance features (shifted accumulation): a raw one-pass
+    E[x^2]-mean^2 loses ~15% of the variance at mean~1e5, std~0.01."""
+    from sup3r_tpu.names import Dimension
+    from sup3r_tpu.preprocessing.lazy import LazyGridDataset
+    from sup3r_tpu.preprocessing.loaders import RawDataset
+
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = (1e5 + 0.01 * rng.standard_normal((4, 4, 500))).astype(
+        np.float32)
+    lat_lon = np.dstack(np.meshgrid(
+        np.linspace(40, 39, 4), np.linspace(-105, -104, 4),
+        indexing='ij')).astype(np.float32)
+    raw = RawDataset(
+        {'u_100m': vals},
+        {'u_100m': (Dimension.SOUTH_NORTH, Dimension.WEST_EAST,
+                    Dimension.TIME)},
+        lat_lon, time_index=pd.date_range('2023-01-01', periods=500,
+                                          freq='h'))
+    ds = LazyGridDataset(raw, ['u_100m'], stats_block_elems=800)
+    mean, var = ds.feature_nanstats('u_100m')
+    v64 = vals.astype(np.float64)
+    np.testing.assert_allclose(mean, np.nanmean(v64), rtol=1e-9)
+    np.testing.assert_allclose(var, np.nanvar(v64), rtol=1e-6)
+
+
+def test_ram_budget_cumulative_nc(tmp_path, monkeypatch):
+    """The NC eager budget counts the CUMULATIVE load: four variables
+    each under the cap must still trip it together."""
+    nc = make_fake_nc4_file(str(tmp_path / 'multi.nc'), (16, 16, 64),
+                            ['u100', 'v100', 'u10', 'v10'])
+    # one var = 16*16*64*4 B = 64 KiB; budget 200 KiB passes any one
+    # variable but not all four
+    monkeypatch.setenv('SUP3R_TPU_HOST_RAM_GB',
+                       str(200 / 1024 / 1024))
+    with pytest.raises(MemoryError, match="mode='lazy'"):
+        DataHandler(nc, features=['u_100m', 'v_100m', 'u_10m',
+                                  'v_10m'])
+    lazy = DataHandler(nc, features=['u_100m', 'v_100m', 'u_10m',
+                                     'v_10m'], mode='lazy')
+    s = lazy.data.sample((slice(0, 4), slice(0, 4), slice(0, 4),
+                          ['u_100m', 'v_10m']))
+    assert s.shape == (4, 4, 4, 2)

@@ -146,3 +146,36 @@ def test_sp_halo_collectives_measured():
     # per-shard HLO reports one shard's transfers; scale to the mesh
     ratio = (measured * n_dev) / est
     assert 0.2 < ratio < 5, (measured, est, ratio)
+
+
+def test_collective_bytes_async_pairs_counted_once():
+    """HLO byte accounting for async collective pairs: ``*-start``
+    results alias input buffers (all-gather-start is
+    ``(f32[N], f32[8N])``), so payload bytes must come from the sync
+    form or the ``*-done`` result only — counting the start tuple
+    double-counts (inflating the PERFORMANCE.md 'ground truth')."""
+    from sup3r_tpu.parallel.mesh import _collective_bytes
+
+    class Fake:
+        def as_text(self):
+            return '\n'.join([
+                '  %ag = (f32[8]{0}, f32[64]{0}) all-gather-start('
+                'f32[8]{0} %x), replica_groups={}',
+                '  %agd = f32[64]{0} all-gather-done('
+                '(f32[8]{0}, f32[64]{0}) %ag)',
+                '  %cp = (f32[16]{0}, f32[16]{0}, u32[], u32[]) '
+                'collective-permute-start(f32[16]{0} %y)',
+                '  %cpd = f32[16]{0} collective-permute-done(%cp)',
+                '  %ar = (f32[4]{0}, f32[6]{0}) all-reduce('
+                'f32[4]{0} %a, f32[6]{0} %b), to_apply=%sum',
+            ])
+
+    halo, n_halo = _collective_bytes(
+        Fake(), ('collective-permute', 'all-to-all'))
+    assert (halo, n_halo) == (16 * 4, 1)
+    gather, n_g = _collective_bytes(Fake(), ('all-gather',))
+    assert (gather, n_g) == (64 * 4, 1)
+    # sync tuple all-reduce still sums EVERY element (XLA packs a
+    # whole gradient pytree into one all-reduce)
+    ar, n_ar = _collective_bytes(Fake(), ('all-reduce',))
+    assert (ar, n_ar) == ((4 + 6) * 4, 1)

@@ -199,6 +199,28 @@ def test_collect_nc_curvilinear(tmp_path):
                             is_regular_grid=False)
 
 
+def test_collect_nc_curvilinear_lon_split_rejected(tmp_path):
+    """An EQUAL-width longitude split passes the west_east-extent
+    check but must still be refused loudly: stacking longitude-
+    adjacent footprints along south_north garbles geography (the
+    reference's xr.concat does so silently — nc.py:117-120; we
+    promise NotImplementedError for non-latitude splits)."""
+    s1, s2, t = 6, 8, 3
+    data = RANDOM_GENERATOR.random((s1, s2, t, 1)).astype(np.float32)
+    lat_lon = _curvi_grid(s1, s2)
+    times = pd.date_range('2023-01-01', periods=t, freq='h')
+    chunks = []
+    for s_idx, ss2 in enumerate([slice(0, 4), slice(4, 8)]):
+        fp = str(tmp_path / f'chunk_000000_{s_idx:06d}.nc')
+        OutputHandlerNC._write_output(
+            data[:, ss2].copy(), ['u_100m'], lat_lon[:, ss2], times,
+            fp)
+        chunks.append(fp)
+    with pytest.raises(NotImplementedError, match='monotonic'):
+        CollectorNC.collect(chunks, str(tmp_path / 'bad.nc'),
+                            is_regular_grid=False)
+
+
 def test_get_lat_lon_bilinear_matches_griddata():
     """The fast bilinear remesh agrees with the reference-style
     griddata remesh on regular and rotated grids."""

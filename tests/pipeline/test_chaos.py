@@ -198,3 +198,45 @@ def test_killed_write_leaves_no_final_file(tmp_path):
         os.replace = real_replace
     assert not os.path.exists(out_fp)
     assert os.path.exists(out_fp + '.tmp')
+
+
+def test_node_plan_shipped_survives_late_start(domain, tmp_path):
+    """Cross-process redistribute race: each node SUBPROCESS rebuilds
+    its strategy at its own start time, so a late-starting node
+    re-deriving the plan after siblings finished chunks would get a
+    shifted array_split and orphan work. The head freezes ONE plan
+    and ships it via ``node_chunks_plan`` (cli.py forward_pass);
+    nodes must use it verbatim regardless of disk state drift."""
+    chaos_tmp, input_file, model_dir = domain
+    out_dir = tmp_path / 'out'
+    os.makedirs(out_dir)
+    kwargs = _strategy_kwargs(input_file, model_dir, out_dir)
+    common = dict(incremental=True, redistribute_chunks=True,
+                  max_nodes=2)
+
+    probe = ForwardPassStrategy(**kwargs, **common, head_node=True)
+    # some chunks finished BEFORE the head plans
+    for i in list(probe.node_chunks[0][:3]):
+        with open(probe.out_files[int(i)], 'w') as f:
+            f.write('done')
+
+    head = ForwardPassStrategy(**kwargs, **common, head_node=True)
+    plan = [[int(x) for x in c] for c in head.node_chunks]
+    assert sum(len(c) for c in plan) == N_CHUNKS - 3
+
+    # MORE chunks finish after the head froze the plan but before a
+    # late node starts (its siblings were faster)
+    for i in plan[0][:2]:
+        with open(head.out_files[i], 'w') as f:
+            f.write('done')
+
+    late = ForwardPassStrategy(**kwargs, **common,
+                               node_chunks_plan=plan)
+    assert [[int(x) for x in c] for c in late.node_chunks] == plan
+    assert len(late.node_chunks) == len(plan)
+
+    # without the shipped plan the late node's self-derived plan
+    # drifts — the race the plan shipping closes
+    drifted = ForwardPassStrategy(**kwargs, **common)
+    assert [[int(x) for x in c]
+            for c in drifted.node_chunks] != plan

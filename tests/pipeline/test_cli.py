@@ -53,6 +53,15 @@ def test_cli_forward_pass(fwp_setup):
     assert status['forward-pass']
     assert all(j['job_status'] == 'successful'
                for j in status['forward-pass'].values())
+    # the head ships its frozen node plan to every node config — one
+    # plan per invocation, however late a node subprocess starts
+    # (cross-process redistribute race; strategy.node_chunks_plan)
+    node_cfgs = sorted(tmp_path.glob('.forward-pass_*_node*.json'))
+    assert node_cfgs
+    with open(node_cfgs[0]) as f:
+        cfg = json.load(f)
+    plan = cfg['node_chunks_plan']
+    assert sorted(i for c in plan for i in c) == [0, 1, 2, 3]
 
 
 def test_cli_pipeline_monitor(fwp_setup):
