@@ -51,20 +51,31 @@ def transform_rotate_wind(ws, wd, lat_lon):
     return u, v
 
 
+def invert_uv_core(u, v, theta, invert_lat, xp, s_axis=0):
+    """Rotation core of ``invert_uv`` with the grid angle and lat
+    orientation precomputed, so it can run inside ``jax.jit`` (the
+    orientation test on a traced array would fail) and over a leading
+    batch dim. ``theta``: the grid angle WITH a trailing length-1 time
+    axis, already computed on flipped coords when ``invert_lat``.
+    ``s_axis``: index of the south_north axis in ``u``/``v``."""
+    if invert_lat:
+        u = xp.flip(u, axis=s_axis)
+        v = xp.flip(v, axis=s_axis)
+    u_rot = xp.cos(theta) * u - xp.sin(theta) * v
+    v_rot = xp.sin(theta) * u + xp.cos(theta) * v
+    ws = xp.hypot(u_rot, v_rot)
+    wd = (xp.degrees(xp.arctan2(u_rot, v_rot)) + 360) % 360
+    if invert_lat:
+        ws = xp.flip(ws, axis=s_axis)
+        wd = xp.flip(wd, axis=s_axis)
+    return ws, wd
+
+
 def invert_uv(u, v, lat_lon):
     """Grid-aligned (u, v) -> (windspeed, winddirection degrees)."""
     xp = array_module(u, v, lat_lon)
     invert_lat = bool(np.asarray(lat_lon[-1, 0, 0] > lat_lon[0, 0, 0]))
     if invert_lat:
         lat_lon = lat_lon[::-1]
-        u = u[::-1]
-        v = v[::-1]
     theta = _grid_angle(lat_lon, xp)[:, :, None]
-    u_rot = xp.cos(theta) * u - xp.sin(theta) * v
-    v_rot = xp.sin(theta) * u + xp.cos(theta) * v
-    ws = xp.hypot(u_rot, v_rot)
-    wd = (xp.degrees(xp.arctan2(u_rot, v_rot)) + 360) % 360
-    if invert_lat:
-        ws = ws[::-1]
-        wd = wd[::-1]
-    return ws, wd
+    return invert_uv_core(u, v, theta, invert_lat, xp)

@@ -143,12 +143,25 @@ class ForwardPass:
     @classmethod
     def run_generator(cls, data_chunk, hr_crop_slices, model,
                       s_enhance=None, t_enhance=None, exo_data=None):
-        """Reshape -> model.generate -> crop overlap."""
+        """Reshape -> model.generate -> crop overlap.
+
+        Models whose ``generate`` supports ``fetch=`` hand back the
+        un-fetched device array so the halo CROP happens on device and
+        the device->host transfer moves only the kept voxels (the
+        padded halo is 30-50% of the block at production pads). The
+        values are identical — slicing commutes with the fetch."""
+        import inspect
+
         data_chunk, exo_data, i_lr_t, i_lr_s = cls._reshape_data_chunk(
             model, data_chunk, exo_data)
-        hi_res = model.generate(data_chunk, exogenous_data=exo_data)
+        if 'fetch' in inspect.signature(
+                type(model).generate).parameters:
+            hi_res = model.generate(data_chunk, exogenous_data=exo_data,
+                                    fetch=False)
+        else:
+            hi_res = model.generate(data_chunk, exogenous_data=exo_data)
         if hi_res.ndim == 4:
-            hi_res = np.transpose(hi_res, (1, 2, 0, 3))[None]
+            hi_res = hi_res.transpose(1, 2, 0, 3)[None]
         if s_enhance is not None and (
                 hi_res.shape[1] != s_enhance * data_chunk.shape[i_lr_s]):
             raise RuntimeError(
@@ -222,6 +235,14 @@ class ForwardPass:
         if np.isnan(chunk.input_data).any():
             raise RuntimeError(
                 f'Chunk {chunk.index} input data contains NaNs')
+        if self._pack_single_gate(chunk):
+            try:
+                self._run_chunk_packed(chunk, allowed_const)
+            except MemoryError as e:
+                logger.error('Chunk %s failed output check: %s',
+                             chunk.index, e)
+                raise
+            return False, None
         out_data = self.run_generator(
             chunk.input_data, chunk.hr_crop_slice, self.model,
             s_enhance=self.strategy.s_enhance,
@@ -245,6 +266,75 @@ class ForwardPass:
                 gids=chunk.gids, invert_uv=self._invert_uv,
                 nn_fill=self._nn_fill)
         return failed, out_data if chunk.out_file is None else None
+
+    def _pack_single_gate(self, chunk):
+        """Whether this chunk's per-chunk run can use the device-
+        packed output path (crop + transform + storage quantization
+        on device — see ``_pack_write``): H5 file output and a model
+        whose ``generate`` can hand back the un-fetched device array
+        (``fetch=`` kwarg; MultiStepGan / LinearInterp / Sup3rCondMom
+        keep the host path)."""
+        import inspect
+
+        from sup3r_tpu.postprocessing.writers import OutputHandlerH5
+
+        if getattr(self.strategy, 'pack_output_on_device', None) \
+                is False:
+            return False
+        if (self.output_handler_class is not OutputHandlerH5
+                or chunk.out_file is None):
+            return False
+        gen_params = inspect.signature(
+            type(self.model).generate).parameters
+        return (hasattr(self.model, 'norm_input')
+                and 'fetch' in gen_params)
+
+    def _run_chunk_packed(self, chunk, allowed_const):
+        """Per-chunk variant of the packed drain: generate with
+        ``fetch=False``, keep the crop on device and pack + write.
+        When ``generate`` had to fetch anyway (output-combine exo, no
+        norm stats) the already-computed array finishes through the
+        host transform — the generator NEVER runs twice."""
+        import jax
+
+        data_chunk, exo_data, i_lr_t, i_lr_s = \
+            self._reshape_data_chunk(self.model, chunk.input_data,
+                                     chunk.exo_data)
+        hi_res = self.model.generate(data_chunk,
+                                     exogenous_data=exo_data,
+                                     fetch=False)
+        if hi_res.ndim == 4:
+            hi_res = hi_res.transpose(1, 2, 0, 3)[None]
+        s_en = self.strategy.s_enhance
+        t_en = self.strategy.t_enhance
+        if s_en is not None and (
+                hi_res.shape[1] != s_en
+                * np.shape(data_chunk)[i_lr_s]):
+            raise RuntimeError(
+                f'Spatial enhancement {s_en}x does not match '
+                f'{np.shape(data_chunk)} -> {hi_res.shape}')
+        if t_en is not None and (
+                hi_res.shape[3] != t_en
+                * np.shape(data_chunk)[i_lr_t]):
+            raise RuntimeError(
+                f'Temporal enhancement {t_en}x does not match '
+                f'{np.shape(data_chunk)} -> {hi_res.shape}')
+        cropped = hi_res[0][chunk.hr_crop_slice]
+        if isinstance(cropped, jax.Array):
+            self._pack_write([(chunk, cropped)],
+                             allowed_const=allowed_const)
+            return
+        out_data = np.asarray(cropped)
+        if not out_data.flags.writeable:
+            out_data = out_data.copy()
+        self._output_check(out_data, allowed_const=allowed_const)
+        self.output_handler_class._write_output(
+            data=out_data,
+            features=list(self.model.hr_out_features),
+            lat_lon=chunk.hr_lat_lon, times=chunk.hr_times,
+            out_file=chunk.out_file, meta_data=self.meta,
+            gids=chunk.gids, invert_uv=self._invert_uv,
+            nn_fill=self._nn_fill)
 
     def run_chunks_batched(self, chunk_ids, batch_size):
         """Device-batched execution: group same-shaped padded chunks,
@@ -487,10 +577,145 @@ class ForwardPass:
             out[feat] = {'steps': steps}
         return ExoData(out)
 
+    def _pack_gate(self, out, batch):
+        """Whether this dispatched batch can drain through the
+        device-packed path (ops/output_pack.py): crop + u/v inversion
+        + limits + storage quantization on device, fetching cropped
+        integer bytes. Auto unless ``strategy.pack_output_on_device``
+        forces it; requires an un-fetched device output, the H5
+        writer, and chunks that write files (callers wanting arrays
+        back get the untransformed float32 block). ``nn_fill`` is
+        honored: chunks whose device-computed min/max show
+        out-of-range values fall back to the host NaN-fill transform
+        per chunk (in range — the normal case — nn_fill is a no-op
+        and the packed bytes are identical)."""
+        import jax
+
+        from sup3r_tpu.postprocessing.writers import OutputHandlerH5
+
+        flag = getattr(self.strategy, 'pack_output_on_device', None)
+        if flag is False:
+            return False
+        ok = (isinstance(out, jax.Array)
+              and self.output_handler_class is OutputHandlerH5
+              and all(c.out_file is not None for c in batch))
+        if flag is True and not ok:
+            raise RuntimeError(
+                'pack_output_on_device=True but this run cannot pack '
+                'on device (needs H5 output, out_pattern set, and a '
+                'device-batched model path)')
+        return ok
+
+    def _drain_packed(self, batch, out):
+        """Device-packed drain: per chunk crop ON DEVICE, then pack +
+        write (see ``_pack_write``)."""
+        return self._pack_write(
+            [(chunk, out[i][chunk.hr_crop_slice])
+             for i, chunk in enumerate(batch)])
+
+    def _pack_write(self, items_all, allowed_const=None):
+        """Pack cropped device outputs and write their H5 files: run
+        the jitted pack (inversion + limits + quantization into
+        writer layout), fetch the small check stats then the packed
+        integer arrays. Chunks are grouped by (crop shape, lat
+        orientation) so each group is ONE jitted dispatch and one
+        fetch per feature."""
+        import jax.numpy as jnp
+
+        from warnings import warn
+
+        from sup3r_tpu.ops.output_pack import (
+            pack_chunks,
+            pack_plan,
+            theta_for,
+        )
+
+        names, pairs, quant = pack_plan(
+            self.model.hr_out_features, self._invert_uv)
+        groups = {}
+        for chunk, cropped in items_all:
+            invert_lat = bool(
+                chunk.hr_lat_lon[-1, 0, 0] > chunk.hr_lat_lon[0, 0, 0])
+            groups.setdefault(
+                (cropped.shape, invert_lat), []).append(
+                    (chunk, cropped))
+        outputs = {}
+        allowed = (self.strategy.allowed_const
+                   if allowed_const is None else allowed_const)
+        for (shape, invert_lat), items in groups.items():
+            stacked = jnp.stack([c for _, c in items])
+            thetas = jnp.asarray(np.stack(
+                [theta_for(ch.hr_lat_lon, invert_lat)
+                 for ch, _ in items]))
+            packed, stats = pack_chunks(stacked, thetas, pairs, quant,
+                                        invert_lat)
+            stats = {k: np.asarray(v) for k, v in stats.items()}
+            for j in range(len(items)):
+                self._check_packed_stats(stats, j, allowed)
+            # limits: per chunk, out-of-range under nn_fill means the
+            # host transform's NaN-fill semantics apply — fall back
+            # for THOSE chunks only. In clip mode warn and keep the
+            # device clip (bit-identical to the host clip).
+            oob = np.zeros(len(items), dtype=bool)
+            for k, (name, (_, _, lo, hi)) in enumerate(
+                    zip(names, quant)):
+                bad = ((stats['ch_max'][:, k] > hi)
+                       | (stats['ch_min'][:, k] < lo))
+                if bad.any():
+                    if self._nn_fill:
+                        oob |= bad
+                    else:
+                        warn(f'"{name}" outside physical range '
+                             f'({lo}, {hi}); clipping.')
+            host = None
+            for j, (chunk, cropped) in enumerate(items):
+                if oob[j]:
+                    self.output_handler_class._write_output(
+                        data=np.asarray(cropped),
+                        features=list(self.model.hr_out_features),
+                        lat_lon=chunk.hr_lat_lon,
+                        times=chunk.hr_times,
+                        out_file=chunk.out_file, meta_data=self.meta,
+                        gids=chunk.gids, invert_uv=self._invert_uv,
+                        nn_fill=True)
+                else:
+                    if host is None:
+                        host = [np.asarray(p) for p in packed]
+                    self.output_handler_class._write_packed(
+                        [h[j] for h in host], list(names),
+                        lat_lon=chunk.hr_lat_lon,
+                        times=chunk.hr_times,
+                        out_file=chunk.out_file, meta_data=self.meta,
+                        gids=chunk.gids)
+                outputs[chunk.index] = None
+        return outputs
+
+    @staticmethod
+    def _check_packed_stats(stats, j, allowed_const):
+        """Mirror ``_output_check`` from device-computed statistics
+        (NaN anywhere; exactly-constant channels outside the allowed
+        list)."""
+        if stats['nan_any'][j]:
+            raise MemoryError(
+                'Forward pass output contains NaN values!')
+        if allowed_const is True:
+            return
+        allowed = allowed_const if isinstance(allowed_const,
+                                              (list, tuple)) else []
+        for i, const in enumerate(stats['ch_const'][j]):
+            first = stats['ch_first'][j, i]
+            if const and first not in allowed:
+                raise MemoryError(
+                    f'Forward pass output channel {i} is constant '
+                    f'({first})! If this is intended pass '
+                    'allowed_const including this value.')
+
     def _drain_chunk_batch(self, batch, dispatched):
         """Fetch a dispatched batch to host, crop each chunk and
         write/return it."""
         out, n_real = dispatched
+        if self._pack_gate(out, batch):
+            return self._drain_packed(batch, out)
         out = np.asarray(out)
         if not out.flags.writeable:
             out = out.copy()

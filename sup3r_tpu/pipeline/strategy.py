@@ -126,6 +126,19 @@ class ForwardPassStrategy:
     #: dask-lazy input handlers (sup3r/pipeline/strategy.py:253-266)
     #: for continental-scale domains that don't fit in host RAM.
     chunked_io: bool = False
+    #: device-side output packing for the batched drain: crop + u/v
+    #: inversion + physical limits + storage quantization run as one
+    #: jitted program and the device->host fetch carries cropped
+    #: int16/uint16 bytes (>=2x fewer than float32, plus no halo) —
+    #: the drain is the dominant E2E cost (docs/PERFORMANCE.md
+    #: three-tier attribution). None = auto (on when supported: H5
+    #: output files + a device-batched model; chunks with
+    #: out-of-range values under nn_fill fall back to the host
+    #: NaN-fill transform per chunk). False forces the
+    #: host transform; True errors if unsupported. Values can differ
+    #: from the host path by +-1 storage quantum at round() boundaries
+    #: (device vs host trig ulps — tests/output/test_output_pack.py).
+    pack_output_on_device: Optional[bool] = None
     #: internal: explicit per-node chunk-id lists computed ONCE by the
     #: head process and shipped to every node subprocess through the
     #: node config. With ``redistribute_chunks`` the plan depends on

@@ -240,6 +240,39 @@ class OutputHandlerH5(OutputHandler):
             np.asarray(data, dtype=np.float32), list(features), lat_lon,
             max_workers, invert_uv=invert_uv, nn_fill=nn_fill)
         s1, s2, t = data.shape[:3]
+        arrays = []
+        for i, feat in enumerate(features):
+            attrs, dtype = get_dset_attrs(feat)
+            flat = data[..., i].reshape(s1 * s2, t).T
+            scale = attrs.get('scale_factor', 1.0)
+            arrays.append(np.round(flat * scale).astype(dtype)
+                          if 'int' in str(dtype) else flat.astype(dtype))
+        cls._write_h5(arrays, features, lat_lon, times, out_file,
+                      meta_data=meta_data, gids=gids)
+
+    @classmethod
+    def _write_packed(cls, arrays, features, lat_lon, times, out_file,
+                      meta_data=None, gids=None):
+        """Write ALREADY storage-quantized per-feature ``(t, n_sites)``
+        arrays (device-packed by ops/output_pack.py: u/v inversion,
+        limits, round(x*scale) and dtype conversion all done on
+        device). ``features`` are the FINAL storage names (windspeed/
+        winddirection after inversion)."""
+        for feat, arr in zip(features, arrays):
+            _, dtype = get_dset_attrs(feat)
+            if str(arr.dtype) != str(np.dtype(dtype)):
+                raise TypeError(
+                    f'Packed array for "{feat}" is {arr.dtype}; its '
+                    f'storage dtype is {dtype}')
+        cls._write_h5(list(arrays), list(features), lat_lon, times,
+                      out_file, meta_data=meta_data, gids=gids)
+
+    @classmethod
+    def _write_h5(cls, arrays, features, lat_lon, times, out_file,
+                  meta_data=None, gids=None):
+        """Assemble the rex-style H5 from final ``(t, n_sites)``
+        storage arrays (atomic tmp+rename)."""
+        s1, s2 = np.asarray(lat_lon).shape[:2]
         if gids is None:
             gids = np.arange(s1 * s2).reshape(s1, s2)
         tmp = out_file + '.tmp'
@@ -255,13 +288,9 @@ class OutputHandlerH5(OutputHandler):
             f.create_dataset('meta', data=meta)
             f.create_dataset('time_index', data=np.array(
                 [str(ts).encode() for ts in times]))
-            for i, feat in enumerate(features):
-                attrs, dtype = get_dset_attrs(feat)
-                flat = data[..., i].reshape(s1 * s2, t).T
-                scale = attrs.get('scale_factor', 1.0)
-                ds = f.create_dataset(
-                    feat, data=np.round(flat * scale).astype(dtype)
-                    if 'int' in str(dtype) else flat.astype(dtype))
+            for feat, arr in zip(features, arrays):
+                attrs, _ = get_dset_attrs(feat)
+                ds = f.create_dataset(feat, data=arr)
                 for k, v in attrs.items():
                     ds.attrs[k] = v
             f.attrs['version_record'] = safe_serialize(
