@@ -249,6 +249,10 @@ class ForwardPass:
             t_enhance=self.strategy.t_enhance,
             exo_data=chunk.exo_data)
         out_data = np.asarray(out_data)
+        if not out_data.flags.writeable:
+            # np.asarray of a device array can be a read-only view;
+            # callers getting the array back may post-process in place
+            out_data = out_data.copy()
         failed = False
         try:
             self._output_check(out_data, allowed_const=allowed_const)
@@ -273,21 +277,28 @@ class ForwardPass:
         on device — see ``_pack_write``): H5 file output and a model
         whose ``generate`` can hand back the un-fetched device array
         (``fetch=`` kwarg; MultiStepGan / LinearInterp / Sup3rCondMom
-        keep the host path)."""
+        keep the host path). ``pack_output_on_device=True`` errors if
+        this chunk cannot pack — same contract as the batched
+        ``_pack_gate``."""
         import inspect
 
         from sup3r_tpu.postprocessing.writers import OutputHandlerH5
 
-        if getattr(self.strategy, 'pack_output_on_device', None) \
-                is False:
-            return False
-        if (self.output_handler_class is not OutputHandlerH5
-                or chunk.out_file is None):
+        flag = getattr(self.strategy, 'pack_output_on_device', None)
+        if flag is False:
             return False
         gen_params = inspect.signature(
             type(self.model).generate).parameters
-        return (hasattr(self.model, 'norm_input')
-                and 'fetch' in gen_params)
+        ok = (self.output_handler_class is OutputHandlerH5
+              and chunk.out_file is not None
+              and hasattr(self.model, 'norm_input')
+              and 'fetch' in gen_params)
+        if flag is True and not ok:
+            raise RuntimeError(
+                'pack_output_on_device=True but this chunk cannot '
+                'pack on device (needs H5 output, out_pattern set, '
+                'and a model whose generate supports fetch=)')
+        return ok
 
     def _run_chunk_packed(self, chunk, allowed_const):
         """Per-chunk variant of the packed drain: generate with
@@ -297,29 +308,11 @@ class ForwardPass:
         host transform — the generator NEVER runs twice."""
         import jax
 
-        data_chunk, exo_data, i_lr_t, i_lr_s = \
-            self._reshape_data_chunk(self.model, chunk.input_data,
-                                     chunk.exo_data)
-        hi_res = self.model.generate(data_chunk,
-                                     exogenous_data=exo_data,
-                                     fetch=False)
-        if hi_res.ndim == 4:
-            hi_res = hi_res.transpose(1, 2, 0, 3)[None]
-        s_en = self.strategy.s_enhance
-        t_en = self.strategy.t_enhance
-        if s_en is not None and (
-                hi_res.shape[1] != s_en
-                * np.shape(data_chunk)[i_lr_s]):
-            raise RuntimeError(
-                f'Spatial enhancement {s_en}x does not match '
-                f'{np.shape(data_chunk)} -> {hi_res.shape}')
-        if t_en is not None and (
-                hi_res.shape[3] != t_en
-                * np.shape(data_chunk)[i_lr_t]):
-            raise RuntimeError(
-                f'Temporal enhancement {t_en}x does not match '
-                f'{np.shape(data_chunk)} -> {hi_res.shape}')
-        cropped = hi_res[0][chunk.hr_crop_slice]
+        cropped = self.run_generator(
+            chunk.input_data, chunk.hr_crop_slice, self.model,
+            s_enhance=self.strategy.s_enhance,
+            t_enhance=self.strategy.t_enhance,
+            exo_data=chunk.exo_data)
         if isinstance(cropped, jax.Array):
             self._pack_write([(chunk, cropped)],
                              allowed_const=allowed_const)

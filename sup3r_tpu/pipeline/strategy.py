@@ -288,9 +288,12 @@ class ForwardPassStrategy:
             kwargs = dict(self.exo_handler_kwargs[feature])
             kwargs.setdefault('file_paths', self.file_paths)
             kwargs.setdefault('input_handler_kwargs', ihk_exo)
-            if self.out_pattern is not None:
+            if (self.out_pattern is not None
+                    and not os.environ.get('SUP3R_TPU_EXO_CACHE_DIR')):
                 # default the exo cache under the run's output dir so
-                # production runs never drop caches in the bare CWD
+                # production runs never drop caches in the bare CWD —
+                # but a user-pinned SUP3R_TPU_EXO_CACHE_DIR (shared
+                # cache across runs) wins over the per-run default
                 kwargs.setdefault('cache_dir', os.path.join(
                     os.path.dirname(os.path.abspath(self.out_pattern)),
                     'exo_cache'))

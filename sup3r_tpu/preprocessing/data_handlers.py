@@ -64,7 +64,7 @@ class DataHandler:
                                   ('hr_spatial_coarsen',
                                    hr_spatial_coarsen or 1),
                                   ('cache_kwargs', cache_kwargs))
-                if v not in (0, 1, None)}
+                if v and v not in (0, 1)}
             if unsupported:
                 raise NotImplementedError(
                     f"mode='lazy' does not support "

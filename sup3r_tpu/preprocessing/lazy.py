@@ -184,7 +184,14 @@ class LazyGridDataset:
         1-row top halo that makes wind-rotation windows bit-exact."""
         start1, stop1, _ = s1.indices(self.shape[0])
         halo = 1 if start1 > 0 else 0
-        win = self.raw.isel(s1=slice(start1 - halo, stop1), s2=s2, t=t)
+        # a height-1 window at row 0 would hand _grid_angle a single
+        # row (the roll delta wraps onto itself -> wrong angle);
+        # extend one row BELOW and crop it after, which reproduces the
+        # full-domain row-0 angle (row 0 reuses the row-0/row-1 delta)
+        halo_bot = 1 if (halo == 0 and stop1 - start1 == 1
+                         and stop1 < self.shape[0]) else 0
+        win = self.raw.isel(s1=slice(start1 - halo, stop1 + halo_bot),
+                            s2=s2, t=t)
         if self.raw.time_index is not None:
             # the deriver must see the RAW file timestamps, never the
             # time_shift-ed labels: the eager path derives first and
@@ -201,6 +208,8 @@ class LazyGridDataset:
         block = der.data.data
         if halo:
             block = block[1:]
+        if halo_bot:
+            block = block[:-1]
         return block
 
     def sample(self, idx):
@@ -208,24 +217,44 @@ class LazyGridDataset:
         — the sampler hot path. Reads only the sampled window (+1 halo
         row) from disk and derives on it.
 
-        Matches ``GridDataset``'s plain-numpy indexing semantics:
-        integer indices squeeze their axis, slice steps are honored.
-        Strided windows derive on the CONTIGUOUS span then stride —
-        wind rotation's row angle uses adjacent rows, so deriving on
-        the strided rows directly would diverge from eager. Negative
-        steps are rejected (row order matters to the rotation)."""
+        Matches ``GridDataset``'s plain-numpy indexing semantics
+        exactly: the window is derived on the CONTIGUOUS span, then
+        the caller's ORIGINAL index expression is re-applied locally —
+        so integer squeezing, slice steps, and numpy's mixed
+        basic/advanced rules (an integer axis combined with an integer
+        -array feature index moves the broadcast axis to the front,
+        as ``data[s1, s2, t, f]`` does) all come from numpy itself.
+        Deriving on the contiguous span matters: wind rotation's row
+        angle uses adjacent rows, so deriving on strided rows directly
+        would diverge from eager. Negative steps are rejected (row
+        order matters to the rotation)."""
         s1, s2, t, f = idx
-        f_squeeze = False
-        if isinstance(f, (list, tuple)) and f and isinstance(f[0], str):
+        # which features to derive, and the index that re-applies the
+        # caller's feature selection on the derived block's last axis
+        two_step = (isinstance(f, (list, tuple)) and f
+                    and isinstance(f[0], str))
+        if two_step:
+            # eager: data[s1, s2, t][..., positions] — two separate
+            # indexing ops, so name lists never join the advanced-
+            # index broadcast; derive in the requested order
             feats = [x.lower() for x in f]
+            f_local = slice(None)
         elif isinstance(f, slice):
             feats = self.features[f]
+            f_local = slice(None)
         elif np.ndim(f) == 0:
             feats = [self.features[int(f)]]
-            f_squeeze = True
+            f_local = 0
         else:
-            feats = [self.features[i] for i in np.atleast_1d(f)]
-        spans, post = [], []
+            pos = [int(i) for i in np.atleast_1d(f)]
+            feats, remap = [], []
+            for i in pos:
+                name = self.features[i]
+                if name not in feats:
+                    feats.append(name)
+                remap.append(feats.index(name))
+            f_local = np.asarray(remap)
+        spans, local = [], []
         for ax, ix in enumerate((s1, s2, t)):
             n = self.shape[ax]
             if isinstance(ix, slice):
@@ -236,23 +265,22 @@ class LazyGridDataset:
                         'sampling (wind rotation depends on row '
                         "order) — use mode='eager'")
                 spans.append(slice(start, max(stop, start)))
-                post.append(slice(None, None, step))
+                local.append(slice(None, None, step))
             else:
                 i = int(ix)
                 i += n if i < 0 else 0
                 spans.append(slice(i, i + 1))
-                post.append(0)
+                local.append(0)
         block = self._derive_window(*spans, feats)
-        block = block[tuple(post)]
         if self._means is not None:
             mean = np.array([self._means.get(x, 0.0) for x in feats],
                             dtype=np.float32)
-            std = np.array([self._stds.get(x, 1.0) or 1.0 for x in feats],
-                           dtype=np.float32)
+            std = np.array([self._stds.get(x, 1.0) or 1.0
+                            for x in feats], dtype=np.float32)
             block = (block - mean) / std
-        if f_squeeze:
-            block = block[..., 0]
-        return block
+        if two_step:
+            return block[tuple(local)]
+        return block[(*local, f_local)]
 
     # ------------------------------------------------------------------
     def normalize(self, means, stds):

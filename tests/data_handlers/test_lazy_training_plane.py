@@ -276,3 +276,67 @@ def test_ram_budget_cumulative_nc(tmp_path, monkeypatch):
     s = lazy.data.sample((slice(0, 4), slice(0, 4), slice(0, 4),
                           ['u_100m', 'v_10m']))
     assert s.shape == (4, 4, 4, 2)
+
+
+def test_lazy_single_row_window_at_row0(tmp_path):
+    """Height-1 s1 windows starting at row 0 derive wind u/v exactly:
+    the lazy window must extend one halo row BELOW (the top-halo rule
+    only helps start1 > 0), else _grid_angle sees a single row whose
+    roll delta wraps onto itself (round-4 review finding)."""
+    path = make_fake_h5_file(
+        str(tmp_path / 'wtk.h5'), (8, 7, 20),
+        ['windspeed_100m', 'winddirection_100m'], value_range=(0, 300))
+    feats = ['u_100m', 'v_100m']
+    eager = DataHandler(path, features=feats)
+    lazy = DataHandler(path, features=feats, mode='lazy')
+    for idx in [
+            (slice(0, 1), slice(0, 7), slice(0, 5), feats),
+            (0, slice(0, 7), slice(0, 5), feats),       # int row 0
+            (slice(0, 1), slice(2, 5), slice(3, 9), feats),
+            (slice(7, 8), slice(0, 7), slice(0, 5), feats),  # last row
+            (7, slice(0, 7), slice(0, 5), feats),
+    ]:
+        np.testing.assert_array_equal(
+            lazy.data.sample(idx), eager.data.sample(idx),
+            err_msg=f'idx={idx}')
+
+
+def test_lazy_mixed_advanced_indexing_parity(tmp_path):
+    """Integer spatial index + integer-array feature index follows
+    numpy's mixed basic/advanced rules exactly as the eager path does
+    (broadcast axis moves to the front — round-4 review finding)."""
+    nc = make_fake_nc4_file(str(tmp_path / 'era.nc'), (10, 9, 16),
+                            ['u100', 'v100', 'u10'])
+    feats = ['u_100m', 'v_100m', 'u_10m']
+    eager = DataHandler(nc, features=feats)
+    lazy = DataHandler(nc, features=feats, mode='lazy')
+    cases = [
+        (slice(2, 5), 3, slice(0, 5), [1, 0]),   # int + int-array
+        (slice(2, 5), 3, slice(0, 5), np.array([2, 0])),
+        (2, 3, slice(0, 5), [0, 1]),             # two ints + array
+        (slice(2, 5), 3, slice(0, 5), 1),        # int feature
+        (slice(2, 5), slice(1, 4), 5, slice(0, 2)),
+        (slice(0, 8, 2), slice(1, 9, 3), slice(0, 16, 4), [0, 2]),
+        (slice(2, 5), 3, slice(0, 5), [1, 1]),   # duplicate features
+    ]
+    for idx in cases:
+        exp = eager.data.sample(idx)
+        got = lazy.data.sample(idx)
+        assert got.shape == exp.shape, f'idx={idx}'
+        np.testing.assert_array_equal(got, exp, err_msg=f'idx={idx}')
+
+
+def test_lazy_accepts_falsy_unsupported_kwargs(tmp_path):
+    """cache_kwargs={} / time_roll=0 are no-ops and must not trip the
+    lazy-mode unsupported-kwargs gate (round-4 review finding)."""
+    nc = make_fake_nc4_file(str(tmp_path / 'era.nc'), (6, 6, 10),
+                            ['u100'])
+    dh = DataHandler(nc, features=['u_100m'], mode='lazy',
+                     cache_kwargs={}, time_roll=0,
+                     hr_spatial_coarsen=1)
+    assert dh.data.sample(
+        (slice(0, 3), slice(0, 3), slice(0, 4), ['u_100m'])
+    ).shape == (3, 3, 4, 1)
+    with pytest.raises(NotImplementedError, match='cache_kwargs'):
+        DataHandler(nc, features=['u_100m'], mode='lazy',
+                    cache_kwargs={'cache_pattern': 'x_{feature}.h5'})
