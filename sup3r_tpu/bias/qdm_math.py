@@ -113,7 +113,10 @@ class QuantileDeltaMapping:
                 denom = np.maximum(denom, self.delta_denom_min)
             with np.errstate(divide='ignore', invalid='ignore'):
                 delta = data / denom
-            delta = np.where(np.isfinite(delta), delta, 1.0)
+            # non-finite deltas (zero denominators) propagate so the
+            # runtime transforms can raise like the reference
+            # (bias_transforms.py:816-825) — NaN columns (invalid
+            # gids) already yield NaN through x_oh either way
             if self.delta_range is not None:
                 delta = np.clip(delta, *self.delta_range)
             out = x_oh * delta
@@ -188,11 +191,11 @@ def qdm_transform_device(data, params_oh, params_mh, params_mf,
             if delta_denom_min is not None:
                 denom = jnp.maximum(denom, delta_denom_min)
             delta = col / denom
-            delta = jnp.where(jnp.isfinite(delta), delta, 1.0)
+            # non-finite deltas propagate (see the host path): NaN
+            # columns (invalid gids) yield NaN through x_oh either
+            # way, and zero denominators must surface loudly
             if delta_range is not None:
                 delta = jnp.clip(delta, *delta_range)
-            # x_oh NaN (invalid column) must still yield NaN even
-            # where delta was repaired to 1.0
             return x_oh * delta
         delta = col - x_mh
         if delta_range is not None:

@@ -25,19 +25,49 @@ logger = logging.getLogger(__name__)
 
 def get_date_range_kwargs(time_index):
     """kwargs to reconstruct a DatetimeIndex with pd.date_range
-    (reference: sup3r/preprocessing/utilities.py:173)."""
-    freq = (time_index[1] - time_index[0] if len(time_index) > 1
-            else pd.Timedelta(days=1))
-    return {
+    (reference: sup3r/preprocessing/utilities.py:173-220).
+
+    Noleap-calendar data (NCforCC/CMIP) spanning a leap year has one
+    irregular 2-day step at Feb 29; like the reference, that case is
+    encoded as ``drop_leap=True`` (rebuild the nominal range, then
+    drop Feb 29) rather than failing the regular-frequency rebuild."""
+    if len(time_index) > 1:
+        deltas, counts = np.unique(np.diff(time_index.values),
+                                   return_counts=True)
+        freq = pd.tseries.frequencies.to_offset(
+            pd.Timedelta(deltas[np.argmax(counts)])).freqstr
+    else:
+        deltas = np.array([])
+        freq = 'D'
+    kwargs = {
         'start': str(time_index[0]),
         'end': str(time_index[-1]),
-        'freq': pd.tseries.frequencies.to_offset(freq).freqstr,
+        'freq': freq,
     }
+    if len(deltas) > 1:
+        nominal = pd.date_range(**kwargs)
+        if len(nominal) > len(time_index):
+            kwargs['drop_leap'] = True
+        else:
+            raise ValueError(
+                f'Got multiple unique time steps ({deltas}) for time '
+                f'index starting {time_index[0]} — input data must '
+                'have a consistent frequency')
+    return kwargs
 
 
 def make_time_index_from_kws(date_range_kwargs):
-    """Rebuild the DatetimeIndex from get_date_range_kwargs output."""
-    return pd.date_range(**date_range_kwargs)
+    """Rebuild the DatetimeIndex from get_date_range_kwargs output
+    (reference: sup3r/preprocessing/utilities.py:222-245), honoring
+    the ``drop_leap`` kwarg reference-produced dicts may carry. The
+    caller's dict is not mutated."""
+    kws = dict(date_range_kwargs)
+    drop_leap = kws.pop('drop_leap', False)
+    time_index = pd.date_range(**kws)
+    if drop_leap:
+        time_index = time_index[
+            ~((time_index.month == 2) & (time_index.day == 29))]
+    return time_index
 
 
 def _read_factor_file(bias_fp, var_names, lat_lon, threshold=0.1):
@@ -197,16 +227,26 @@ def _apply_qdm_windowed(data, time_index, base_params, bias_params,
                         bias_fut_params, time_window_center,
                         relative=True, sampling='linear', log_base=10,
                         no_trend=False, delta_denom_min=None,
-                        delta_denom_zero=None, delta_range=None):
-    """Apply QDM per day-of-year window. params are (s1, s2, T, N)."""
-    s1, s2, t = data.shape
+                        delta_denom_zero=None, delta_range=None,
+                        bias_tau_fut=None, k_factor=None):
+    """Apply QDM per day-of-year window. params are (s1, s2, T, N).
+
+    Each timestamp is assigned to its NEAREST window center
+    (reference: bias_transforms.py:788-791 ``closest_time_idx``) —
+    a strict in-window mask leaves days uncovered (doy 365/366
+    always; more for some window counts), which returned whole NaN
+    days here before the round-4 review. When ``bias_tau_fut`` /
+    ``k_factor`` are given (PresRat), zero-rate preservation and the
+    K factor apply per window — skipped entirely under ``no_trend``,
+    matching the reference (bias_transforms.py:1117-1120)."""
+    s1, s2, _ = data.shape
     output = np.full_like(data, np.nan, dtype=np.float32)
-    window_size = 365 / len(time_window_center)
-    doy = time_index.dayofyear.values
-    for nt, d0 in enumerate(time_window_center):
-        mask = window_mask(doy, d0, window_size)
-        if not mask.any():
-            continue
+    centers = np.asarray(time_window_center, dtype=np.float64)
+    doy = np.asarray(time_index.dayofyear.values, dtype=np.float64)
+    closest = np.argmin(np.abs(doy[:, None] - centers[None, :]),
+                        axis=1)
+    for nt in np.unique(closest):
+        mask = closest == nt
         qdm = QuantileDeltaMapping(
             params_oh=base_params[:, :, nt].reshape(
                 s1 * s2, -1),
@@ -218,8 +258,12 @@ def _apply_qdm_windowed(data, time_index, base_params, bias_params,
             delta_denom_min=delta_denom_min,
             delta_denom_zero=delta_denom_zero, delta_range=delta_range)
         subset = data[:, :, mask].reshape(s1 * s2, -1).T  # (T_w, S)
-        corrected = qdm(subset)
-        output[:, :, mask] = corrected.T.reshape(s1, s2, -1)
+        corrected = qdm(subset).T.reshape(s1, s2, -1)
+        if bias_tau_fut is not None and not no_trend:
+            corrected = np.where(
+                corrected < bias_tau_fut, 0,
+                corrected * k_factor[:, :, nt:nt + 1])
+        output[:, :, mask] = corrected
     return output
 
 
@@ -256,6 +300,13 @@ def local_qdm_bc(data, lat_lon, base_dset, feature_name, bias_fp,
         delta_denom_zero=delta_denom_zero, delta_range=delta_range)
     if out_range is not None:
         out = np.clip(out, np.min(out_range), np.max(out_range))
+    if not np.isfinite(out).all():
+        msg = ('QDM bias correction resulted in NaN / inf values! If '
+               'this is a relative QDM, you may try setting '
+               '``delta_denom_min`` or ``delta_denom_zero`` '
+               '(reference: bias_transforms.py:816-825)')
+        logger.error(msg)
+        raise RuntimeError(msg)
     return out
 
 
@@ -304,28 +355,28 @@ def local_presrat_bc(data, lat_lon, base_dset, feature_name, bias_fp,
         bias_tau_fut = bias_tau_fut[spatial]
         k_factor = k_factor[spatial]
 
-    time_window_center = cfg['time_window_center']
+    # zero-rate preservation + K factor apply per window INSIDE the
+    # QDM loop, and not at all under no_trend (reference:
+    # bias_transforms.py:1117-1120 "If no trend, it doesn't make
+    # sense to correct for zero rate or apply the k-factor")
     data_unbiased = _apply_qdm_windowed(
         np.asarray(data), time_index, base, bias, bias_fut,
-        time_window_center, relative=relative,
+        cfg['time_window_center'], relative=relative,
         sampling=cfg.get('sampling', 'linear'),
         log_base=cfg.get('log_base', 10), no_trend=no_trend,
         delta_denom_min=delta_denom_min,
-        delta_denom_zero=delta_denom_zero, delta_range=delta_range)
-
-    # zero-rate preservation
-    data_unbiased = np.where(
-        data_unbiased < bias_tau_fut[..., :1], 0, data_unbiased)
-    # K factor per time window
-    window_size = 365 / len(time_window_center)
-    doy = time_index.dayofyear.values
-    for nt, d0 in enumerate(time_window_center):
-        mask = window_mask(doy, d0, window_size)
-        if mask.any():
-            data_unbiased[:, :, mask] *= k_factor[:, :, nt:nt + 1]
+        delta_denom_zero=delta_denom_zero, delta_range=delta_range,
+        bias_tau_fut=bias_tau_fut[..., :1], k_factor=k_factor)
     if out_range is not None:
         data_unbiased = np.clip(data_unbiased, np.min(out_range),
                                 np.max(out_range))
+    if np.isnan(data_unbiased).any():
+        msg = ('Presrat bias correction resulted in NaN values! If '
+               'this is a relative QDM, you may try setting '
+               '``delta_denom_min`` or ``delta_denom_zero`` '
+               '(reference: bias_transforms.py:1128-1135)')
+        logger.error(msg)
+        raise RuntimeError(msg)
     if data_unbiased.std() == 0:
         warn(f'Presrat output for {feature_name} is constant!')
     return data_unbiased.astype(np.float32)

@@ -464,28 +464,9 @@ class CollectorNC:
 
     @staticmethod
     def _write_nc(out_file, times, lat2d, lon2d, full, features):
-        """Atomic tmp+rename write of (time, south_north, west_east)
-        feature cubes with 2D coords to a classic NetCDF file."""
-        from scipy.io import netcdf_file
+        """Atomic NetCDF write via the shared writer helper (one
+        NetCDF path for collectors AND OutputHandlerNC)."""
+        from sup3r_tpu.postprocessing.writers import write_nc_file
 
-        tmp = out_file + '.tmp'
-        os.makedirs(os.path.dirname(os.path.abspath(out_file)),
-                    exist_ok=True)
-        with netcdf_file(tmp, 'w') as f:
-            f.createDimension('time', len(times))
-            f.createDimension('south_north', lat2d.shape[0])
-            f.createDimension('west_east', lat2d.shape[1])
-            v = f.createVariable('time', 'f8', ('time',))
-            epoch = pd.Timestamp('1970-01-01')
-            v[:] = (times - epoch).total_seconds() / 3600.0
-            v.units = b'hours since 1970-01-01'
-            f.createVariable('latitude', 'f4',
-                             ('south_north', 'west_east'))[:] = lat2d
-            f.createVariable('longitude', 'f4',
-                             ('south_north', 'west_east'))[:] = lon2d
-            for feat in features:
-                var = f.createVariable(
-                    feat, 'f4', ('time', 'south_north', 'west_east'))
-                var[:] = full[feat]
-        os.replace(tmp, out_file)
-        return out_file
+        return write_nc_file(out_file, times, lat2d, lon2d,
+                             {feat: full[feat] for feat in features})

@@ -27,6 +27,42 @@ from sup3r_tpu.utilities import (
 logger = logging.getLogger(__name__)
 
 
+def write_nc_file(out_file, times, lat2d, lon2d, feature_arrays,
+                  meta_attr=None):
+    """Atomic tmp+rename write of ``{feature: (time, south_north,
+    west_east)}`` cubes with 2D coords to a classic NetCDF file — the
+    ONE NetCDF writing path, shared by ``OutputHandlerNC`` and
+    ``CollectorNC`` (scipy netcdf_file; this image has no netCDF4)."""
+    from scipy.io import netcdf_file
+
+    tmp = out_file + '.tmp'
+    os.makedirs(os.path.dirname(os.path.abspath(out_file)),
+                exist_ok=True)
+    lat2d = np.asarray(lat2d)
+    with netcdf_file(tmp, 'w') as f:
+        f.createDimension('time', len(times))
+        f.createDimension('south_north', lat2d.shape[0])
+        f.createDimension('west_east', lat2d.shape[1])
+        v = f.createVariable('time', 'f8', ('time',))
+        epoch = pd.Timestamp('1970-01-01')
+        v[:] = (pd.DatetimeIndex(times) - epoch).total_seconds() \
+            / 3600.0
+        v.units = b'hours since 1970-01-01'
+        f.createVariable('latitude', 'f4',
+                         ('south_north', 'west_east'))[:] = lat2d
+        f.createVariable('longitude', 'f4',
+                         ('south_north', 'west_east'))[:] = lon2d
+        for feat, arr in feature_arrays.items():
+            var = f.createVariable(
+                feat, 'f4', ('time', 'south_north', 'west_east'))
+            var[:] = arr
+        if meta_attr is not None:
+            f.gan_meta = (meta_attr.encode()
+                          if isinstance(meta_attr, str) else meta_attr)
+    os.replace(tmp, out_file)
+    return out_file
+
+
 class OutputHandler:
     """Base output handler: grid/time synthesis + feature transforms."""
 
@@ -318,33 +354,12 @@ class OutputHandlerNC(OutputHandler):
             np.asarray(data, dtype=np.float32), list(features),
             lat_lon, max_workers, invert_uv=invert_uv,
             nn_fill=nn_fill)
-        from scipy.io import netcdf_file
-
         data = np.asarray(data, dtype=np.float32)
-        s1, s2, t = data.shape[:3]
-        tmp = out_file + '.tmp'
-        os.makedirs(os.path.dirname(os.path.abspath(out_file)),
-                    exist_ok=True)
-        with netcdf_file(tmp, 'w') as f:
-            f.createDimension('time', t)
-            f.createDimension('south_north', s1)
-            f.createDimension('west_east', s2)
-            v = f.createVariable('time', 'f8', ('time',))
-            epoch = pd.Timestamp('1970-01-01')
-            v[:] = ((pd.DatetimeIndex(times) - epoch)
-                    .total_seconds() / 3600.0)
-            v.units = b'hours since 1970-01-01'
-            lat_v = f.createVariable('latitude', 'f4',
-                                     ('south_north', 'west_east'))
-            lat_v[:] = lat_lon[..., 0]
-            lon_v = f.createVariable('longitude', 'f4',
-                                     ('south_north', 'west_east'))
-            lon_v[:] = lat_lon[..., 1]
-            for i, feat in enumerate(features):
-                var = f.createVariable(
-                    feat, 'f4', ('time', 'south_north', 'west_east'))
-                var[:] = np.transpose(data[..., i], (2, 0, 1))
-            if meta_data is not None:
-                f.gan_meta = safe_serialize(meta_data).encode()
-        os.replace(tmp, out_file)
+        write_nc_file(
+            out_file, pd.DatetimeIndex(times), lat_lon[..., 0],
+            lat_lon[..., 1],
+            {feat: np.transpose(data[..., i], (2, 0, 1))
+             for i, feat in enumerate(features)},
+            meta_attr=(safe_serialize(meta_data)
+                       if meta_data is not None else None))
         logger.info('Wrote output file %s', out_file)

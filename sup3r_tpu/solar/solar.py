@@ -139,8 +139,14 @@ class Solar:
         if 'csr' not in self._cache:
             csr = self.gan_data.get('clearsky_ratio')
             csr = np.roll(csr, -self.tz, axis=0)
+            # np.roll wraps: backfill the wrapped rows from the
+            # nearest valid row on BOTH signs (western tz<0 wraps the
+            # head; eastern tz>0 wraps the tail — the tail case was a
+            # round-4 review finding)
             if self.tz < 0:
                 csr[:-self.tz, :] = csr[-self.tz, :]
+            elif self.tz > 0:
+                csr[-self.tz:, :] = csr[-self.tz - 1, :]
             self._cache['csr'] = csr[self.t_slice, :]
         return self._cache['csr']
 
@@ -172,9 +178,17 @@ class Solar:
         """Clearsky DNI where clear; DISC-model DNI where cloudy."""
         if 'dni' not in self._cache:
             dni = self.get_nsrdb_data('clearsky_dni')
-            pressure = (self.get_nsrdb_data('surface_pressure')
-                        if 'surface_pressure' in self.nsrdb.features
-                        else 101325.0)
+            if 'surface_pressure' in self.nsrdb.features:
+                pressure = self.get_nsrdb_data('surface_pressure')
+            else:
+                # the reference REQUIRES surface_pressure in the NSRDB
+                # file (solar.py:139); sea-level pressure biases DISC
+                # airmass ~18% at 1.6 km elevation — never silent
+                logger.warning(
+                    'NSRDB file has no surface_pressure dataset; '
+                    'using sea-level 101325 Pa for the DISC model. '
+                    'Cloudy-sky DNI will be biased at elevation.')
+                pressure = 101325.0
             doy = self.time_index.dayofyear.values
             cloudy = disc(self.ghi, self.solar_zenith_angle, doy,
                           pressure=pressure)
@@ -200,7 +214,16 @@ class Solar:
 
     # ------------------------------------------------------------------
     def write(self, fp_out, features=('ghi', 'dni', 'dhi')):
-        """Write irradiance h5 with meta + time index."""
+        """Write irradiance h5 with meta + time index.
+
+        The DHI closure is evaluated FIRST when dni is requested:
+        ``calc_dhi`` reduces DNI where the closure would go negative,
+        and writing dni before dhi would store the uncorrected value
+        (the reference writes features in order and has exactly that
+        inconsistency, solar.py:537-559 — here the stored file always
+        satisfies ghi = dhi + dni*cos(sza))."""
+        if 'dni' in features and 'dhi' in features:
+            _ = self.dhi  # caches the closure-corrected dni
         os.makedirs(os.path.dirname(os.path.abspath(fp_out)),
                     exist_ok=True)
         tmp = fp_out + '.tmp'
@@ -233,12 +256,34 @@ class Solar:
                        if ignore not in os.path.basename(fp)]
         all_fps = sorted(all_fps)
         source_dir = os.path.dirname(all_fps[0])
-        base = '_'.join(os.path.basename(all_fps[0]).replace(
-            '.h5', '').split('_')[:-2])
-        t_ids = sorted({os.path.basename(fp).replace('.h5', '').split(
-            '_')[-2] for fp in all_fps})
-        s_ids = sorted({os.path.basename(fp).replace('.h5', '').split(
-            '_')[-1] for fp in all_fps})
+        # one chunk-id convention for the whole framework: the same
+        # anchored regex the collectors use (collectors.py:27), not a
+        # second split('_')-based parser that tolerates different
+        # filename shapes (round-4 review finding)
+        from sup3r_tpu.postprocessing.collectors import (
+            _CHUNK_ID_PATTERN,
+        )
+
+        def _parse(fp):
+            name = os.path.basename(fp)
+            m = _CHUNK_ID_PATTERN.match(name)
+            if not m:
+                raise ValueError(
+                    f'Could not parse chunk ids from {name}')
+            return name[:m.start(1) - 1], m.group(1), m.group(2)
+
+        parsed = [_parse(fp) for fp in all_fps]
+        bases = {p[0] for p in parsed}
+        if len(bases) != 1:
+            raise ValueError(
+                f'Chunk files mix basenames {sorted(bases)} under '
+                f'{fp_pattern}')
+        base = bases.pop()
+        t_ids = sorted({p[1] for p in parsed})
+        s_ids = sorted({p[2] for p in parsed})
+        # (t_id, s_id) -> the ACTUAL file, so filenames with content
+        # after the ids (which the regex tolerates) still resolve
+        by_ids = {(t, s): fp for fp, (_, t, s) in zip(all_fps, parsed)}
 
         fp_sets, t_slices, temporal_ids, spatial_ids, target_fps = (
             [], [], [], [], [])
@@ -252,7 +297,10 @@ class Solar:
                 chunk_t_ids.append(t_ids[idt + 1])
             for id_s in s_ids:
                 fp_set = [
-                    os.path.join(source_dir, f'{base}_{t}_{id_s}.h5')
+                    by_ids.get(
+                        (t, id_s),
+                        os.path.join(source_dir,
+                                     f'{base}_{t}_{id_s}.h5'))
                     for t in chunk_t_ids]
                 fp_sets.append(fp_set)
                 t_slices.append(slice(start, start + 24))

@@ -137,3 +137,74 @@ def test_run_temporal_chunks_multi_node(tmp_path):
     assert len(set(written)) == 3
     for fp in written:
         assert os.path.exists(fp)
+
+
+def test_positive_tz_backfills_tail(tmp_path):
+    """Eastern-hemisphere tz>0: np.roll wraps the first local hours to
+    the END of the series; the wrapped tail must be backfilled from
+    the nearest valid row, mirroring the tz<0 head backfill (round-4
+    review finding)."""
+    gan_fp = _make_fake_cs_ratio_file(
+        str(tmp_path / 'sup3r_chunk_000000_000000.h5'), (5, 5, 24))
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (10, 10, 48))
+    with h5py.File(gan_fp, 'a') as f:
+        csr = f['clearsky_ratio']
+        data = csr[...].astype(np.float64)
+        # stamp a recognizable ramp so wrapped rows are detectable
+        # (the dataset is stored as scaled int — write STORAGE values)
+        sf = csr.attrs.get('scale_factor', 1.0)
+        data[:] = np.linspace(0.1, 0.9, data.shape[0])[:, None] * sf
+        csr[...] = data.astype(csr.dtype)
+    with Solar(gan_fp, nsrdb_fp, tz=3) as s:
+        out = s.clearsky_ratio
+        # the wrapped tail rows must equal the last valid row, not
+        # the series head
+        np.testing.assert_allclose(out[-3], out[-4], atol=1e-6)
+        np.testing.assert_allclose(out[-2], out[-4], atol=1e-6)
+        np.testing.assert_allclose(out[-1], out[-4], atol=1e-6)
+    with Solar(gan_fp, nsrdb_fp, tz=-3) as s:
+        out = s.clearsky_ratio
+        np.testing.assert_allclose(out[0], out[3], atol=1e-6)
+        np.testing.assert_allclose(out[2], out[3], atol=1e-6)
+
+
+def test_written_dni_carries_dhi_closure(tmp_path):
+    """write() stores the closure-corrected dni: the file must satisfy
+    ghi = dhi + dni*cos(sza) wherever dhi was clamped to 0 (the
+    reference writes the UNCORRECTED dni first, solar.py:537-559 —
+    intentional fix, see Solar.write docstring)."""
+    gan_fp = _make_fake_cs_ratio_file(
+        str(tmp_path / 'sup3r_chunk_000000_000000.h5'), (5, 5, 24))
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (10, 10, 48))
+    out_fp = str(tmp_path / 'out_irradiance.h5')
+    with Solar(gan_fp, nsrdb_fp, tz=-6) as solar:
+        solar.write(out_fp)
+        sza = solar.solar_zenith_angle
+        corrected_dni = solar.dni  # after dhi closure (cached)
+    with h5py.File(out_fp) as f:
+        dni = f['dni'][...] / f['dni'].attrs['scale_factor']
+        dhi = f['dhi'][...] / f['dhi'].attrs['scale_factor']
+        ghi = f['ghi'][...] / f['ghi'].attrs['scale_factor']
+    np.testing.assert_allclose(dni, corrected_dni, atol=1.0)
+    day = sza < 85
+    closure = ghi - (dhi + dni * np.cos(np.radians(sza)))
+    assert np.abs(closure[day]).max() < 2.0, (
+        'written file violates ghi = dhi + dni*cos(sza)')
+
+
+def test_fps_grouping_tolerates_trailing_tags(tmp_path):
+    """get_sup3r_fps parses chunk ids with the collectors' anchored
+    regex, so filenames the collectors accept group identically here
+    (round-4 review finding: a second split('_') parser diverged)."""
+    from sup3r_tpu.solar.solar import Solar as S
+
+    for t in range(3):
+        fp = tmp_path / f'sup3r_chunk_{t:06d}_000000.h5'
+        fp.write_bytes(b'x')
+    fps, t_slices, t_ids, s_ids, targets = S.get_sup3r_fps(
+        str(tmp_path / 'sup3r_chunk_*.h5'))
+    assert len(fps) == 3
+    assert [len(s) for s in fps] == [2, 3, 2]
+    assert all(os.path.exists(f) for fs in fps for f in fs)
