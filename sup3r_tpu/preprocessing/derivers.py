@@ -424,6 +424,21 @@ class Deriver:
                     kwargs['pressure'] = pressure
                 return method(_DeriverContext(self), **kwargs)
 
+        base, _, pressure = parse_feature(feature)
+        if (base == 'level' and pressure is not None
+                and base not in self.raw
+                and self.raw.levels is not None):
+            # the level COORDINATE as a feature: RegistryNCforCC maps
+            # 'pressure_(.*)' -> 'level_(.*)' (reference
+            # methods.py:543), which the reference resolves through
+            # xarray's level coordinate variable — interpolating the
+            # identity level field to pressure X yields X everywhere
+            s1, s2 = self.raw.lat_lon.shape[:2]
+            t = (len(self.raw.time_index)
+                 if self.raw.time_index is not None else 1)
+            return np.full((s1, s2, t), np.float32(pressure),
+                           np.float32)
+
         if self.has_interp_variables(feature):
             return self.do_level_interpolation(feature)
 

@@ -203,6 +203,16 @@ class ExoRasterizer:
             key += bytes(f'scale{self.scale_factor!r}', 'utf8')
         if self.fill_nans != self.FILL_NANS_DEFAULT:
             key += bytes(f'fill{self.fill_nans}', 'utf8')
+        # different exo SOURCES on the same grid must not share a
+        # cache entry (round-4 review finding; the reference has this
+        # same hazard — collision here is silent stale data)
+        if self.source_file is not None:
+            key += bytes(os.path.abspath(str(self.source_file)),
+                         'utf8')
+        if getattr(self, 'source_handler_kwargs', None):
+            key += bytes(
+                str(sorted(self.source_handler_kwargs.items())),
+                'utf8')
         extent = hashlib.md5(key).hexdigest()[:8]
         return os.path.join(
             self.cache_dir,

@@ -152,7 +152,12 @@ def decode_cf_time(values, units, calendar='standard'):
             out.append(ts + pd.Timedelta(seconds=round(frac * 86400)))
         return pd.DatetimeIndex(out)
 
+    # strip any timezone suffix ('...Z', '+00:00'): every time index
+    # in the framework is tz-naive, and a tz-AWARE index here would
+    # silently fail equals()/searchsorted against the others
     origin = pd.Timestamp(f'{y:04d}-{m:02d}-{d:02d} {time_part}')
+    if origin.tzinfo is not None:
+        origin = origin.tz_convert('UTC').tz_localize(None)
     deltas = pd.to_timedelta(values * seconds_per, unit='s')
     return pd.DatetimeIndex(origin + deltas)
 
@@ -486,14 +491,13 @@ class LoaderNC:
         self.file_paths = expand_paths(file_paths)
         self._handles = []
         self.lazy = lazy
+        #: requested-feature filter, applied BEFORE eager reads so an
+        #: explicit features list neither pays I/O for nor counts the
+        #: other variables against the host-RAM budget
+        self._keep = (None if features in ('all', None)
+                      else {standardize_var_name(f) for f in features})
         per_file = [self._load_one(p) for p in self.file_paths]
         self.data = self._merge(per_file)
-        if features != 'all' and features is not None:
-            keep = [standardize_var_name(f) for f in features]
-            self.data.data_vars = {
-                k: v for k, v in self.data.data_vars.items() if k in keep}
-            self.data.var_dims = {
-                k: v for k, v in self.data.var_dims.items() if k in keep}
 
     def _load_one(self, path):
         backend, handle = _nc_open(path)
@@ -504,7 +508,9 @@ class LoaderNC:
         finally:
             if backend == 'h5py' and lazy:
                 self._handles.append(handle)  # keep open for reads
-            elif backend != 'h5py':
+            else:
+                # eager loads materialized everything — close the
+                # handle rather than leaking one fd per member file
                 handle.close()
 
     def close(self):
@@ -594,6 +600,9 @@ class LoaderNC:
         eager_bytes = 0
         for name, (dims, arr, attrs) in raw_vars.items():
             if name in coord_names or name.lower() in _IGNORE_VARS:
+                continue
+            if (self._keep is not None
+                    and standardize_var_name(name) not in self._keep):
                 continue
             cdims = canon_dims(dims)
             if Dimension.SOUTH_NORTH not in cdims or (
@@ -700,6 +709,12 @@ class LoaderNC:
                                     other.time_index.values]))
                 sorted_cat = bool(np.all(np.diff(order) > 0))
                 for name in overlap:
+                    if Dimension.TIME not in base.var_dims.get(
+                            name, ()):
+                        # time-invariant var (orography, landmask)
+                        # present in every file: keep one copy rather
+                        # than crashing on the missing time axis
+                        continue
                     a, b = base.data_vars[name], other.data_vars[name]
                     lazy = isinstance(a, _LAZY_TYPES) or isinstance(
                         b, _LAZY_TYPES)
@@ -724,7 +739,10 @@ class LoaderNC:
                 # or keeping it short would silently misalign isel()
                 # downstream, so fail loudly (time-independent vars
                 # pass through unchanged)
-                for name in set(base.data_vars) - overlap:
+                time_overlap = {
+                    n for n in overlap
+                    if Dimension.TIME in base.var_dims.get(n, ())}
+                for name in set(base.data_vars) - time_overlap:
                     if Dimension.TIME in base.var_dims.get(name, ()):
                         raise ValueError(
                             f'Variable "{name}" is missing from part '
@@ -741,8 +759,23 @@ class LoaderNC:
                     base.data_vars[name] = other.data_vars[name]
                     base.var_dims[name] = other.var_dims[name]
             else:
+                # no shared time-varying variables: the files must
+                # agree on the time axis, or a variable unique to one
+                # file would silently ride the OTHER file's timestamps
+                mismatched = (base.time_index is not None
+                              and other.time_index is not None
+                              and not base.time_index.equals(
+                                  other.time_index))
                 for name in other.data_vars:
                     if name not in base.data_vars:
+                        if mismatched and Dimension.TIME in (
+                                other.var_dims.get(name, ())):
+                            raise ValueError(
+                                f'Variable "{name}" comes from a file '
+                                'whose time index differs from the '
+                                'other files and shares no variables '
+                                'with them — merging would silently '
+                                'misalign its timestamps')
                         base.data_vars[name] = other.data_vars[name]
                         base.var_dims[name] = other.var_dims[name]
                 if base.time_index is None:
@@ -776,6 +809,13 @@ class _H5Var:
         lens = [ds.shape[0] for ds in self._datasets]
         total = sum(lens)
         idx = np.arange(total)[time_slice]
+        # negative-step slices: read ascending (h5py slice reads need
+        # start < stop), then flip the assembled result — the naive
+        # per-file descending slice dropped rows and ordered blocks
+        # by file instead of by the slice (round-4 review finding)
+        reverse = idx.size > 1 and idx[1] < idx[0]
+        if reverse:
+            idx = idx[::-1]
         blocks = []
         start = 0
         for ds, n in zip(self._datasets, lens):
@@ -805,6 +845,8 @@ class _H5Var:
             out = blocks[0]
         else:
             out = np.concatenate(blocks, axis=0)
+        if reverse:
+            out = out[::-1]
         return out.astype(np.float32) / self._scale
 
 

@@ -66,14 +66,19 @@ def _walk_curvilinear_grid(lat_lon_flat, n_rows, n_cols):
 
     def snap(expected):
         k = 4
-        while k <= len(pts):
-            _, idxs = tree.query(expected, k=k)
+        while True:
+            # clamp the final query to the full point set: growing k
+            # geometrically past len(pts) without ever querying ALL
+            # points raised spuriously while unused sites remained
+            k_eff = min(k, len(pts))
+            _, idxs = tree.query(expected, k=k_eff)
             for idx in np.atleast_1d(idxs):
                 if not used[int(idx)]:
                     used[int(idx)] = True
                     return int(idx)
+            if k_eff == len(pts):
+                raise RuntimeError('Ran out of unused grid sites')
             k *= 4
-        raise RuntimeError('Ran out of unused grid sites')
 
     # seed the two axis directions from the corner's nearest neighbors
     _, nn = tree.query(pts[start], k=3)
@@ -193,7 +198,9 @@ class Rasterizer:
             return tuple(self.window)
         if self.raster_file is not None and os.path.exists(
                 self.raster_file):
-            idx = np.loadtxt(self.raster_file, dtype=int)
+            # ndmin=2: a single-row/column gid raster would otherwise
+            # reload 1-D and break the (s1, s2) unpack downstream
+            idx = np.loadtxt(self.raster_file, dtype=int, ndmin=2)
             logger.info('Loaded raster index from %s', self.raster_file)
             if self._is_flat:
                 return idx
