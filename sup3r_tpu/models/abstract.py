@@ -127,7 +127,10 @@ class AbstractInterface:
         features = []
         if hasattr(self, '_gen'):
             features = list(self._gen.exo_features)
-        obs = [f.replace('_obs', '') for f in self.obs_features]
+        # strip the SUFFIX only (str.replace would also eat an
+        # interior '_obs' in the base feature name)
+        obs = [f[:-4] if f.endswith('_obs') else f
+               for f in self.obs_features]
         features += [f for f in obs if f not in self.hr_out_features]
         return features
 

@@ -64,16 +64,23 @@ def _make_optimizer(config):
     }
     if name not in builders:
         raise KeyError(f'Unknown optimizer "{name}"')
-    kwargs = {}
-    for key in ('b1', 'b2', 'eps'):
-        if key in config:
-            kwargs[key] = config[key]
-    if 'beta_1' in config:
-        kwargs['b1'] = config['beta_1']
-    if 'beta_2' in config:
-        kwargs['b2'] = config['beta_2']
-    if 'epsilon' in config:  # TF Keras spelling in reference configs
-        kwargs['eps'] = config['epsilon']
+    # TF/Keras spellings in reference configs -> optax names, then
+    # pass EVERY remaining key the optax builder accepts (momentum,
+    # nesterov, weight_decay, decay, ...) — silently dropping them
+    # trained with different hyperparameters than the config said
+    import inspect
+
+    tf_map = {'beta_1': 'b1', 'beta_2': 'b2', 'epsilon': 'eps',
+              'rho': 'decay'}
+    config = {tf_map.get(k, k): v for k, v in config.items()}
+    accepted = set(inspect.signature(builders[name]).parameters)
+    kwargs = {k: v for k, v in config.items() if k in accepted}
+    dropped = {k: v for k, v in config.items()
+               if k not in accepted and k != 'name'}
+    if dropped:
+        logger.warning(
+            'Optimizer "%s" ignores config keys %s (no optax '
+            'equivalent)', name, sorted(dropped))
     return builders[name](lr, **kwargs), {'name': name.capitalize(),
                                           'learning_rate': lr, **kwargs}
 
@@ -127,6 +134,7 @@ class Sup3rGan(AbstractSingleModel):
         self._disc_in_shape = None
         self._train_step_fn = None
         self._gen_apply_fn = None
+        self._val_step_fn = None
         self._train_record = None
         self.total_batches = 0
         self._init_key = jax.random.PRNGKey(42)
@@ -138,7 +146,10 @@ class Sup3rGan(AbstractSingleModel):
         shapes (idempotent unless shapes change channel counts)."""
         if seed is not None:
             self._init_key = jax.random.PRNGKey(seed)
-        if self.gen_params is None or (
+        # an EXPLICIT seed always re-draws: the idempotence guard is
+        # for repeated shape-setup calls, not for silently ignoring a
+        # requested re-initialization
+        if seed is not None or self.gen_params is None or (
                 self._gen_in_shape and lr_shape[-1] != self._gen_in_shape[-1]
         ):
             k1, k2 = jax.random.split(self._init_key)
@@ -362,6 +373,21 @@ class Sup3rGan(AbstractSingleModel):
             self._train_step_fn = self._build_train_step()
         return self._train_step_fn
 
+    @property
+    def _sample_transform(self):
+        """Device-transform config consumed by the jitted sample step
+        (trace-time constant)."""
+        return getattr(self, '_sample_transform_cfg', None)
+
+    @_sample_transform.setter
+    def _sample_transform(self, cfg):
+        if cfg != getattr(self, '_sample_transform_cfg', None):
+            # the jitted sample step baked the OLD transform into its
+            # trace; same-shaped samples would not retrace, silently
+            # coarsening with stale config (round-4 review finding)
+            self._sample_step_fn = None
+        self._sample_transform_cfg = cfg
+
     def _split_sample_traced(self, sample):
         """Device-side HR->LR transform of a raw sample batch using the
         batch handler's transform config (traceable)."""
@@ -433,6 +459,7 @@ class Sup3rGan(AbstractSingleModel):
         # step closures capture the old tx; rebuild on next use
         self._train_step_fn = None
         self._sample_step_fn = None
+        self._val_step_fn = None
 
     def attach_mesh(self, mesh, axis='data', spatial_axis=None):
         """Enable data-parallel training over a ``jax.sharding.Mesh``:
@@ -461,6 +488,7 @@ class Sup3rGan(AbstractSingleModel):
         # convs — see train_shard_aligned); rebuild on next use
         self._train_step_fn = None
         self._sample_step_fn = None
+        self._val_step_fn = None
         if self.gen_params is not None:
             self.gen_params = replicate(mesh, self.gen_params)
             self.disc_params = replicate(mesh, self.disc_params)
@@ -963,6 +991,42 @@ class Sup3rGan(AbstractSingleModel):
         out['total_batches'] = int(self.total_batches)
         return out
 
+    def _augment_val_exo(self, hr, exo, key):
+        """Hook for subclasses that need extra exo entries at
+        validation (Sup3rGanWithObs injects masked obs inputs)."""
+        return exo
+
+    def _get_val_step_fn(self):
+        """ONE jitted program per val batch (generate + both disc
+        passes + losses) with the scalars fetched in a single
+        transfer — the un-jitted per-op path paid the ~3 ms dispatch
+        floor dozens of times per batch plus one tunnel round trip
+        per scalar (round-4 review finding)."""
+        if getattr(self, '_val_step_fn', None) is None:
+            gen_apply = self._get_gen_apply()
+            disc = self._disc
+            n_exo = len(self.hr_exo_features)
+            slc = slice(0, -n_exo) if n_exo else slice(None)
+
+            def val_step(gen_params, disc_params, lr, hr, w_adv, key):
+                exo = self._split_exo_traced(hr)
+                exo = self._augment_val_exo(hr, exo, key)
+                out = gen_apply(gen_params, lr, exo)
+                full = self._combine_loss_input(hr, out)
+                d_true = disc.apply(disc_params, hr)
+                d_gen = disc.apply(disc_params, full)
+                content = self.loss_fun(full[..., slc], hr[..., slc])
+                advers = relativistic_disc_loss(d_gen, d_true)
+                return {
+                    'loss_disc': relativistic_disc_loss(d_true, d_gen),
+                    'loss_gen': content + w_adv * advers,
+                    'loss_gen_content': content,
+                    'loss_gen_advers': advers,
+                }
+
+            self._val_step_fn = jax.jit(val_step)
+        return self._val_step_fn
+
     def calc_val_loss(self, batch_handler, weight_gen_advers):
         """Mean validation losses over the val queue (reference:
         sup3r/models/base.py:913-943)."""
@@ -971,6 +1035,9 @@ class Sup3rGan(AbstractSingleModel):
                                 and len(val_data) == 0):
             return {}
         record = None
+        key = jax.random.PRNGKey(0)
+        step = self._get_val_step_fn()
+        w_adv = jnp.float32(weight_gen_advers)
         for batch in val_data:
             if hasattr(batch, 'sample'):
                 lr, hr = self._split_sample_traced(
@@ -978,13 +1045,11 @@ class Sup3rGan(AbstractSingleModel):
             else:
                 lr = jnp.asarray(batch.low_res, dtype=jnp.float32)
                 hr = jnp.asarray(batch.high_res, dtype=jnp.float32)
-            exo, _ = self._split_exo(hr)
-            out = self._get_gen_apply()(self.gen_params, lr, exo)
-            _, details = self.calc_loss(
-                hr, out, weight_gen_advers=weight_gen_advers,
-                train_gen=True, compute_disc=True)
-            record = self.update_loss_details(record, details,
-                                              prefix='val_')
+            key, sub = jax.random.split(key)
+            details = step(self.gen_params, self.disc_params, lr, hr,
+                           w_adv, sub)
+            record = self.update_loss_details(
+                record, self._fetch_details(details), prefix='val_')
         return record.mean().to_dict() if record is not None else {}
 
     def train(self, batch_handler, input_resolution, n_epoch,
@@ -1013,6 +1078,8 @@ class Sup3rGan(AbstractSingleModel):
         transform_config = getattr(batch_handler, 'transform_config',
                                    None)
         if transform_config is not None:
+            # the property setter invalidates the cached jitted sample
+            # step when the config changes
             self._sample_transform = transform_config
 
         lr_shape = (1, *batch_handler.lr_shape)

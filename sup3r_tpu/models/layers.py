@@ -28,9 +28,14 @@ Keras-semantics notes (for config parity):
     (reference: sup3r/models/interface.py:100-123).
 """
 
+import inspect
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _INITIALIZER = jax.nn.initializers.glorot_uniform()
 
@@ -495,9 +500,20 @@ class Sup3rObsModel(_ExoLayerBase):
         self.filters = filters
 
     def init(self, key, in_shape):
-        c = in_shape[-1] if self.filters is None else int(self.filters)
-        k = _INITIALIZER(key, (2, c), jnp.float32)
-        return ({'kernel': k, 'bias': jnp.zeros((c,))}, in_shape)
+        c = in_shape[-1]
+        if self.filters is None:
+            k = _INITIALIZER(key, (2, c), jnp.float32)
+            return ({'kernel': k, 'bias': jnp.zeros((c,))}, in_shape)
+        # ``filters`` is the HIDDEN width of a two-stage projection
+        # (obs+mask -> filters -> activation channels). The old
+        # single-kernel form made filters != channel count fail at
+        # trace time (round-4 review finding)
+        h = int(self.filters)
+        k1, k2 = jax.random.split(key)
+        return ({'kernel': _INITIALIZER(k1, (2, h), jnp.float32),
+                 'bias': jnp.zeros((h,)),
+                 'kernel_out': _INITIALIZER(k2, (h, c), jnp.float32),
+                 'bias_out': jnp.zeros((c,))}, in_shape)
 
     def apply(self, params, x, ctx):
         t = self._get_exo(x, ctx)
@@ -506,6 +522,10 @@ class Sup3rObsModel(_ExoLayerBase):
         obs_in = jnp.concatenate([filled, mask.astype(x.dtype)], axis=-1)
         proj = jnp.dot(obs_in, params['kernel'].astype(x.dtype)) + params[
             'bias'].astype(x.dtype)
+        if 'kernel_out' in params:
+            proj = jax.nn.leaky_relu(proj, 0.2)
+            proj = jnp.dot(proj, params['kernel_out'].astype(
+                x.dtype)) + params['bias_out'].astype(x.dtype)
         return x + proj
 
 
@@ -554,5 +574,21 @@ def build_layers(hidden_layers):
             raise KeyError(
                 f'Unknown layer class "{cls_name}". Known: '
                 f'{sorted(LAYER_REGISTRY)}')
-        layers.append(LAYER_REGISTRY[cls_name](**entry))
+        cls = LAYER_REGISTRY[cls_name]
+        # constructors tolerate unknown keys (**_) for TF-config
+        # compatibility, but a misspelled option ('aplha',
+        # 'dilation_rate') silently building a DIFFERENT network is
+        # worse than noise — warn on every unconsumed key
+        named = {
+            p for p, v in inspect.signature(
+                cls.__init__).parameters.items()
+            if v.kind in (v.POSITIONAL_OR_KEYWORD, v.KEYWORD_ONLY)
+            and p != 'self'}
+        unknown = set(entry) - named
+        if unknown:
+            logger.warning(
+                'Layer %s ignores unsupported config key(s) %s '
+                '(accepted: %s)', cls_name, sorted(unknown),
+                sorted(named))
+        layers.append(cls(**entry))
     return layers

@@ -36,7 +36,15 @@ class MultiStepGan(AbstractInterface):
             model_dirs = [model_dirs]
         model_kwargs = model_kwargs or [{}] * len(model_dirs)
         if isinstance(model_kwargs, dict):
-            model_kwargs = [model_kwargs]
+            # ONE dict applies to every step — wrapping it as a
+            # 1-element list would zip-truncate a multi-step chain to
+            # its first model with no error (the reference has the
+            # same defect, multi_step.py:69-72)
+            model_kwargs = [model_kwargs] * len(model_dirs)
+        if len(model_kwargs) != len(model_dirs):
+            raise ValueError(
+                f'Got {len(model_kwargs)} model_kwargs for '
+                f'{len(model_dirs)} model_dirs')
         models = []
         for model_dir, kwargs in zip(model_dirs, model_kwargs):
             fp = os.path.join(model_dir, 'model_params.json')
@@ -44,8 +52,10 @@ class MultiStepGan(AbstractInterface):
                 params = json.load(f)
             class_name = params.get('meta', {}).get('class', 'Sup3rGan')
             ModelClass = getattr(models_mod, class_name)
-            models.append(ModelClass.load(model_dir, verbose=verbose,
-                                          **kwargs))
+            # a per-step 'verbose' in model_kwargs wins over the
+            # top-level flag (passing both raised TypeError)
+            models.append(ModelClass.load(
+                model_dir, **{'verbose': verbose, **kwargs}))
         return cls(models)
 
     @property

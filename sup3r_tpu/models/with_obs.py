@@ -43,12 +43,35 @@ class Sup3rGanWithObs(Sup3rGan):
         self.loss_obs_weight = loss_obs_weight
         self.loss_obs_name = loss_obs or 'MeanAbsoluteError'
 
+    @staticmethod
+    def _strip_obs(f):
+        """Drop the '_obs' SUFFIX only — str.replace would also eat
+        an interior '_obs' in the base feature name."""
+        return f[:-4] if f.endswith('_obs') else f
+
     @property
     def obs_training_inds(self):
         """HR channel indices matched to each obs feature."""
-        hr_feats = [f.replace('_obs', '') for f in self.hr_features]
-        return [hr_feats.index(f.replace('_obs', ''))
+        hr_feats = [self._strip_obs(f) for f in self.hr_features]
+        return [hr_feats.index(self._strip_obs(f))
                 for f in self.obs_features]
+
+    def _augment_val_exo(self, hr, exo, key):
+        """Masked obs inputs for validation batches — same synthetic
+        observation sampling as the training loss (reference routes
+        validation through the shared _get_hr_exo_and_loss,
+        with_obs.py:245)."""
+        import jax.numpy as jnp
+
+        n_exo = len(self.hr_exo_features)
+        n_out_ch = hr.shape[-1] - n_exo
+        not_obs = self._sample_obs_mask(
+            key, (*hr.shape[:-1], n_out_ch))
+        for name, idx in zip(self._gen.obs_features,
+                             self.obs_training_inds):
+            chan = hr[..., idx:idx + 1]
+            exo[name] = jnp.where(not_obs[..., :1], jnp.nan, chan)
+        return exo
 
     def _spatial_frac_bounds(self):
         frac = self.onshore_obs_frac.get('spatial_frac', 0.1)

@@ -342,7 +342,8 @@ class ObsRasterizer(ExoRasterizer):
 
     def _obs_source_series(self):
         """(coords (n, 2), values (n, T_src), src time index)."""
-        base = self.feature.replace('_obs', '')
+        base = (self.feature[:-4] if self.feature.endswith('_obs')
+                else self.feature)  # strip the SUFFIX only
         if get_source_type(self.source_file) == 'h5':
             loader = LoaderH5(self.source_file,
                               **self.source_handler_kwargs)
