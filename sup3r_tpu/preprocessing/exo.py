@@ -255,6 +255,16 @@ class ExoRasterizer:
                 values = loader.get(self.feature)[0]
             return coords, values
         loader = Loader(self.source_file, **self.source_handler_kwargs)
+        if hasattr(loader, 'lat_lon_flat'):
+            # spatially-flattened NC source: same sites interface as
+            # the H5 branch above (loaders.LoaderNCFlat)
+            coords = loader.lat_lon_flat
+            if self.feature == 'topography' and (
+                    loader.elevation is not None):
+                values = loader.elevation
+            else:
+                values = loader.get(self.feature)[0]
+            return coords, values
         dset = loader.data
         coords = dset.lat_lon.reshape(-1, 2)
         arr = dset[self.feature]

@@ -431,6 +431,50 @@ class RawDataset:
                 f'vars={list(self.data_vars)})')
 
 
+def _decode_time_index(values, attrs):
+    """Decode a NetCDF time variable into a pd.DatetimeIndex: CF
+    'units since' encodings (incl. noleap/360-day calendars), raw
+    datetime64 nanoseconds, or anything pd.to_datetime parses."""
+    t_vals = np.asarray(values[:])
+    if 'units' in attrs and 'since' in str(attrs['units']):
+        return decode_cf_time(t_vals, attrs['units'],
+                              attrs.get('calendar', 'standard'))
+    if np.issubdtype(t_vals.dtype, np.integer) and t_vals.max() > 10**14:
+        return pd.DatetimeIndex(t_vals.astype('datetime64[ns]'))
+    return pd.DatetimeIndex(pd.to_datetime(t_vals))
+
+
+_LAT_COORD_NAMES = ('latitude', 'lat', 'xlat')
+_LON_COORD_NAMES = ('longitude', 'lon', 'xlong')
+
+
+def nc_is_flattened(path):
+    """Whether a NetCDF file stores spatially FLATTENED data: 1-D
+    latitude/longitude sharing one spatial dim (site list), rather
+    than a lat x lon grid. Mirrors the reference's ``_is_flattened``
+    check (reference sup3r/preprocessing/loaders/nc.py:73-80: lat/lon
+    are 1-D with identical dims — on a regular grid their dims
+    differ)."""
+    backend, handle = _nc_open(path)
+    try:
+        raw = _nc_vars(backend, handle)
+        lower = {k.lower(): k for k in raw}
+        lat = next((raw[lower[n]] for n in _LAT_COORD_NAMES
+                    if n in lower), None)
+        lon = next((raw[lower[n]] for n in _LON_COORD_NAMES
+                    if n in lower), None)
+        if lat is None or lon is None:
+            return False
+        lat_dims, lat_arr = lat[0], lat[1]
+        lon_dims = lon[0]
+        return (len(lat_dims) == 1 and lat_dims == lon_dims
+                and np.asarray(lat_arr).ndim == 1
+                and np.asarray(lat_arr).shape == np.asarray(
+                    lon[1]).shape)
+    finally:
+        handle.close()
+
+
 def _nc_open(path):
     """Open a NetCDF file: h5py for NetCDF4/HDF5, scipy for classic."""
     with open(path, 'rb') as f:
@@ -539,6 +583,16 @@ class LoaderNC:
         lat_vals = np.asarray(lat[1][:], dtype=np.float32)
         lon_vals = np.asarray(lon[1][:], dtype=np.float32)
         lat_dims, lon_dims = lat[0], lon[0]
+        if (lat_vals.ndim == 1 and len(lat_dims) == 1
+                and tuple(lat_dims) == tuple(lon_dims)):
+            # a 1-D lat/lon PAIR over one shared dim is a flattened
+            # site list, not a grid — meshgridding it would build a
+            # wrong n x n grid and drop every data variable
+            raise TypeError(
+                'Spatially-flattened NetCDF input (1-D lat/lon over '
+                'a shared spatial dim) — construct through Loader(), '
+                'which routes it to LoaderNCFlat (reference '
+                '_is_flattened: loaders/nc.py:73-80)')
         if lat_vals.ndim == 1:
             lon2d, lat2d = np.meshgrid(lon_vals, lat_vals)
         else:
@@ -548,21 +602,8 @@ class LoaderNC:
             # loaders/utilities.py:28)
             lon2d = (lon2d + 180.0) % 360.0 - 180.0
 
-        time_index = None
-        if time is not None:
-            t_attrs = time[2]
-            t_vals = np.asarray(time[1][:])
-            if 'units' in t_attrs and 'since' in str(t_attrs['units']):
-                time_index = decode_cf_time(
-                    t_vals, t_attrs['units'],
-                    t_attrs.get('calendar', 'standard'))
-            elif np.issubdtype(t_vals.dtype, np.integer) and t_vals.max() \
-                    > 10**14:
-                time_index = pd.DatetimeIndex(t_vals.astype(
-                    'datetime64[ns]'))
-            else:
-                time_index = pd.DatetimeIndex(
-                    pd.to_datetime(t_vals))
+        time_index = (None if time is None
+                      else _decode_time_index(time[1], time[2]))
 
         levels = None if level is None else np.asarray(
             level[1][:], dtype=np.float32)
@@ -921,9 +962,231 @@ class LoaderH5:
             h.close()
 
 
+class _FlatNCVar:
+    """Lazy (time, sites) accessor for one spatially-flattened NetCDF
+    variable: per-file parts concatenated along time, with CF decode
+    (scale_factor/add_offset, _FillValue -> NaN, K -> C) applied at
+    read time. The NetCDF counterpart of ``_H5Var`` (which decodes
+    rex-H5 scale-division semantics)."""
+
+    def __init__(self, n_sites):
+        self.n_sites = int(n_sites)
+        #: (arr, time_first, scale, offset, fill, n_t) per member file
+        self._parts = []
+
+    def add_part(self, arr, time_first, scale, offset, fill):
+        n_t = 1 if arr.ndim == 1 else (
+            arr.shape[0] if time_first else arr.shape[1])
+        self._parts.append((arr, time_first, scale, offset, fill, n_t))
+
+    @staticmethod
+    def _decode(raw, scale, offset, fill):
+        raw = np.asarray(raw)
+        values = raw.astype(np.float32)
+        # fill comparison happens in PACKED space (before scale/offset)
+        if fill is not None and not np.isnan(fill):
+            values = np.where(
+                raw == np.asarray(fill).astype(raw.dtype), np.nan,
+                values)
+        if scale != 1.0 or offset != 0.0:
+            values = values * np.float32(scale) + np.float32(offset)
+        return values
+
+    def get(self, time_slice=slice(None), gids=None):
+        """(time, sites) float32 window — same contract (and the same
+        multi-file time routing / gid-range read restriction) as
+        ``_H5Var.get``."""
+        if all(p[0].ndim == 1 for p in self._parts):
+            # site-static var: one row, identical in every member file
+            arr, _, scale, offset, fill, _ = self._parts[0]
+            raw = arr[:] if gids is None else arr[:][np.asarray(gids)]
+            return self._decode(raw, scale, offset, fill)[None]
+        parts = [p for p in self._parts if p[0].ndim == 2]
+        lens = [p[5] for p in parts]
+        idx = np.arange(sum(lens))[time_slice]
+        reverse = idx.size > 1 and idx[1] < idx[0]
+        if reverse:
+            idx = idx[::-1]
+        blocks = []
+        start = 0
+        for arr, time_first, scale, offset, fill, n in parts:
+            local = idx[(idx >= start) & (idx < start + n)] - start
+            start += n
+            if local.size == 0:
+                continue
+            step = int(local[1] - local[0]) if local.size > 1 else 1
+            sel = slice(int(local[0]), int(local[-1]) + 1, step)
+            if gids is not None:
+                # restrict the read to the [min, max] gid range (fast
+                # contiguous slice; fancy-index only the local block)
+                g = np.asarray(gids)
+                lo, hi = int(g.min()), int(g.max()) + 1
+                raw = (arr[sel, lo:hi][:, g - lo] if time_first
+                       else arr[lo:hi, sel][g - lo, :].T)
+            else:
+                raw = arr[sel, :] if time_first else arr[:, sel].T
+            blocks.append(self._decode(raw, scale, offset, fill))
+        if not blocks:
+            n_cols = self.n_sites if gids is None else len(
+                np.asarray(gids))
+            out = np.zeros((0, n_cols), np.float32)
+        elif len(blocks) == 1:
+            out = blocks[0]
+        else:
+            out = np.concatenate(blocks, axis=0)
+        if reverse:
+            out = out[::-1]
+        return out.astype(np.float32)
+
+
+class LoaderNCFlat:
+    """Spatially-flattened NetCDF loader: 1-D latitude/longitude over
+    one shared spatial dim (a site list, e.g. station or unstructured
+    output), per the reference's ``_is_flattened`` NC branch
+    (reference sup3r/preprocessing/loaders/nc.py:73-80 loads these
+    with a ``Dimension.FLATTENED_SPATIAL`` dim; tests/loaders/
+    test_file_loading.py:181 ``test_load_flattened_nc``).
+
+    Exposes the same sites interface as ``LoaderH5`` (``features`` /
+    ``lat_lon_flat`` / ``elevation`` / ``get(feature, time_slice,
+    gids)``), so the whole flattened-H5 machinery — raster-grid
+    reconstruction (``infer_flat_grid``), gid-window reads, lazy
+    training windows — applies to flattened NC unchanged, which goes
+    beyond the reference (its standard rasterizer rejects flattened
+    NC; rasterizers/base.py:2)."""
+
+    def __init__(self, file_paths, features='all', res_kwargs=None,
+                 chunks=None, BaseLoader=None, lazy=False):
+        """``res_kwargs``/``chunks``/``BaseLoader`` are reference-
+        config compat no-ops; ``lazy`` is accepted for interface
+        parity (reads are windowed on demand either way)."""
+        self.file_paths = expand_paths(file_paths)
+        self._handles = []
+        self._keep = (None if features in ('all', None)
+                      else {standardize_var_name(f) for f in features})
+        self._vars = {}
+        self._lat_lon = None
+        tis = []
+        for path in self.file_paths:
+            backend, handle = _nc_open(path)
+            self._handles.append(handle)
+            self._load_one(backend, handle, tis)
+        self.time_index = (pd.DatetimeIndex(
+            np.concatenate([t.values for t in tis])) if tis else None)
+
+    def _load_one(self, backend, handle, tis):
+        raw = _nc_vars(backend, handle)
+        lower = {k.lower(): k for k in raw}
+
+        def get_coord(*names):
+            for n in names:
+                if n in lower:
+                    return raw[lower[n]]
+            return None
+
+        lat = get_coord(*_LAT_COORD_NAMES)
+        lon = get_coord(*_LON_COORD_NAMES)
+        time = get_coord('time', 'valid_time', 'xtime')
+        assert lat is not None and lon is not None, 'No lat/lon found'
+        space_dim = lat[0][0]
+        lat_vals = np.asarray(lat[1][:], dtype=np.float32)
+        lon_vals = np.asarray(lon[1][:], dtype=np.float32)
+        if (lon_vals > 180.0).any():
+            lon_vals = (lon_vals + 180.0) % 360.0 - 180.0
+        ll = np.column_stack([lat_vals, lon_vals])
+        if self._lat_lon is None:
+            self._lat_lon = ll
+        elif not np.array_equal(self._lat_lon, ll):
+            raise ValueError(
+                'Flattened NetCDF member files have mismatched site '
+                'lists — multi-file loads concatenate along time on '
+                'ONE site list')
+        if time is not None:
+            tis.append(_decode_time_index(time[1], time[2]))
+        time_dim = None if time is None else time[0][0]
+        coord_names = {lower.get(n) for n in (
+            *_LAT_COORD_NAMES, *_LON_COORD_NAMES, 'time', 'valid_time',
+            'xtime')}
+        for name, (dims, arr, attrs) in raw.items():
+            if name in coord_names or name.lower() in _IGNORE_VARS:
+                continue
+            if name == space_dim:
+                # the spatial dim's own coordinate/scale dataset (a
+                # site index, or netCDF's "dimension but not a
+                # variable" placeholder) is not a feature
+                continue
+            if space_dim not in dims:
+                continue
+            extra = [d for d in dims if d not in (space_dim, time_dim)]
+            if extra:
+                logger.debug(
+                    'Skipping flattened variable "%s" with '
+                    'non-canonical dim(s) %s', name, extra)
+                continue
+            std = standardize_var_name(name)
+            if self._keep is not None and std not in self._keep:
+                continue
+            scale, offset = 1.0, 0.0
+            if 'scale_factor' in attrs:
+                scale = float(np.asarray(
+                    attrs['scale_factor']).ravel()[0])
+                offset = float(np.asarray(
+                    attrs.get('add_offset', 0)).ravel()[0])
+            units = attrs.get('units')
+            if isinstance(units, bytes):
+                units = units.decode()
+            if str(units) == 'K':
+                # standardize temperatures to Celsius (reference:
+                # loaders/utilities.py:23-25)
+                offset -= 273.15
+            fill = attrs.get('_FillValue', attrs.get('missing_value'))
+            fv = (float(np.asarray(fill).ravel()[0])
+                  if fill is not None else None)
+            time_first = arr.ndim == 2 and dims[0] == time_dim
+            var = self._vars.setdefault(std, _FlatNCVar(len(ll)))
+            if arr.ndim == 1 and any(
+                    p[0].ndim == 1 for p in var._parts):
+                continue  # site-static var: first file's copy wins
+            var.add_part(arr, time_first, scale, offset, fv)
+
+    @property
+    def features(self):
+        return list(self._vars)
+
+    @property
+    def lat_lon_flat(self):
+        """(sites, 2) coordinates."""
+        return self._lat_lon
+
+    @property
+    def elevation(self):
+        """(sites,) elevation when a site-static topography variable
+        is present (the NC analogue of the H5 meta elevation column)."""
+        var = self._vars.get('topography')
+        if var is not None and any(p[0].ndim == 1 for p in var._parts):
+            return var.get()[0]
+        return None
+
+    def get(self, feature, time_slice=slice(None), gids=None):
+        """(time, sites) float32 block for a feature."""
+        f = standardize_var_name(feature)
+        if f not in self._vars:
+            raise KeyError(f'"{feature}" not in {self.features}')
+        return self._vars[f].get(time_slice, gids)
+
+    def close(self):
+        for h in self._handles:
+            h.close()
+        self._handles = []
+
+
 def Loader(file_paths, features='all', **kwargs):
-    """Factory: pick LoaderH5/LoaderNC by file type (reference:
-    sup3r/preprocessing/loaders/__init__.py)."""
+    """Factory: pick LoaderH5/LoaderNC/LoaderNCFlat by file type and
+    spatial layout (reference: sup3r/preprocessing/loaders/__init__.py;
+    flattened detection per nc.py:73-80)."""
     if get_source_type(file_paths) == 'h5':
         return LoaderH5(file_paths, features=features, **kwargs)
+    paths = expand_paths(file_paths)
+    if paths and nc_is_flattened(paths[0]):
+        return LoaderNCFlat(file_paths, features=features, **kwargs)
     return LoaderNC(file_paths, features=features, **kwargs)

@@ -16,6 +16,7 @@ from sup3r_tpu.preprocessing.grid import GridDataset
 from sup3r_tpu.preprocessing.loaders import (
     Loader,
     LoaderH5,
+    LoaderNCFlat,
     RawDataset,
     get_source_type,
 )
@@ -174,7 +175,9 @@ class Rasterizer:
         self.time_slice = _parse_time_slice(time_slice)
         self.threshold = threshold
         self.raster_file = raster_file
-        self._is_flat = isinstance(self.loader, LoaderH5)
+        # flattened site-list sources (rex-style H5 AND flattened NC)
+        # share the sites interface -> raster reconstruction path
+        self._is_flat = isinstance(self.loader, (LoaderH5, LoaderNCFlat))
         self.window = window
         self.raster_index = self._get_raster_index()
         self.data = self._rasterize()

@@ -153,6 +153,68 @@ def make_fake_nc4_file(path, shape, features, start='2023-01-01',
     return path
 
 
+def make_fake_flat_nc_file(path, shape, features, start='2023-01-01',
+                           freq='h', lat_range=(40.0, 39.0),
+                           lon_range=(-105.5, -104.3), data=None,
+                           var_attrs=None, space_first=False,
+                           with_topography=False):
+    """Spatially-FLATTENED NetCDF4-style file via h5py: 1-D lat/lon
+    over one shared 'points' dim plus (time, points) variables
+    (reference flattened-NC layout: tests/loaders/
+    test_file_loading.py:181). The site list is the row-major
+    flattening of an (s1, s2) grid so rasterizer-reconstruction tests
+    can compare directly against the gridded layout. ``data`` maps
+    feature -> (t, s1, s2) values to flatten (random otherwise);
+    ``space_first`` writes (points, time) variables to exercise both
+    axis orders; ``with_topography`` adds a site-static topography
+    variable."""
+    import h5py
+
+    s1, s2, t = shape
+    lat = np.linspace(*lat_range, s1)
+    lon = np.linspace(*lon_range, s2)
+    lat2d, lon2d = np.meshgrid(lat, lon, indexing='ij')
+    time_index = pd.date_range(start, periods=t, freq=freq)
+    hours = ((time_index - pd.Timestamp('1900-01-01'))
+             .total_seconds() / 3600).astype('float64')
+    n = s1 * s2
+    with h5py.File(path, 'w') as f:
+        tv = f.create_dataset('time', data=hours)
+        tv.attrs['units'] = np.bytes_('hours since 1900-01-01')
+        tv.make_scale('time')
+        pts = f.create_dataset('points', data=np.arange(n, dtype='f8'))
+        pts.make_scale('points')
+        latv = f.create_dataset(
+            'latitude', data=lat2d.ravel().astype(np.float32))
+        lonv = f.create_dataset(
+            'longitude', data=lon2d.ravel().astype(np.float32))
+        for d in (latv, lonv):
+            d.dims[0].attach_scale(pts)
+        for feat in features:
+            arr = (np.asarray(data[feat], dtype=np.float32)
+                   if data is not None and feat in data
+                   else RANDOM_GENERATOR.random((t, s1, s2)).astype(
+                       np.float32))
+            flat = arr.reshape(t, n)
+            if space_first:
+                ds = f.create_dataset(feat, data=flat.T)
+                ds.dims[0].attach_scale(pts)
+                ds.dims[1].attach_scale(tv)
+            else:
+                ds = f.create_dataset(feat, data=flat)
+                ds.dims[0].attach_scale(tv)
+                ds.dims[1].attach_scale(pts)
+            for k, v in ((var_attrs or {}).get(feat, {})).items():
+                ds.attrs[k] = v
+        if with_topography:
+            topo = f.create_dataset(
+                'topography',
+                data=(RANDOM_GENERATOR.random(n) * 1000).astype(
+                    np.float32))
+            topo.dims[0].attach_scale(pts)
+    return path
+
+
 def make_fake_h5_file(path, shape, features, start='2023-01-01',
                       freq='h', scale_factor=100.0,
                       lat_range=(40.0, 39.0), lon_range=(-105.5, -104.3),
