@@ -146,12 +146,72 @@ class SolarCC(Sup3rGan):
 
         return disc_loss_fn
 
+    def _get_val_step_fn(self):
+        """Jitted validation step with SolarCC's daylight-window
+        semantics (the base class's generic val step scores the full
+        24-hour window, which both diverges from the training loss
+        and hands a 24h tensor to a discriminator initialized on
+        DAYLIGHT_HOURS-long inputs). Mirrors the eager ``calc_loss``:
+        FIXED daylight windows for true AND generated samples (the
+        train step randomizes the generated window; validation is
+        deterministic), center-hour pointwise + daily-mean content
+        terms, and the generate-time reflect pad restoring the full
+        temporal length."""
+        if getattr(self, '_val_step_fn', None) is None:
+            gen_apply = self._get_gen_apply()
+            disc = self._disc
+            loss_fun = self.loss_fun
+            sh, dh, plh = (self.STARTING_HOUR, self.DAYLIGHT_HOURS,
+                          self.POINT_LOSS_HOURS)
+
+            def val_step(gen_params, disc_params, lr, hr, w_adv, key):
+                assert hr.shape[3] % 24 == 0, (
+                    f'SolarCC needs multiples of 24 hourly steps, '
+                    f'got {hr.shape}')
+                exo = self._split_exo_traced(hr)
+                exo = self._augment_val_exo(hr, exo, key)
+                out = gen_apply(gen_params, lr, exo)
+                t_pad = (hr.shape[3] - out.shape[3]) // 2
+                if t_pad > 0:
+                    # temporal_pad equivalent, in-graph (static width)
+                    out = jnp.pad(
+                        out, ((0, 0), (0, 0), (0, 0), (t_pad, t_pad),
+                              (0, 0)), mode='reflect')
+                n_days = hr.shape[3] // 24
+                d_true, d_gen = [], []
+                content = 0.0
+                for i in range(n_days):
+                    base = 24 * i
+                    true_sub = hr[:, :, :, base + sh:base + sh + dh, :]
+                    d_true.append(disc.apply(disc_params, true_sub))
+                    d_gen.append(disc.apply(
+                        disc_params,
+                        out[:, :, :, base + sh:base + sh + dh, :]))
+                    p0 = base + (24 - plh) // 2
+                    content += loss_fun(out[:, :, :, p0:p0 + plh, :],
+                                        hr[:, :, :, p0:p0 + plh, :])
+                    content += loss_fun(
+                        jnp.mean(out[:, :, :, base:base + 24, :],
+                                 axis=3),
+                        jnp.mean(true_sub, axis=3))
+                content = content / n_days
+                d_true = jnp.concatenate(d_true, axis=0)
+                d_gen = jnp.concatenate(d_gen, axis=0)
+                advers = relativistic_disc_loss(d_gen, d_true)
+                return {
+                    'loss_disc': relativistic_disc_loss(d_true, d_gen),
+                    'loss_gen': content + w_adv * advers,
+                    'loss_gen_content': content,
+                    'loss_gen_advers': advers,
+                }
+
+            self._val_step_fn = jax.jit(val_step)
+        return self._val_step_fn
+
     def calc_loss(self, hi_res_true, hi_res_gen, weight_gen_advers=0.001,
                   train_gen=True, train_disc=False, compute_disc=False):
-        """Daylight-window loss for validation (eager path)."""
-        gen_loss_fn = self._make_gen_loss_fn()
-        # evaluate with the current params but fixed key
-        key = jax.random.PRNGKey(0)
+        """Daylight-window loss for validation (eager path; fixed
+        windows — the deterministic counterpart of the train loss)."""
         assert hi_res_true.shape[3] % 24 == 0
 
         loss, aux = None, {}

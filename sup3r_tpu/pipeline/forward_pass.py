@@ -6,6 +6,7 @@ run :428). TPU note: chunks of equal padded shape hit one cached XLA
 compilation; the generator program itself is the jitted model apply.
 """
 
+import functools
 import logging
 from concurrent.futures import ThreadPoolExecutor
 
@@ -19,6 +20,17 @@ from sup3r_tpu.preprocessing.loaders import get_source_type
 from sup3r_tpu.utilities import Timer
 
 logger = logging.getLogger(__name__)
+
+
+@functools.lru_cache(maxsize=None)
+def _supports_fetch(model_cls):
+    """Whether a model class's ``generate`` takes a ``fetch=`` kwarg
+    (the single-model API that can hand back an un-fetched device
+    array). THE capability probe for device-side crop/pack paths —
+    cached per class so the per-chunk hot paths don't re-inspect."""
+    import inspect
+
+    return 'fetch' in inspect.signature(model_cls.generate).parameters
 
 
 class ForwardPass:
@@ -150,12 +162,9 @@ class ForwardPass:
         the device->host transfer moves only the kept voxels (the
         padded halo is 30-50% of the block at production pads). The
         values are identical — slicing commutes with the fetch."""
-        import inspect
-
         data_chunk, exo_data, i_lr_t, i_lr_s = cls._reshape_data_chunk(
             model, data_chunk, exo_data)
-        if 'fetch' in inspect.signature(
-                type(model).generate).parameters:
+        if _supports_fetch(type(model)):
             hi_res = model.generate(data_chunk, exogenous_data=exo_data,
                                     fetch=False)
         else:
@@ -280,19 +289,15 @@ class ForwardPass:
         keep the host path). ``pack_output_on_device=True`` errors if
         this chunk cannot pack — same contract as the batched
         ``_pack_gate``."""
-        import inspect
-
         from sup3r_tpu.postprocessing.writers import OutputHandlerH5
 
         flag = getattr(self.strategy, 'pack_output_on_device', None)
         if flag is False:
             return False
-        gen_params = inspect.signature(
-            type(self.model).generate).parameters
         ok = (self.output_handler_class is OutputHandlerH5
               and chunk.out_file is not None
               and hasattr(self.model, 'norm_input')
-              and 'fetch' in gen_params)
+              and _supports_fetch(type(self.model)))
         if flag is True and not ok:
             raise RuntimeError(
                 'pack_output_on_device=True but this chunk cannot '
@@ -418,12 +423,8 @@ class ForwardPass:
         # (norm_input + a fetch= kwarg on generate); MultiStepGan /
         # LinearInterp / Sup3rCondMom fall back to per-chunk runs
         # instead of crashing mid-node (round-3 review finding)
-        import inspect
-
-        gen_params = inspect.signature(
-            type(self.model).generate).parameters
         if not (hasattr(self.model, 'norm_input')
-                and 'fetch' in gen_params):
+                and _supports_fetch(type(self.model))):
             if not getattr(self, '_batch_gate_logged', False):
                 self._batch_gate_logged = True
                 logger.info(

@@ -826,12 +826,65 @@ class LoaderNC:
         return base
 
 
-class _H5Var:
-    """Lazy handle for one (time, sites) H5 dataset with scale decode."""
+def _static_rows(n_t_total, time_slice):
+    """How many time rows a SITE-STATIC variable must produce for a
+    global time slice: the sliced length of the store's time axis, so
+    static rasters line up with time-varying features when stacked
+    (a 1-row result crashed the Deriver for any T>1 window)."""
+    return len(range(max(int(n_t_total or 1), 1))[time_slice])
 
-    def __init__(self, datasets, scale):
+
+def _route_time_reads(lens, time_slice, read_block, n_cols):
+    """Route a GLOBAL time slice across per-file row blocks.
+
+    ``lens`` are the per-file time lengths (concatenation order);
+    ``read_block(part_index, sel)`` reads that file's rows for a
+    local, evenly-spaced ascending slice and returns (rows, n_cols)
+    data. Handles negative-step slices by reading ascending and
+    flipping the assembled result (per-file descending slices dropped
+    rows and ordered blocks by file instead of by the slice — a
+    round-4 review finding), and returns an empty (0, n_cols) block
+    when the slice selects nothing. Shared by ``_H5Var`` and
+    ``_FlatNCVar`` so the routing logic cannot diverge between the
+    two flattened-source paths."""
+    idx = np.arange(sum(lens))[time_slice]
+    reverse = idx.size > 1 and idx[1] < idx[0]
+    if reverse:
+        idx = idx[::-1]
+    blocks = []
+    start = 0
+    for k, n in enumerate(lens):
+        local = idx[(idx >= start) & (idx < start + n)] - start
+        start += n
+        if local.size == 0:
+            continue
+        # a global slice restricted to one file is evenly spaced, so
+        # a plain (fast) slice read suffices
+        step = int(local[1] - local[0]) if local.size > 1 else 1
+        blocks.append(read_block(
+            k, slice(int(local[0]), int(local[-1]) + 1, step)))
+    if not blocks:
+        out = np.zeros((0, n_cols), np.float32)
+    elif len(blocks) == 1:
+        out = blocks[0]
+    else:
+        out = np.concatenate(blocks, axis=0)
+    if reverse:
+        out = out[::-1]
+    return out.astype(np.float32)
+
+
+class _H5Var:
+    """Lazy handle for one (time, sites) H5 dataset with scale decode.
+
+    ``n_t_total`` (the store's full time length) sizes the broadcast
+    of site-static 1-D datasets so they stack against time-varying
+    features."""
+
+    def __init__(self, datasets, scale, n_t_total=1):
         self._datasets = datasets  # list of h5py datasets (time concat)
         self._scale = scale
+        self._n_t = int(n_t_total or 1)
 
     def get(self, time_slice=slice(None), gids=None):
         """Read (time, sites) float32 data for a time slice + gid set.
@@ -842,53 +895,33 @@ class _H5Var:
         (and wrongly-sized) data for any multi-file load with a
         non-trivial time_slice."""
         if all(ds.ndim == 1 for ds in self._datasets):
-            # site-static var (e.g. elevation): time-independent, one
-            # row, the same in every member file
+            # site-static var (e.g. elevation): identical in every
+            # member file, broadcast over the sliced time length
             ds = self._datasets[0]
-            arr = ds[:] if gids is None else ds[:][gids]
-            return arr[None].astype(np.float32) / self._scale
-        lens = [ds.shape[0] for ds in self._datasets]
-        total = sum(lens)
-        idx = np.arange(total)[time_slice]
-        # negative-step slices: read ascending (h5py slice reads need
-        # start < stop), then flip the assembled result — the naive
-        # per-file descending slice dropped rows and ordered blocks
-        # by file instead of by the slice (round-4 review finding)
-        reverse = idx.size > 1 and idx[1] < idx[0]
-        if reverse:
-            idx = idx[::-1]
-        blocks = []
-        start = 0
-        for ds, n in zip(self._datasets, lens):
-            local = idx[(idx >= start) & (idx < start + n)] - start
-            start += n
-            if local.size == 0:
-                continue
-            # a global slice restricted to one file is evenly spaced,
-            # so a plain (fast) h5py slice read suffices
-            step = int(local[1] - local[0]) if local.size > 1 else 1
-            sel = slice(int(local[0]), int(local[-1]) + 1, step)
+            arr = ds[:] if gids is None else ds[:][np.asarray(gids)]
+            row = arr.astype(np.float32) / self._scale
+            return np.repeat(row[None],
+                             _static_rows(self._n_t, time_slice),
+                             axis=0)
+
+        def read_block(k, sel):
+            ds = self._datasets[k]
             if gids is not None:
                 # restrict the read to the [min, max] gid range — for
                 # spatially compact windows this is far smaller than
-                # the full site extent, and a contiguous h5py slice is
-                # fast where fancy indexing is not
+                # the full site extent, and a contiguous h5py slice
+                # is fast where fancy indexing is not
                 g = np.asarray(gids)
                 lo, hi = int(g.min()), int(g.max()) + 1
-                arr = ds[sel, lo:hi][:, g - lo]
-            else:
-                arr = ds[sel, :]
-            blocks.append(arr)
-        if not blocks:
-            out = np.zeros((0, self._datasets[0].shape[-1]),
-                           np.float32)
-        elif len(blocks) == 1:
-            out = blocks[0]
-        else:
-            out = np.concatenate(blocks, axis=0)
-        if reverse:
-            out = out[::-1]
-        return out.astype(np.float32) / self._scale
+                return ds[sel, lo:hi][:, g - lo]
+            return ds[sel, :]
+
+        n_cols = (len(np.asarray(gids)) if gids is not None
+                  else self._datasets[0].shape[-1])
+        out = _route_time_reads(
+            [ds.shape[0] for ds in self._datasets], time_slice,
+            read_block, n_cols)
+        return out / self._scale
 
 
 class LoaderH5:
@@ -926,7 +959,10 @@ class LoaderH5:
                 continue
             dsets = [h[name] for h in self._handles if name in h]
             scale = float(h0[name].attrs.get('scale_factor', 1.0))
-            self._vars[standardize_var_name(name)] = _H5Var(dsets, scale)
+            self._vars[standardize_var_name(name)] = _H5Var(
+                dsets, scale,
+                n_t_total=(len(self.time_index)
+                           if self.time_index is not None else 1))
         if features != 'all' and features is not None:
             keep = {standardize_var_name(f) for f in features}
             self._vars = {k: v for k, v in self._vars.items()
@@ -973,6 +1009,9 @@ class _FlatNCVar:
         self.n_sites = int(n_sites)
         #: (arr, time_first, scale, offset, fill, n_t) per member file
         self._parts = []
+        #: the STORE's total time length (set by the loader once all
+        #: member files are read) — sizes the site-static broadcast
+        self.n_t_total = 1
 
     def add_part(self, arr, time_first, scale, offset, fill):
         n_t = 1 if arr.ndim == 1 else (
@@ -995,27 +1034,20 @@ class _FlatNCVar:
     def get(self, time_slice=slice(None), gids=None):
         """(time, sites) float32 window — same contract (and the same
         multi-file time routing / gid-range read restriction) as
-        ``_H5Var.get``."""
+        ``_H5Var.get``, through the shared ``_route_time_reads``."""
         if all(p[0].ndim == 1 for p in self._parts):
-            # site-static var: one row, identical in every member file
+            # site-static var: identical in every member file,
+            # broadcast over the sliced time length
             arr, _, scale, offset, fill, _ = self._parts[0]
             raw = arr[:] if gids is None else arr[:][np.asarray(gids)]
-            return self._decode(raw, scale, offset, fill)[None]
+            row = self._decode(raw, scale, offset, fill)
+            return np.repeat(row[None],
+                             _static_rows(self.n_t_total, time_slice),
+                             axis=0)
         parts = [p for p in self._parts if p[0].ndim == 2]
-        lens = [p[5] for p in parts]
-        idx = np.arange(sum(lens))[time_slice]
-        reverse = idx.size > 1 and idx[1] < idx[0]
-        if reverse:
-            idx = idx[::-1]
-        blocks = []
-        start = 0
-        for arr, time_first, scale, offset, fill, n in parts:
-            local = idx[(idx >= start) & (idx < start + n)] - start
-            start += n
-            if local.size == 0:
-                continue
-            step = int(local[1] - local[0]) if local.size > 1 else 1
-            sel = slice(int(local[0]), int(local[-1]) + 1, step)
+
+        def read_block(k, sel):
+            arr, time_first, scale, offset, fill, _ = parts[k]
             if gids is not None:
                 # restrict the read to the [min, max] gid range (fast
                 # contiguous slice; fancy-index only the local block)
@@ -1025,18 +1057,12 @@ class _FlatNCVar:
                        else arr[lo:hi, sel][g - lo, :].T)
             else:
                 raw = arr[sel, :] if time_first else arr[:, sel].T
-            blocks.append(self._decode(raw, scale, offset, fill))
-        if not blocks:
-            n_cols = self.n_sites if gids is None else len(
-                np.asarray(gids))
-            out = np.zeros((0, n_cols), np.float32)
-        elif len(blocks) == 1:
-            out = blocks[0]
-        else:
-            out = np.concatenate(blocks, axis=0)
-        if reverse:
-            out = out[::-1]
-        return out.astype(np.float32)
+            return self._decode(raw, scale, offset, fill)
+
+        n_cols = (len(np.asarray(gids)) if gids is not None
+                  else self.n_sites)
+        return _route_time_reads([p[5] for p in parts], time_slice,
+                                 read_block, n_cols)
 
 
 class LoaderNCFlat:
@@ -1071,8 +1097,41 @@ class LoaderNCFlat:
             backend, handle = _nc_open(path)
             self._handles.append(handle)
             self._load_one(backend, handle, tis)
+        n_files = len(self.file_paths)
+        if tis and len(tis) != n_files:
+            raise ValueError(
+                'Some flattened NetCDF member files lack a time '
+                'variable — cannot concatenate a mixed time-varying/'
+                'time-independent file set along time')
+        if len(tis) > 1:
+            # member files arrive in FILENAME order (expand_paths
+            # sorts lexically) — reorder to CHRONOLOGICAL order and
+            # fail loudly on overlap, like LoaderNC._merge does for
+            # gridded multi-file loads
+            order = sorted(range(n_files), key=lambda i: tis[i][0])
+            tis = [tis[i] for i in order]
+            for name, var in self._vars.items():
+                if all(p[0].ndim == 1 for p in var._parts):
+                    continue  # site-static: first file's copy
+                if (len(var._parts) != n_files
+                        or any(p[0].ndim != 2 for p in var._parts)):
+                    raise ValueError(
+                        f'Time-varying variable "{name}" is missing '
+                        '(or site-static) in some flattened member '
+                        'files — every member must carry it for a '
+                        'time concatenation')
+                var._parts = [var._parts[i] for i in order]
         self.time_index = (pd.DatetimeIndex(
             np.concatenate([t.values for t in tis])) if tis else None)
+        if self.time_index is not None and len(self.time_index) > 1:
+            if (np.diff(self.time_index.values)
+                    <= np.timedelta64(0)).any():
+                raise ValueError(
+                    'Flattened NetCDF member files have overlapping '
+                    'or non-monotonic time ranges')
+        for var in self._vars.values():
+            var.n_t_total = (len(self.time_index)
+                             if self.time_index is not None else 1)
 
     def _load_one(self, backend, handle, tis):
         raw = _nc_vars(backend, handle)

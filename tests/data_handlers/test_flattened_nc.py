@@ -161,6 +161,69 @@ def test_flat_lazy_mode_parity(tmp_path):
                                   eager.data.data[idx])
 
 
+def test_flat_static_topography_broadcasts(tmp_path):
+    """Site-static variables (topography) must broadcast over the
+    sliced time length so they stack against time-varying features —
+    a 1-row result crashed the Deriver for any T>1 window (review
+    finding on the initial flat-NC version)."""
+    rng = np.random.default_rng(3)
+    s1, s2, t = 6, 5, 8
+    data = {'u_100m': rng.random((t, s1, s2)).astype(np.float32)}
+    fp = make_fake_flat_nc_file(
+        str(tmp_path / 'topo.nc'), (s1, s2, t), ['u_100m'], data=data,
+        with_topography=True)
+    ld = Loader(fp)
+    assert ld.elevation is not None and ld.elevation.shape == (s1 * s2,)
+    block = ld.get('topography', slice(2, 7))
+    assert block.shape == (5, s1 * s2)
+    np.testing.assert_array_equal(block[0], block[-1])
+    ld.close()
+
+    # eager AND lazy DataHandlers carry the static raster at full T
+    dh = DataHandler(fp, features=['u_100m', 'topography'])
+    assert dh.data.shape == (s1, s2, t, 2)
+    topo = dh.data['topography']
+    np.testing.assert_array_equal(topo[..., 0], topo[..., -1])
+    lazy = DataHandler(fp, features=['u_100m', 'topography'],
+                       mode='lazy')
+    idx = (slice(1, 4), slice(0, 5), slice(2, 6), slice(None))
+    np.testing.assert_array_equal(lazy.data.sample(idx),
+                                  dh.data.data[idx])
+
+
+def test_flat_multifile_name_order_vs_time_order(tmp_path):
+    """Member files are concatenated CHRONOLOGICALLY even when their
+    lexical filename order disagrees, and overlapping time ranges
+    fail loudly (parity with LoaderNC._merge)."""
+    rng = np.random.default_rng(4)
+    s1, s2, t = 4, 4, 6
+    jan = {'u_100m': rng.random((t, s1, s2)).astype(np.float32)}
+    feb = {'u_100m': rng.random((t, s1, s2)).astype(np.float32)}
+    # 'a_feb.nc' sorts before 'b_jan.nc' — chronology must win
+    f_feb = make_fake_flat_nc_file(str(tmp_path / 'a_feb.nc'),
+                                   (s1, s2, t), ['u_100m'], data=feb,
+                                   start='2023-02-01')
+    f_jan = make_fake_flat_nc_file(str(tmp_path / 'b_jan.nc'),
+                                   (s1, s2, t), ['u_100m'], data=jan,
+                                   start='2023-01-01')
+    ld = Loader([f_feb, f_jan])
+    assert ld.time_index.is_monotonic_increasing
+    assert ld.time_index[0] == pd.Timestamp('2023-01-01')
+    full = np.concatenate([jan['u_100m'], feb['u_100m']]).reshape(
+        2 * t, s1 * s2)
+    np.testing.assert_array_equal(ld.get('u_100m'), full)
+    np.testing.assert_array_equal(
+        ld.get('u_100m', slice(3, 9)), full[3:9])
+    ld.close()
+
+    # overlapping time ranges are an error, not silent duplication
+    f_dup = make_fake_flat_nc_file(str(tmp_path / 'dup.nc'),
+                                   (s1, s2, t), ['u_100m'], data=jan,
+                                   start='2023-01-01')
+    with pytest.raises(ValueError, match='overlap'):
+        Loader([f_jan, f_dup])
+
+
 def test_generic_exo_feature_extraction(tmp_path):
     """Arbitrary (non-topography) exo features aggregate from H5 AND
     flattened-NC sources (reference test_srl_extraction_h5,
