@@ -45,14 +45,22 @@ def get_date_range_kwargs(time_index):
         'freq': freq,
     }
     if len(deltas) > 1:
+        # only encode drop_leap when dropping Feb 29 from the nominal
+        # range ACTUALLY reproduces the index — an ordinary data gap
+        # also makes the nominal rebuild longer, and labeling it a
+        # noleap calendar would silently shift every day-of-year
+        # window downstream (review finding)
         nominal = pd.date_range(**kwargs)
-        if len(nominal) > len(time_index):
+        noleap = nominal[~((nominal.month == 2) & (nominal.day == 29))]
+        if len(noleap) == len(time_index) and (
+                noleap == time_index).all():
             kwargs['drop_leap'] = True
         else:
             raise ValueError(
                 f'Got multiple unique time steps ({deltas}) for time '
                 f'index starting {time_index[0]} — input data must '
-                'have a consistent frequency')
+                'have a consistent frequency (a noleap calendar is '
+                'the one supported irregularity)')
     return kwargs
 
 

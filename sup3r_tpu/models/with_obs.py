@@ -56,22 +56,57 @@ class Sup3rGanWithObs(Sup3rGan):
         return [hr_feats.index(self._strip_obs(f))
                 for f in self.obs_features]
 
-    def _augment_val_exo(self, hr, exo, key):
-        """Masked obs inputs for validation batches — same synthetic
-        observation sampling as the training loss (reference routes
-        validation through the shared _get_hr_exo_and_loss,
-        with_obs.py:245)."""
-        import jax.numpy as jnp
+    def _get_val_step_fn(self):
+        """Jitted validation step carrying the SAME obs terms as the
+        training loss (the base class's generic val step injected
+        masked obs exo but dropped ``obs_weight * loss_obs`` from
+        loss_gen/loss_gen_content and never reported val_loss_obs —
+        the reference routes validation through the shared
+        ``_get_hr_exo_and_loss``, with_obs.py:245-279, so train and
+        val losses are commensurate)."""
+        if getattr(self, '_val_step_fn', None) is None:
+            gen_apply = self._get_gen_apply()
+            disc = self._disc
+            loss_fun = self.loss_fun
+            n_exo = len(self.hr_exo_features)
+            slc = slice(0, -n_exo) if n_exo else slice(None)
+            obs_weight = self.loss_obs_weight
+            obs_names = list(self._gen.obs_features)
+            obs_inds = self.obs_training_inds
 
-        n_exo = len(self.hr_exo_features)
-        n_out_ch = hr.shape[-1] - n_exo
-        not_obs = self._sample_obs_mask(
-            key, (*hr.shape[:-1], n_out_ch))
-        for name, idx in zip(self._gen.obs_features,
-                             self.obs_training_inds):
-            chan = hr[..., idx:idx + 1]
-            exo[name] = jnp.where(not_obs[..., :1], jnp.nan, chan)
-        return exo
+            def val_step(gen_params, disc_params, lr, hr, w_adv, key):
+                exo = self._split_exo_traced(hr)
+                n_out_ch = hr.shape[-1] - n_exo
+                not_obs = self._sample_obs_mask(
+                    key, (*hr.shape[:-1], n_out_ch))
+                # same mask-channel convention as the train loss fn
+                for name, idx in zip(obs_names, obs_inds):
+                    chan = hr[..., idx:idx + 1]
+                    exo[name] = jnp.where(not_obs[..., :1], jnp.nan,
+                                          chan)
+                out = gen_apply(gen_params, lr, exo)
+                full = self._combine_loss_input(hr, out)
+                d_true = disc.apply(disc_params, hr)
+                d_gen = disc.apply(disc_params, full)
+                content = loss_fun(full[..., slc], hr[..., slc])
+                advers = relativistic_disc_loss(d_gen, d_true)
+                obs_w = (~not_obs).astype(out.dtype)
+                loss_obs = _masked_mae(out, hr[..., slc], obs_w)
+                loss_non_obs = _masked_mae(
+                    out, hr[..., slc], not_obs.astype(out.dtype))
+                content_tot = content + obs_weight * loss_obs
+                return {
+                    'loss_disc': relativistic_disc_loss(d_true, d_gen),
+                    'loss_gen': content_tot + w_adv * advers,
+                    'loss_gen_content': content_tot,
+                    'loss_gen_advers': advers,
+                    'loss_obs': loss_obs,
+                    'loss_non_obs': loss_non_obs,
+                    'obs_frac': jnp.mean(obs_w),
+                }
+
+            self._val_step_fn = jax.jit(val_step)
+        return self._val_step_fn
 
     def _spatial_frac_bounds(self):
         frac = self.onshore_obs_frac.get('spatial_frac', 0.1)

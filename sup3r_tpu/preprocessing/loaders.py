@@ -305,6 +305,11 @@ def compose_slice(outer, inner, n):
     what ``inner`` selects within the extent ``outer`` selects. Handles
     arbitrary starts/stops/steps (range arithmetic)."""
     r = range(n)[outer][inner]
+    if len(r) == 0:
+        # an empty negative-step range can carry start=stop=-1, and
+        # the stop<0 -> None rewrite below would turn "select nothing"
+        # into "select from the last element down" (review finding)
+        return slice(0, 0, 1)
     stop = r.stop
     if r.step < 0 and stop < 0:
         stop = None
@@ -448,13 +453,24 @@ _LAT_COORD_NAMES = ('latitude', 'lat', 'xlat')
 _LON_COORD_NAMES = ('longitude', 'lon', 'xlong')
 
 
+def _is_flat_layout(lat, lon):
+    """THE flattened-layout predicate, shared by the ``Loader``
+    factory probe and ``LoaderNC``'s misuse guard so they cannot
+    drift: lat/lon are 1-D over one IDENTICAL dim (a site list) —
+    on a regular grid their dims differ. Reference ``_is_flattened``:
+    sup3r/preprocessing/loaders/nc.py:73-80. Checks metadata only
+    (never reads coordinate values)."""
+    lat_dims, lat_arr = lat[0], lat[1]
+    lat_shape = tuple(getattr(lat_arr, 'shape', np.shape(lat_arr)))
+    lon_shape = tuple(getattr(lon[1], 'shape', np.shape(lon[1])))
+    return (len(lat_dims) == 1 and tuple(lat_dims) == tuple(lon[0])
+            and len(lat_shape) == 1 and lat_shape == lon_shape)
+
+
 def nc_is_flattened(path):
     """Whether a NetCDF file stores spatially FLATTENED data: 1-D
     latitude/longitude sharing one spatial dim (site list), rather
-    than a lat x lon grid. Mirrors the reference's ``_is_flattened``
-    check (reference sup3r/preprocessing/loaders/nc.py:73-80: lat/lon
-    are 1-D with identical dims — on a regular grid their dims
-    differ)."""
+    than a lat x lon grid (see ``_is_flat_layout``)."""
     backend, handle = _nc_open(path)
     try:
         raw = _nc_vars(backend, handle)
@@ -465,12 +481,7 @@ def nc_is_flattened(path):
                     if n in lower), None)
         if lat is None or lon is None:
             return False
-        lat_dims, lat_arr = lat[0], lat[1]
-        lon_dims = lon[0]
-        return (len(lat_dims) == 1 and lat_dims == lon_dims
-                and np.asarray(lat_arr).ndim == 1
-                and np.asarray(lat_arr).shape == np.asarray(
-                    lon[1]).shape)
+        return _is_flat_layout(lat, lon)
     finally:
         handle.close()
 
@@ -583,8 +594,7 @@ class LoaderNC:
         lat_vals = np.asarray(lat[1][:], dtype=np.float32)
         lon_vals = np.asarray(lon[1][:], dtype=np.float32)
         lat_dims, lon_dims = lat[0], lon[0]
-        if (lat_vals.ndim == 1 and len(lat_dims) == 1
-                and tuple(lat_dims) == tuple(lon_dims)):
+        if _is_flat_layout(lat, lon):
             # a 1-D lat/lon PAIR over one shared dim is a flattened
             # site list, not a grid — meshgridding it would build a
             # wrong n x n grid and drop every data variable
@@ -638,7 +648,11 @@ class LoaderNC:
         target_order = (Dimension.SOUTH_NORTH, Dimension.WEST_EAST,
                         Dimension.TIME, Dimension.PRESSURE_LEVEL)
         data_vars, var_dims = {}, {}
-        eager_bytes = 0
+        # the budget accumulates ACROSS member files on the instance —
+        # a per-file counter let an n-file load exceed the cap n-fold
+        # before _merge concatenated it all (review finding)
+        if not hasattr(self, '_eager_bytes'):
+            self._eager_bytes = 0
         for name, (dims, arr, attrs) in raw_vars.items():
             if name in coord_names or name.lower() in _IGNORE_VARS:
                 continue
@@ -682,9 +696,9 @@ class LoaderNC:
                 # budget the CUMULATIVE eager load, not each variable
                 # in isolation — many medium variables can blow the
                 # host-RAM cap just as surely as one big one
-                eager_bytes += int(np.prod(arr.shape)) * 4
+                self._eager_bytes += int(np.prod(arr.shape)) * 4
                 check_host_ram_budget(
-                    eager_bytes,
+                    self._eager_bytes,
                     f'Eager NetCDF load through variable "{name}"')
                 raw = np.asarray(arr[:])
                 values = raw.astype(np.float32)
@@ -1093,6 +1107,16 @@ class LoaderNCFlat:
         self._vars = {}
         self._lat_lon = None
         tis = []
+        try:
+            self._init_members(tis)
+        except Exception:
+            # any validation failure below must not leak the handles
+            # already opened (retried loads in long-lived CLI node
+            # processes would accumulate fds)
+            self.close()
+            raise
+
+    def _init_members(self, tis):
         for path in self.file_paths:
             backend, handle = _nc_open(path)
             self._handles.append(handle)

@@ -137,3 +137,18 @@ def test_date_range_kwargs_drop_leap_roundtrip():
         '2016-01-03 12:00', '2016-01-04 12:00'])
     with pytest.raises(ValueError, match='consistent frequency'):
         get_date_range_kwargs(ragged)
+    # a DATA GAP also makes the nominal rebuild longer than the index
+    # — it must NOT be mislabeled a noleap calendar (which silently
+    # shifted every downstream day-of-year window; review finding)
+    hourly_year = pd.date_range('2015-01-01', '2015-12-31 23:00',
+                                freq='h')
+    gap = hourly_year[~((hourly_year.month == 6)
+                        & (hourly_year.day == 15))]
+    with pytest.raises(ValueError, match='consistent frequency'):
+        get_date_range_kwargs(gap)
+    # ... including a gap that happens to span a leap year
+    full_leap = pd.date_range('2016-01-01', '2016-12-31', freq='D')
+    gap_leap = full_leap[~((full_leap.month == 7)
+                           & (full_leap.day == 4))]
+    with pytest.raises(ValueError, match='consistent frequency'):
+        get_date_range_kwargs(gap_leap)

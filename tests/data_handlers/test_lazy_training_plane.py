@@ -153,6 +153,26 @@ def test_ram_budget_guard(tmp_path, monkeypatch):
     assert s.shape == (4, 4, 8, 1)
 
 
+def test_ram_budget_accumulates_across_member_files(tmp_path,
+                                                    monkeypatch):
+    """The eager-load budget must count the SUM over member files —
+    a per-file counter let an n-file load exceed the cap n-fold
+    before the merge concatenated it (review finding)."""
+    from sup3r_tpu.preprocessing.loaders import LoaderNC
+
+    files = []
+    for i in range(4):
+        files.append(make_fake_nc4_file(
+            str(tmp_path / f'm{i}.nc'), (16, 16, 32), ['u100'],
+            start=f'2023-0{i + 1}-01'))
+    # one file's variable is 16*16*32*4 = 32.8 kB — budget admits a
+    # single file but NOT four
+    monkeypatch.setenv('SUP3R_TPU_HOST_RAM_GB', '0.00006')
+    LoaderNC(files[0])  # single file fits
+    with pytest.raises(MemoryError, match="mode='lazy'"):
+        LoaderNC(files)
+
+
 def test_lazy_rejects_unsupported(tmp_path):
     """Full-domain remaps and non-local derivations fail loudly."""
     path = make_fake_nc4_file(str(tmp_path / 'a.nc'), (8, 8, 10),

@@ -180,3 +180,60 @@ def test_raster_file_single_row_roundtrip(tmp_path):
     r2 = Rasterizer(h5, raster_file=rf)  # reload path
     np.testing.assert_array_equal(
         np.asarray(r2.data['windspeed_100m']), first)
+
+
+def test_compose_slice_matches_numpy_exactly():
+    """compose_slice must agree with numpy chained slicing for EVERY
+    start/stop/step combination — an empty negative-step composition
+    used to come back as slice(-1, None, -1) and select data where
+    numpy selects nothing (review finding)."""
+    from sup3r_tpu.preprocessing.loaders import compose_slice
+
+    rng = np.random.default_rng(0)
+    for _ in range(3000):
+        n = int(rng.integers(1, 14))
+        def rand_slice():
+            lo = None if rng.random() < 0.3 else int(
+                rng.integers(-n - 3, n + 3))
+            hi = None if rng.random() < 0.3 else int(
+                rng.integers(-n - 3, n + 3))
+            step = int(rng.integers(-3, 4)) or 1
+            return slice(lo, hi, step)
+        outer, inner = rand_slice(), rand_slice()
+        base = np.arange(n)
+        np.testing.assert_array_equal(
+            base[compose_slice(outer, inner, n)], base[outer][inner],
+            err_msg=f'n={n} outer={outer} inner={inner}')
+    # the specific regression shapes
+    assert np.arange(1)[compose_slice(slice(0, 0, 1),
+                                      slice(0, 0, -1), 1)].size == 0
+    assert np.arange(11)[compose_slice(slice(-12, -4, -2),
+                                       slice(-13, 3, 2), 11)].size == 0
+
+
+def test_flat_nc_loader_closes_handles_on_invalid_input(tmp_path):
+    """A failing LoaderNCFlat constructor (mismatched site lists)
+    must close every handle it already opened (review finding: leaked
+    fds in long-lived CLI node processes)."""
+    from sup3r_tpu.preprocessing.loaders import LoaderNCFlat
+    from sup3r_tpu.utilities.test_helpers import make_fake_flat_nc_file
+
+    f1 = make_fake_flat_nc_file(str(tmp_path / 'a.nc'), (4, 4, 3),
+                                ['u_100m'])
+    f2 = make_fake_flat_nc_file(str(tmp_path / 'b.nc'), (5, 5, 3),
+                                ['u_100m'], start='2023-01-02')
+    opened = []
+    orig = h5py.File
+
+    def tracking_open(*args, **kwargs):
+        h = orig(*args, **kwargs)
+        opened.append(h)
+        return h
+
+    import unittest.mock as mock
+    with mock.patch('sup3r_tpu.preprocessing.loaders.h5py.File',
+                    side_effect=tracking_open):
+        with pytest.raises(ValueError, match='site list'):
+            LoaderNCFlat([f1, f2])
+    assert opened, 'expected the loader to open handles'
+    assert all(not h.id.valid for h in opened), 'leaked open handles'
