@@ -167,9 +167,10 @@ def fuse_network(layers, params):
             new_params.append(params[i])
             i += 1
             continue
-        fused_layer, fused_params, consumed = match
-        new_layers.append(fused_layer)
-        new_params.append(fused_params)
+        emitted, consumed = match
+        for lyr, p in emitted:
+            new_layers.append(lyr)
+            new_params.append(p)
         i += consumed
         n_fused += 1
     if n_fused:
@@ -213,6 +214,7 @@ def _match_sequence(layers, params, i):
     # Activation('relu') layer
     alpha = None
     consumed = 3
+    trailing = []
     if conv._act is not None:
         if getattr(conv, '_act') is not jax.nn.relu:
             return None
@@ -225,14 +227,49 @@ def _match_sequence(layers, params, i):
         elif isinstance(nxt, Activation) and nxt.name == 'relu':
             alpha = 0.0
             consumed = 4
+        elif _movement_only_expansion(nxt) and i + 4 < len(layers):
+            # conv -> EXPANSION -> activation: pixel shuffles /
+            # frame repeats only MOVE or DUPLICATE values, so the
+            # elementwise activation commutes exactly across them.
+            # Folding it into the fused conv's epilogue removes a
+            # standalone HBM-bound activation pass over the full
+            # post-expansion tensor (~1.75 ms at the production HR
+            # shape — docs/PERFORMANCE.md op-mix profile)
+            act = layers[i + 4]
+            if isinstance(act, LeakyReLU):
+                alpha = act.alpha
+            elif isinstance(act, Activation) and act.name == 'relu':
+                alpha = 0.0
+            if alpha is not None:
+                consumed = 5
+                trailing = [(nxt, params[i + 3])]
 
     # jax.lax.conv_transpose(stride 1, VALID) equals a full-padding
     # conv with the SAME (unflipped) kernel, so both conv and convT
     # fuse with the kernel as-is
     fused_params = {'kernel': params[i + 1]['kernel'],
                     'bias': params[i + 1]['bias']}
-    return FusedReflectConv(n_spatial, alpha=alpha), fused_params, \
-        consumed
+    emitted = [(FusedReflectConv(n_spatial, alpha=alpha),
+                fused_params)] + trailing
+    return emitted, consumed
+
+
+def _movement_only_expansion(layer):
+    """Whether ``layer`` only MOVES or DUPLICATES values (pixel
+    shuffle / frame repeat) — the condition under which an elementwise
+    activation commutes exactly across it. Linear temporal
+    interpolation averages values and does NOT qualify."""
+    from sup3r_tpu.models.layers import (
+        SpatialExpansion,
+        SpatioTemporalExpansion,
+    )
+
+    if isinstance(layer, SpatialExpansion):
+        return True
+    return (isinstance(layer, SpatioTemporalExpansion)
+            and (layer.temporal_mult == 1
+                 or layer.temporal_method in ('nearest',
+                                              'depth_to_time')))
 
 
 class SubpixelTailConv(Layer):
@@ -268,31 +305,40 @@ class SubpixelTailConv(Layer):
 
 def fuse_subpixel_tail(layers, params):
     """Rewrite [SpatioTemporalExpansion(spatial only), LeakyReLU,
-    FusedReflectConv] endings into one SubpixelTailConv. Safe no-op
-    when the pattern is absent."""
+    FusedReflectConv] endings — or [SpatioTemporalExpansion,
+    FusedReflectConv] when ``fuse_network`` already folded the
+    activation into the PREVIOUS conv's epilogue — into one
+    SubpixelTailConv. Safe no-op when the pattern is absent."""
     from sup3r_tpu.models.layers import SpatioTemporalExpansion
 
     new_layers = list(layers)
     new_params = list(params)
-    for i in range(len(new_layers) - 2):
+    for i in range(len(new_layers) - 1):
         exp = new_layers[i]
-        act = new_layers[i + 1]
-        tail = new_layers[i + 2]
         if not (isinstance(exp, SpatioTemporalExpansion)
                 and getattr(exp, 'spatial_mult', 1) > 1
-                and getattr(exp, 'temporal_mult', 1) == 1
-                and isinstance(act, LeakyReLU)
-                and isinstance(tail, FusedReflectConv)
+                and getattr(exp, 'temporal_mult', 1) == 1):
+            continue
+        act = new_layers[i + 1]
+        if isinstance(act, LeakyReLU) and i + 2 < len(new_layers):
+            alpha_prev = act.alpha
+            tail_idx = i + 2
+        else:
+            # activation already folded upstream by fuse_network
+            alpha_prev = None
+            tail_idx = i + 1
+        tail = new_layers[tail_idx]
+        if not (isinstance(tail, FusedReflectConv)
                 and tail.n_spatial == 3):
             continue
-        kernel = new_params[i + 2].get('kernel')
+        kernel = new_params[tail_idx].get('kernel')
         if kernel is None or kernel.shape[:3] != (3, 3, 3):
             continue
         fused = SubpixelTailConv(int(exp.spatial_mult),
-                                 alpha_prev=act.alpha,
+                                 alpha_prev=alpha_prev,
                                  alpha=tail.alpha)
-        new_layers[i:i + 3] = [fused]
-        new_params[i:i + 3] = [new_params[i + 2]]
+        new_layers[i:tail_idx + 1] = [fused]
+        new_params[i:tail_idx + 1] = [new_params[tail_idx]]
         logger.info('Fused subpixel tail (m=%d) for inference',
                     fused.m)
         break

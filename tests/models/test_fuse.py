@@ -154,3 +154,63 @@ def test_small_conv_kernel_grads_match_reference():
                                    rtol=1e-5, atol=1e-6)
     finally:
         pl.pallas_call = orig
+
+
+def _expansion_tail_config(temporal_method=None):
+    """Flagship-style ending: conv -> expansion -> LeakyReLU -> conv."""
+    pad = {'class': 'FlexiblePadding',
+           'paddings': [[0, 0], [3, 3], [3, 3], [3, 3], [0, 0]],
+           'mode': 'REFLECT'}
+    exp = {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2}
+    if temporal_method is not None:
+        exp.update(temporal_mult=2, temporal_method=temporal_method)
+    return [
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 8, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+        exp,
+        {'class': 'LeakyReLU', 'alpha': 0.2},
+        dict(pad),
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1},
+        {'class': 'Cropping3D', 'cropping': 2},
+    ]
+
+
+@pytest.mark.parametrize('temporal_method',
+                         [None, 'nearest', 'depth_to_time'])
+def test_fold_activation_across_movement_expansion(temporal_method):
+    """conv -> pixel-shuffle/repeat expansion -> LeakyReLU folds the
+    activation into the fused conv's epilogue (it commutes exactly
+    across pure data movement/duplication), removing a standalone
+    HBM-bound activation pass at the post-expansion resolution."""
+    from sup3r_tpu.models.layers import LeakyReLU
+
+    net = Network(_expansion_tail_config(temporal_method))
+    params, _ = net.init(KEY, (2, 6, 6, 4, 2))
+    x = jnp.asarray(RNG.standard_normal((2, 6, 6, 4, 2)), jnp.float32)
+    expected = net.apply(params, x)
+    layers, fparams = fuse_network(net.layers, params)
+    assert not any(isinstance(l, LeakyReLU) for l in layers), layers
+    assert layers[0].alpha == pytest.approx(0.2)
+    out = Network(layers).apply(fparams, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-6)
+
+
+def test_no_fold_across_interpolating_expansion():
+    """'linear' temporal interpolation AVERAGES values, so the
+    activation must NOT move across it."""
+    from sup3r_tpu.models.layers import LeakyReLU
+
+    net = Network(_expansion_tail_config('linear'))
+    params, _ = net.init(KEY, (2, 6, 6, 4, 2))
+    x = jnp.asarray(RNG.standard_normal((2, 6, 6, 4, 2)), jnp.float32)
+    expected = net.apply(params, x)
+    layers, fparams = fuse_network(net.layers, params)
+    assert any(isinstance(l, LeakyReLU) for l in layers), layers
+    assert layers[0].alpha is None
+    out = Network(layers).apply(fparams, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-6)

@@ -111,7 +111,11 @@ def test_gan_subpixel_tail_flag():
                                     model.gen_params)
     slayers, sparams = fuse_subpixel_tail(flayers, fparams)
     assert isinstance(slayers[-1], SubpixelTailConv)
-    assert len(slayers) == len(flayers) - 2
+    # fuse_network folds the pre-tail activation into the preceding
+    # conv's epilogue, so the subpixel rewrite collapses only
+    # [expansion, tail] (alpha_prev comes from upstream)
+    assert len(slayers) == len(flayers) - 1
+    assert slayers[-1].alpha_prev is None
     assert len(sparams) == len(slayers)
 
     model.inference_subpixel_tail = True
