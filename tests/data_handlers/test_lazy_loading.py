@@ -199,3 +199,31 @@ def test_chunked_io_with_nc_for_cc(tmp_path):
         a, _ = eager.prep_chunk_data(idx)
         b, _ = lazy.prep_chunk_data(idx)
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_io_fwp_flat_nc(tmp_path):
+    """chunked_io with spatially-FLATTENED NetCDF input: the meta
+    raster is a gid array (flat path), so per-chunk reads window by
+    gids exactly like flattened H5 — and match the eager full-domain
+    strategy bit for bit."""
+    from sup3r_tpu.utilities.test_helpers import make_fake_flat_nc_file
+
+    input_file = make_fake_flat_nc_file(
+        str(tmp_path / 'in_flat.nc'), (10, 10, 4),
+        ['u_100m', 'v_100m'])
+    model_dir = _small_gan(tmp_path)
+    kwargs = dict(file_paths=input_file,
+                  model_kwargs={'model_dir': model_dir},
+                  fwp_chunk_shape=(5, 5, 4), spatial_pad=1,
+                  temporal_pad=0, out_pattern=None)
+    eager = ForwardPassStrategy(**kwargs)
+    lazy = ForwardPassStrategy(chunked_io=True, **kwargs)
+    assert isinstance(lazy._meta_rast.raster_index, np.ndarray)
+    for idx in range(eager.fwp_slicer.n_chunks):
+        a, _ = eager.prep_chunk_data(idx)
+        b, _ = lazy.prep_chunk_data(idx)
+        np.testing.assert_array_equal(a, b)
+    out_e = ForwardPass.run(eager, 0)
+    out_l = ForwardPass.run(lazy, 0)
+    for a, b in zip(out_e, out_l):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
