@@ -142,10 +142,12 @@ class PresRat(QuantileDeltaMappingCorrection):
         once: (s1, s2, Tf). Window-by-window application preserves the
         per-gid path's later-window-overwrites semantics for
         overlapping custom window sizes. ``window_ok`` marks windows
-        where base AND bias AND fut all have samples — others stay NaN
-        exactly like the per-gid ``_correct_fut`` guard (all-NaN mh
-        params would otherwise leak finite values through the
-        delta-repair in relative mode).
+        where base AND bias AND fut all have samples — others stay
+        NaN exactly like the per-gid ``_correct_fut`` guard. (NaN
+        params also propagate NaN through the QDM itself since the
+        round-4 removal of the isfinite->1.0 delta repair, but the
+        explicit mask keeps "window had no data" independent of that
+        arithmetic and documents the coverage rule.)
 
         The device path pads every window to one static length (the
         ``_window_index_matrix`` pattern) so it compiles ONE program

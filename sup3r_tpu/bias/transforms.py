@@ -309,10 +309,11 @@ def local_qdm_bc(data, lat_lon, base_dset, feature_name, bias_fp,
     if out_range is not None:
         out = np.clip(out, np.min(out_range), np.max(out_range))
     if not np.isfinite(out).all():
-        msg = ('QDM bias correction resulted in NaN / inf values! If '
-               'this is a relative QDM, you may try setting '
-               '``delta_denom_min`` or ``delta_denom_zero`` '
-               '(reference: bias_transforms.py:816-825)')
+        msg = ('local_qdm_bc produced non-finite output. A relative '
+               'QDM divides by the historical-bias delta, which can '
+               'vanish — bound it with ``delta_denom_min`` or replace '
+               'zeros with ``delta_denom_zero`` (reference raises '
+               'here too: bias_transforms.py:816-825)')
         logger.error(msg)
         raise RuntimeError(msg)
     return out
@@ -379,10 +380,11 @@ def local_presrat_bc(data, lat_lon, base_dset, feature_name, bias_fp,
         data_unbiased = np.clip(data_unbiased, np.min(out_range),
                                 np.max(out_range))
     if np.isnan(data_unbiased).any():
-        msg = ('Presrat bias correction resulted in NaN values! If '
-               'this is a relative QDM, you may try setting '
-               '``delta_denom_min`` or ``delta_denom_zero`` '
-               '(reference: bias_transforms.py:1128-1135)')
+        msg = ('local_presrat_bc produced NaN output. The underlying '
+               'relative QDM divides by the historical-bias delta, '
+               'which can vanish — bound it with ``delta_denom_min`` '
+               'or replace zeros with ``delta_denom_zero`` (reference '
+               'raises here too: bias_transforms.py:1128-1135)')
         logger.error(msg)
         raise RuntimeError(msg)
     if data_unbiased.std() == 0:

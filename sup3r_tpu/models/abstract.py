@@ -21,6 +21,7 @@ import pandas as pd
 
 import sup3r_tpu
 from sup3r_tpu.models.network import Network
+from sup3r_tpu.names import strip_obs_suffix
 from sup3r_tpu.ops.losses import get_loss_fun
 from sup3r_tpu.utilities import safe_serialize
 
@@ -127,10 +128,7 @@ class AbstractInterface:
         features = []
         if hasattr(self, '_gen'):
             features = list(self._gen.exo_features)
-        # strip the SUFFIX only (str.replace would also eat an
-        # interior '_obs' in the base feature name)
-        obs = [f[:-4] if f.endswith('_obs') else f
-               for f in self.obs_features]
+        obs = [strip_obs_suffix(f) for f in self.obs_features]
         features += [f for f in obs if f not in self.hr_out_features]
         return features
 
@@ -490,7 +488,23 @@ class AbstractSingleModel(AbstractInterface):
     def load_network_params(template, fp):
         """Deserialize a params pytree using ``template`` for structure."""
         with open(fp, 'rb') as f:
-            return flax_serialization.from_bytes(template, f.read())
+            raw = f.read()
+        try:
+            return flax_serialization.from_bytes(template, raw)
+        except (KeyError, ValueError) as e:
+            if any(isinstance(p, dict) and 'kernel_out' in p
+                   for p in jax.tree.leaves(
+                       template, is_leaf=lambda x: isinstance(x, dict))):
+                raise ValueError(
+                    f'Could not restore {fp}: the checkpoint does not '
+                    'match the current network structure. Note that '
+                    'Sup3rObsModel layers with ``filters`` set now '
+                    'train a two-stage projection (kernel/kernel_out); '
+                    'checkpoints saved by the earlier single-kernel '
+                    'form must be re-saved (or drop ``filters`` from '
+                    'the layer config to restore the old shape). '
+                    f'Original error: {e}') from e
+            raise
 
     @classmethod
     def load_saved_params(cls, out_dir, verbose=True):

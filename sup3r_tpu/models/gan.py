@@ -993,7 +993,11 @@ class Sup3rGan(AbstractSingleModel):
 
     def _augment_val_exo(self, hr, exo, key):
         """Hook for subclasses that need extra exo entries at
-        validation (Sup3rGanWithObs injects masked obs inputs)."""
+        validation. SolarCC's val step routes through it;
+        Sup3rGanWithObs instead overrides ``_get_val_step_fn``
+        wholesale (its obs injection is coupled to the obs loss
+        terms), so a new obs-style subclass should follow
+        with_obs.py, not this hook."""
         return exo
 
     def _get_val_step_fn(self):

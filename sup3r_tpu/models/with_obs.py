@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from sup3r_tpu.models.gan import Sup3rGan, relativistic_disc_loss
+from sup3r_tpu.names import strip_obs_suffix
 from sup3r_tpu.ops.losses import apply_loss
 
 logger = logging.getLogger(__name__)
@@ -43,11 +44,8 @@ class Sup3rGanWithObs(Sup3rGan):
         self.loss_obs_weight = loss_obs_weight
         self.loss_obs_name = loss_obs or 'MeanAbsoluteError'
 
-    @staticmethod
-    def _strip_obs(f):
-        """Drop the '_obs' SUFFIX only — str.replace would also eat
-        an interior '_obs' in the base feature name."""
-        return f[:-4] if f.endswith('_obs') else f
+    # shared suffix-strip rule: names.strip_obs_suffix
+    _strip_obs = staticmethod(strip_obs_suffix)
 
     @property
     def obs_training_inds(self):

@@ -200,3 +200,10 @@ def parse_feature(feature):
 def get_feature_basename(feature):
     """Base name of a feature without height/pressure suffix."""
     return parse_feature(feature)[0]
+
+
+def strip_obs_suffix(feature):
+    """Base feature name of an ``*_obs`` observation feature — strips
+    the SUFFIX only (``str.replace`` would also eat an interior
+    ``'_obs'`` in the base name, e.g. ``'u_obstacle_10m_obs'``)."""
+    return feature[:-4] if feature.endswith('_obs') else feature

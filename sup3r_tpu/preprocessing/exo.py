@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 from scipy.spatial import cKDTree
 
+from sup3r_tpu.names import strip_obs_suffix
 from sup3r_tpu.ops.solar_pos import solar_zenith
 from sup3r_tpu.preprocessing.loaders import Loader, LoaderH5, get_source_type
 from sup3r_tpu.utilities import generate_random_string
@@ -352,8 +353,7 @@ class ObsRasterizer(ExoRasterizer):
 
     def _obs_source_series(self):
         """(coords (n, 2), values (n, T_src), src time index)."""
-        base = (self.feature[:-4] if self.feature.endswith('_obs')
-                else self.feature)  # strip the SUFFIX only
+        base = strip_obs_suffix(self.feature)
         if get_source_type(self.source_file) == 'h5':
             loader = LoaderH5(self.source_file,
                               **self.source_handler_kwargs)
@@ -361,6 +361,12 @@ class ObsRasterizer(ExoRasterizer):
             values = loader.get(base)          # (T, sites)
             return coords, values.T, loader.time_index
         loader = Loader(self.source_file, **self.source_handler_kwargs)
+        if hasattr(loader, 'lat_lon_flat'):
+            # spatially-flattened NC source: same sites interface as
+            # the H5 branch above (loaders.LoaderNCFlat has no .data)
+            coords = loader.lat_lon_flat
+            values = loader.get(base)          # (T, sites)
+            return coords, np.asarray(values).T, loader.time_index
         dset = loader.data
         coords = dset.lat_lon.reshape(-1, 2)
         arr = np.asarray(dset[base])

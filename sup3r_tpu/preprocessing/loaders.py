@@ -673,11 +673,14 @@ class LoaderNC:
                     'Skipping variable "%s" with non-canonical '
                     'dim(s) %s', name, extra)
                 continue
-            sf, off = 1.0, 0.0
-            if 'scale_factor' in attrs:
-                sf = float(np.asarray(attrs['scale_factor']).ravel()[0])
-                off = float(np.asarray(attrs.get('add_offset', 0)
-                                       ).ravel()[0])
+            # CF packing: apply EITHER attribute when present —
+            # add_offset is legal without scale_factor (scale
+            # defaults to 1), and gating the offset on the scale
+            # silently shifted such variables by -offset
+            sf = float(np.asarray(
+                attrs.get('scale_factor', 1.0)).ravel()[0])
+            off = float(np.asarray(
+                attrs.get('add_offset', 0.0)).ravel()[0])
             units = attrs.get('units')
             if isinstance(units, bytes):
                 units = units.decode()
@@ -914,9 +917,13 @@ class _H5Var:
             ds = self._datasets[0]
             arr = ds[:] if gids is None else ds[:][np.asarray(gids)]
             row = arr.astype(np.float32) / self._scale
-            return np.repeat(row[None],
-                             _static_rows(self._n_t, time_slice),
-                             axis=0)
+            # zero-copy view: materializing (T_total, n_sites) via
+            # np.repeat for a multi-year store is a many-GB
+            # allocation just to read one static row (callers that
+            # mutate must copy; np.stack/astype downstream already do)
+            return np.broadcast_to(
+                row[None],
+                (_static_rows(self._n_t, time_slice), row.size))
 
         def read_block(k, sel):
             ds = self._datasets[k]
@@ -1055,9 +1062,10 @@ class _FlatNCVar:
             arr, _, scale, offset, fill, _ = self._parts[0]
             raw = arr[:] if gids is None else arr[:][np.asarray(gids)]
             row = self._decode(raw, scale, offset, fill)
-            return np.repeat(row[None],
-                             _static_rows(self.n_t_total, time_slice),
-                             axis=0)
+            # zero-copy broadcast view (see _H5Var.get)
+            return np.broadcast_to(
+                row[None],
+                (_static_rows(self.n_t_total, time_slice), row.size))
         parts = [p for p in self._parts if p[0].ndim == 2]
 
         def read_block(k, sel):
@@ -1209,12 +1217,12 @@ class LoaderNCFlat:
             std = standardize_var_name(name)
             if self._keep is not None and std not in self._keep:
                 continue
-            scale, offset = 1.0, 0.0
-            if 'scale_factor' in attrs:
-                scale = float(np.asarray(
-                    attrs['scale_factor']).ravel()[0])
-                offset = float(np.asarray(
-                    attrs.get('add_offset', 0)).ravel()[0])
+            # CF packing: apply EITHER attribute when present (see
+            # the gridded loader above — add_offset is legal alone)
+            scale = float(np.asarray(
+                attrs.get('scale_factor', 1.0)).ravel()[0])
+            offset = float(np.asarray(
+                attrs.get('add_offset', 0.0)).ravel()[0])
             units = attrs.get('units')
             if isinstance(units, bytes):
                 units = units.decode()

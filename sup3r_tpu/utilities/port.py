@@ -116,6 +116,16 @@ def import_phygnn_network(config, weights, in_shape):
     for idx, (p, lyr) in enumerate(zip(params, net.layers)):
         if not (isinstance(p, dict) and 'kernel' in p):
             continue
+        if 'kernel_out' in p:
+            # two-stage Sup3rObsModel(filters=...) — phygnn's weight
+            # layout for that layer is not mapped here; silently
+            # keeping random kernel_out/bias_out would corrupt the
+            # imported model
+            raise NotImplementedError(
+                f'Layer #{idx} ({type(lyr).__name__}) uses a '
+                'two-stage obs projection (filters set); importing '
+                'its weights from a reference checkpoint is not '
+                'supported — re-train or drop ``filters``')
         if len(queue) < 2:
             raise ValueError(
                 'Ran out of weight arrays while importing layer '

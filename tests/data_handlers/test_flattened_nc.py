@@ -272,3 +272,25 @@ def test_generic_exo_feature_extraction(tmp_path):
                       cache_dir=str(tmp_path / 'cache2'))
     assert r.data.shape == (16, 16, 1)
     assert np.isfinite(r.data).all()
+
+
+def test_obs_rasterizer_flat_nc_source(tmp_path):
+    """ObsRasterizer with a spatially-flattened NC source must build
+    the same spatiotemporal raster as the gridded-NC source carrying
+    identical data (the flat branch was missing from
+    _obs_source_series — Loader() returns LoaderNCFlat, which has no
+    ``.data``; round-4 review finding)."""
+    from sup3r_tpu.preprocessing.exo import ObsRasterizer
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+
+    flat_fp, grid_fp, _ = _paired_files(tmp_path, features=('u_100m',))
+    lr_fp = make_fake_nc_file(str(tmp_path / 'lr.nc'), (8, 8, 10),
+                              ['u100'])
+    kw = dict(file_paths=lr_fp, feature='u_100m_obs', s_enhance=1,
+              t_enhance=1)
+    r_flat = ObsRasterizer(source_file=flat_fp,
+                           cache_dir=str(tmp_path / 'c1'), **kw)
+    r_grid = ObsRasterizer(source_file=grid_fp,
+                           cache_dir=str(tmp_path / 'c2'), **kw)
+    assert np.isfinite(r_flat.data).any()
+    np.testing.assert_array_equal(r_flat.data, r_grid.data)

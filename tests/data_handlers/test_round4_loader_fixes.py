@@ -237,3 +237,70 @@ def test_flat_nc_loader_closes_handles_on_invalid_input(tmp_path):
             LoaderNCFlat([f1, f2])
     assert opened, 'expected the loader to open handles'
     assert all(not h.id.valid for h in opened), 'leaked open handles'
+
+
+def test_site_static_reads_are_broadcast_views(tmp_path):
+    """Site-static vars (elevation/topography) must come back as
+    zero-stride broadcast views over the sliced time length — a
+    np.repeat materialization is a many-GB allocation on a multi-year
+    store just to read one static row (round-4 review finding)."""
+    from sup3r_tpu.preprocessing.loaders import LoaderNCFlat
+    from sup3r_tpu.utilities.test_helpers import make_fake_flat_nc_file
+
+    fp = make_fake_flat_nc_file(str(tmp_path / 'flat.nc'), (4, 5, 24),
+                                ['u_100m'], with_topography=True)
+    ld = LoaderNCFlat(fp)
+    try:
+        arr = ld.get('topography')
+        assert arr.shape == (24, 20)
+        assert arr.strides[0] == 0, 'static rows must not be copied'
+        np.testing.assert_array_equal(arr[0], arr[23])
+        # sliced reads follow the sliced time length
+        win = ld.get('topography', time_slice=slice(3, 9))
+        assert win.shape == (6, 20)
+        assert win.strides[0] == 0
+    finally:
+        ld.close()
+
+    # same contract on the H5 sites loader (1-D site-static dataset)
+    h5fp = make_fake_h5_file(str(tmp_path / 'obs.h5'), (4, 5, 24),
+                             ['u_100m'])
+    with h5py.File(h5fp, 'a') as f:
+        f.create_dataset('srl', data=np.arange(20, dtype=np.float32))
+    ldh = LoaderH5(h5fp)
+    try:
+        srl = ldh.get('srl')
+        assert srl.shape == (24, 20)
+        assert srl.strides[0] == 0
+        np.testing.assert_array_equal(srl[5], np.arange(20))
+    finally:
+        ldh.close()
+
+
+def test_add_offset_without_scale_factor(tmp_path):
+    """CF packing applies EITHER attribute: add_offset with no
+    scale_factor (scale defaults to 1) must still shift the values —
+    it was silently dropped (round-4 review finding)."""
+    from sup3r_tpu.preprocessing.loaders import LoaderNCFlat
+    from sup3r_tpu.utilities.test_helpers import make_fake_flat_nc_file
+
+    attrs = {'u_100m': {'add_offset': 100.0}}
+    fp = make_fake_nc4_file(str(tmp_path / 'g.nc'), (4, 5, 3),
+                            ['u_100m'], var_attrs=attrs)
+    with h5py.File(fp, 'r') as f:
+        raw = f['u_100m'][:]
+    ld = LoaderNC(fp)
+    got = np.asarray(ld.data['u_100m'])  # (s1, s2, t)
+    np.testing.assert_allclose(
+        got, np.moveaxis(raw, 0, -1) + 100.0, rtol=1e-6)
+
+    ffp = make_fake_flat_nc_file(str(tmp_path / 'f.nc'), (4, 5, 3),
+                                 ['u_100m'], var_attrs=attrs)
+    with h5py.File(ffp, 'r') as f:
+        fraw = f['u_100m'][:]
+    fld = LoaderNCFlat(ffp)
+    try:
+        np.testing.assert_allclose(fld.get('u_100m'), fraw + 100.0,
+                                   rtol=1e-6)
+    finally:
+        fld.close()

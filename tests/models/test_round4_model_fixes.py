@@ -183,3 +183,40 @@ def test_sample_transform_change_invalidates_jit():
     cfg_b = dict(cfg_a, method='average')
     model._sample_transform = cfg_b
     assert model._sample_step_fn is None
+
+
+def test_old_single_stage_obs_checkpoint_errors_clearly(tmp_path):
+    """Checkpoints saved by the earlier single-kernel
+    Sup3rObsModel(filters=...) form must fail to restore with a
+    message naming the layer-format change, not an opaque
+    flax/msgpack key error (round-4 review finding)."""
+    from sup3r_tpu.models.abstract import AbstractSingleModel
+    from sup3r_tpu.models.network import Network
+
+    config = [
+        {'class': 'Sup3rObsModel', 'name': 'u_100m_obs', 'filters': 8},
+    ]
+    net = Network(config)
+    template, _ = net.init(jax.random.PRNGKey(0), (1, 6, 6, 4))
+    # the pre-round-4 layout: one (2, c) kernel straight to channels
+    old = list(template)
+    old[0] = {'kernel': np.zeros((2, 4), np.float32),
+              'bias': np.zeros(4, np.float32)}
+    fp = str(tmp_path / 'gen.msgpack')
+    AbstractSingleModel.save_network_params(old, fp)
+    with pytest.raises(ValueError, match='Sup3rObsModel'):
+        AbstractSingleModel.load_network_params(template, fp)
+
+
+def test_import_phygnn_refuses_two_stage_obs_layer():
+    """import_phygnn_network must refuse (not silently randomize)
+    the two-stage obs projection — phygnn's weight layout for
+    filters-enabled Sup3rObsModel is not mapped."""
+    from sup3r_tpu.utilities.port import import_phygnn_network
+
+    config = [
+        {'class': 'Sup3rObsModel', 'name': 'u_100m_obs', 'filters': 8},
+    ]
+    weights = [np.zeros((2, 8), np.float32), np.zeros(8, np.float32)]
+    with pytest.raises(NotImplementedError, match='two-stage'):
+        import_phygnn_network(config, weights, (1, 6, 6, 4))
