@@ -263,13 +263,39 @@ class BatchHandlerDC(BaseBatchHandler):
     MAIN_QUEUE = BatchQueueDC
     VAL_QUEUE = ValBatchQueueDC
 
-    def __init__(self, *args, n_space_bins=1, n_time_bins=1, **kwargs):
+    def __init__(self, train_containers, val_containers=None, *args,
+                 n_space_bins=1, n_time_bins=1, **kwargs):
+        if not val_containers:
+            raise ValueError(
+                'BatchHandlerDC requires validation data — the bin '
+                'weights adapt to per-bin VALIDATION losses. Use a '
+                'non-DC batch handler if you have none (reference '
+                'asserts this too: batch_handlers/dc.py:41-46)')
         kwargs.setdefault('queue_kwargs', {})
         kwargs['queue_kwargs'].update(
             n_space_bins=n_space_bins, n_time_bins=n_time_bins)
         self.n_space_bins = n_space_bins
         self.n_time_bins = n_time_bins
-        super().__init__(*args, **kwargs)
+        super().__init__(train_containers, val_containers, *args,
+                         **kwargs)
+        # construction-time bin/start validation (reference
+        # batch_handlers/dc.py:52-63): catching this here beats a
+        # producer-thread death at first sample
+        ss = tuple(self._sampler_args['sample_shape'] or (10, 10, 1))
+        if len(ss) == 2:  # Sampler's spatial-only normalization
+            ss = (*ss, 1)
+        for c in train_containers:
+            shape = c.shape[:3]
+            max_space = ((shape[0] - ss[0] + 1)
+                         * (shape[1] - ss[1] + 1))
+            max_time = max(shape[2] - ss[2] + 1, 1)
+            if (n_space_bins > max_space or n_time_bins > max_time):
+                raise ValueError(
+                    f'sample_shape {tuple(ss)} is too large for '
+                    f'(n_space_bins={n_space_bins}, '
+                    f'n_time_bins={n_time_bins}) on data of shape '
+                    f'{tuple(shape)}: only {max_space} spatial and '
+                    f'{max_time} temporal sample starts exist')
 
     @property
     def spatial_weights(self):

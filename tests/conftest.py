@@ -45,7 +45,12 @@ def _repo_untracked():
         return None
     if out.returncode != 0:  # pragma: no cover
         return None
-    return {line for line in out.stdout.splitlines() if line.strip()}
+    # ONLY untracked entries ('?? path'): the fixture guards against
+    # tests CREATING files in the repo tree. Tracked-file
+    # modifications are development activity — including them made
+    # any edit concurrent with a test run a false teardown failure
+    return {line for line in out.stdout.splitlines()
+            if line.startswith('??')}
 
 
 @pytest.fixture(scope='module', autouse=True)

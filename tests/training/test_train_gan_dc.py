@@ -94,3 +94,61 @@ def test_dc_bin_losses_recorded():
     assert 'val_loss_gen' in model.history
     assert np.isfinite(model.history['val_loss_gen']).all()
     handler.stop()
+
+
+@pytest.mark.parametrize('CustomLayer', ['Sup3rAdder', 'Sup3rConcat'])
+def test_train_gan_dc_with_hi_res_topo(CustomLayer):
+    """Data-centric training with hi-res topography injected
+    mid-network (mirrors reference tests/training/test_train_exo_dc.py
+    test_wind_dc_hi_res_topo): the DC bin machinery and the exo-layer
+    machinery compose, the exo channel stays out of hr_out_features,
+    and generate() requires the exo input afterwards."""
+    features = ['u_100m', 'v_100m', 'topography']
+    gen = [
+        {'class': 'Conv3D', 'filters': 16, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+        {'class': 'SpatioTemporalExpansion', 'spatial_mult': 2},
+        {'class': 'Activation', 'activation': 'relu'},
+        {'class': CustomLayer, 'name': 'topography'},
+        {'class': 'Conv3D', 'filters': 2, 'kernel_size': 3,
+         'strides': 1, 'padding': 'same'},
+    ]
+    handler = BatchHandlerDC(
+        [make_fake_dset((20, 20, 48), features)],
+        [make_fake_dset((20, 20, 48), features)],
+        batch_size=2, n_batches=2, s_enhance=2, t_enhance=1,
+        sample_shape=(10, 10, 4), n_space_bins=4, n_time_bins=4,
+        feature_sets={'hr_exo_features': ['topography']})
+    model = Sup3rGanDC(gen, _disc(True), learning_rate=1e-4)
+    model.train(handler, input_resolution={'spatial': '16km',
+                                           'temporal': '3600min'},
+                n_epoch=1, weight_gen_advers=0.0, train_gen=True,
+                train_disc=False, out_dir=None)
+    handler.stop()
+    assert model.meta['hr_out_features'] == ['u_100m', 'v_100m']
+    assert model.meta['class'] == 'Sup3rGanDC'
+    assert 'topography' in handler.hr_exo_features
+    assert 'topography' not in model.hr_out_features
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (1, 12, 12, 4, 3)).astype(np.float32)
+    topo = rng.uniform(0, 1, (1, 24, 24, 4, 1)).astype(np.float32)
+    with pytest.raises((RuntimeError, KeyError, ValueError)):
+        model.generate(x, exogenous_data=None)
+    y = model.generate(x, exogenous_data={'topography': topo})
+    assert y.dtype == np.float32
+    assert y.shape == (1, 24, 24, 4, 2)
+
+
+def test_dc_bins_conflict_with_sample_shape():
+    """Requesting more bins than distinct sample starts must fail
+    loudly at construction (reference test_train_exo_dc.py asserts
+    the conflicting layout raises)."""
+    features = ['u_100m', 'v_100m', 'topography']
+    with pytest.raises((AssertionError, ValueError)):
+        BatchHandlerDC(
+            [make_fake_dset((20, 20, 48), features)],
+            [make_fake_dset((20, 20, 48), features)],
+            batch_size=2, n_batches=1, s_enhance=2, t_enhance=1,
+            sample_shape=(20, 20, 8), n_space_bins=4, n_time_bins=4,
+            feature_sets={'hr_exo_features': ['topography']})
