@@ -88,10 +88,27 @@ def temporal_coarsening(data, t_enhance=4, method='subsample'):
 
 def spatial_simple_enhancing(data, s_enhance=2, obs_axis=True):
     """Nearest-neighbor upsample of the spatial dims (repeat each pixel
-    ``s_enhance`` times along both spatial axes)."""
+    ``s_enhance`` times along both spatial axes).
+
+    Rank validation matches the reference
+    (preprocessing/batch_queues/utilities.py:131-141,169-175): <3D always
+    rejected; with ``obs_axis=True`` only 4D/5D enhance, with
+    ``obs_axis=False`` only 3D/4D.
+    """
     xp = array_module(data)
+    if data.ndim < 3:
+        raise ValueError(
+            'Data must be 3D, 4D, or 5D to do spatial enhancing, but '
+            f'received: {data.shape}'
+        )
     if s_enhance is None or s_enhance <= 1:
         return data
+    ok = data.ndim in ((4, 5) if obs_axis else (3, 4))
+    if not ok:
+        raise ValueError(
+            'Data must be 3D, 4D, or 5D to do spatial enhancing, but '
+            f'received: {data.shape} (obs_axis={obs_axis})'
+        )
     ax = 1 if obs_axis else 0
     out = xp.repeat(data, s_enhance, axis=ax)
     return xp.repeat(out, s_enhance, axis=ax + 1)
@@ -102,10 +119,18 @@ def temporal_simple_enhancing(data, t_enhance=4, mode='constant'):
 
     mode='constant' repeats each step ``t_enhance`` times; mode='linear'
     linearly interpolates onto the enhanced time grid.
+
+    Non-5D input with an active ``t_enhance`` raises ValueError, matching
+    the reference (preprocessing/batch_queues/utilities.py:46-52).
     """
     xp = array_module(data)
-    if t_enhance is None or t_enhance <= 1 or data.ndim != 5:
+    if t_enhance is None or t_enhance == 1:
         return data
+    if data.ndim != 5:
+        raise ValueError(
+            'Data must be 5D to do temporal enhancing, but '
+            f'received: {data.shape}'
+        )
     if mode == 'constant':
         return xp.repeat(data, t_enhance, axis=3)
     if mode == 'linear':

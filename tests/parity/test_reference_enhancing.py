@@ -20,10 +20,13 @@ def _load():
     import os
     if not os.path.exists(REF):
         return None
-    ns = {}
-    with open(REF) as f:
-        exec(compile(f.read(), REF, 'exec'), ns)
-    return ns
+    try:
+        ns = {}
+        with open(REF) as f:
+            exec(compile(f.read(), REF, 'exec'), ns)
+        return ns
+    except Exception:  # changed imports etc. -> skip, don't error collection
+        return None
 
 
 REF_NS = _load()

@@ -42,6 +42,8 @@ def _exec_with_stubs(path, stub_modules):
         with open(path) as f:
             exec(compile(f.read(), path, 'exec'), namespace)
         return namespace
+    except Exception:  # changed imports etc. -> skip, don't error collection
+        return None
     finally:
         for k, v in saved.items():
             if v is None:
