@@ -646,9 +646,17 @@ class Sup3rGan(AbstractSingleModel):
         key = (self.gen_params, self.inference_pallas,
                self.inference_dtype, self.inference_subpixel_tail,
                self.inference_shard_aligned)
-        cached = getattr(self, '_fused_cache', None)
-        if (cached is None or cached[0][0] is not key[0]
-                or cached[0][1:] != key[1:]):
+        # multi-slot: alternating modes on one instance (e.g. an exact
+        # and a fast strategy sharing a process-cached model) must not
+        # thrash a single slot — every rebuild re-jits and re-pays
+        # executable loads for all compiled shapes
+        entries = getattr(self, '_fused_cache_entries', None)
+        if entries is None:
+            entries = self._fused_cache_entries = []
+        cached = next(
+            (e for e in entries
+             if e[0][0] is key[0] and e[0][1:] == key[1:]), None)
+        if cached is None:
             from sup3r_tpu.models.fuse import (
                 FusedReflectConv,
                 fuse_network,
@@ -680,8 +688,11 @@ class Sup3rGan(AbstractSingleModel):
                     return fnet.apply(params, x,
                                       exo=exo).astype(jnp.float32)
 
-            self._fused_cache = (key, jax.jit(apply), fparams)
-        return self._fused_cache[1], self._fused_cache[2]
+            cached = (key, jax.jit(apply), fparams)
+            entries.append(cached)
+            if len(entries) > 4:  # params identity changed (training)
+                entries.pop(0)
+        return cached[1], cached[2]
 
     def _parse_exo_for_generate(self, exogenous_data, low_res_shape):
         """Accept either a simple {feature: array} dict or the structured

@@ -46,6 +46,11 @@ class ForwardPass:
         self.node_index = node_index
         self.model = strategy.get_model()
         self.timer = Timer()
+        #: per-node accounting for the batched path: device->host MB
+        #: actually fetched and how many chunks drained packed vs via
+        #: the host float32 transform (benchmark attribution)
+        self.stats = {'fetch_mb': 0.0, 'packed_chunks': 0,
+                      'host_chunks': 0}
         out_type = (get_source_type(strategy.out_pattern)
                     if strategy.out_pattern else None)
         self.output_handler_class = (
@@ -347,7 +352,7 @@ class ForwardPass:
         outputs = {}
 
         def run_batch(batch, drain_pool, drain_futs):
-            dispatched = self._dispatch_chunk_batch(batch)
+            dispatched = self.timer(self._dispatch_chunk_batch)(batch)
             if dispatched is None:  # per-chunk fallback path
                 outputs.update({
                     c.index: self.run_chunk(
@@ -356,7 +361,8 @@ class ForwardPass:
                     for c in batch})
                 return
             drain_futs.append(drain_pool.submit(
-                self._drain_chunk_batch, batch, dispatched))
+                self.timer(self._drain_chunk_batch), batch,
+                dispatched))
 
         # STREAMING grouping: chunks are prepared with a bounded
         # number in flight and dispatched as soon as a same-shape
@@ -664,8 +670,12 @@ class ForwardPass:
             host = None
             for j, (chunk, cropped) in enumerate(items):
                 if oob[j]:
+                    cropped_host = np.asarray(cropped)
+                    self.stats['fetch_mb'] += (cropped_host.nbytes
+                                               / 2 ** 20)
+                    self.stats['host_chunks'] += 1
                     self.output_handler_class._write_output(
-                        data=np.asarray(cropped),
+                        data=cropped_host,
                         features=list(self.model.hr_out_features),
                         lat_lon=chunk.hr_lat_lon,
                         times=chunk.hr_times,
@@ -675,6 +685,9 @@ class ForwardPass:
                 else:
                     if host is None:
                         host = [np.asarray(p) for p in packed]
+                        self.stats['fetch_mb'] += sum(
+                            h.nbytes for h in host) / 2 ** 20
+                    self.stats['packed_chunks'] += 1
                     self.output_handler_class._write_packed(
                         [h[j] for h in host], list(names),
                         lat_lon=chunk.hr_lat_lon,
@@ -711,6 +724,8 @@ class ForwardPass:
         if self._pack_gate(out, batch):
             return self._drain_packed(batch, out)
         out = np.asarray(out)
+        self.stats['fetch_mb'] += out.nbytes / 2 ** 20
+        self.stats['host_chunks'] += n_real
         if not out.flags.writeable:
             out = out.copy()
         out = out[:n_real]
@@ -760,8 +775,9 @@ class ForwardPass:
         else:
             for i in chunk_ids:
                 outputs[i] = cls._run_one(fwp, strategy, i)
-        logger.info('Node %s finished %d chunks. Timing: %s', node_index,
-                    len(chunk_ids), fwp.timer.log)
+        logger.info('Node %s finished %d chunks. Timing: %s Stats: %s',
+                    node_index, len(chunk_ids), fwp.timer.log,
+                    fwp.stats)
         if strategy.out_pattern is None:
             return outputs
         return None

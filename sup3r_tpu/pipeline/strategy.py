@@ -21,6 +21,37 @@ from sup3r_tpu.utilities import Timer
 logger = logging.getLogger(__name__)
 
 
+#: process-level model cache: (class_name, kwargs_key, fingerprint) ->
+#: model instance. ForwardPass loads the model at strategy init (meta
+#: planning) AND per ForwardPass construction (reference loads per
+#: chunk/process, forward_pass.py:638); on TPU every fresh instance
+#: carries cold per-instance jit caches, and re-tracing + fetching
+#: cached executables through the tunnel costs seconds per program.
+#: The fingerprint (per-file name/mtime/size under any dir kwarg)
+#: invalidates the cache when the checkpoint on disk changes.
+_MODEL_CACHE = {}
+
+
+def _model_fingerprint(val):
+    """Recursive (name, mtime_ns, size) fingerprint of every file under
+    any directory-valued kwarg (model_dir / model_dirs lists)."""
+    if isinstance(val, str) and os.path.isdir(val):
+        out = []
+        for root, _, files in sorted(os.walk(val)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, val), st.st_mtime_ns,
+                            st.st_size))
+        return (val, tuple(out))
+    if isinstance(val, (list, tuple)):
+        return tuple(_model_fingerprint(v) for v in val)
+    if isinstance(val, dict):
+        return tuple(sorted(
+            (k, _model_fingerprint(v)) for k, v in val.items()))
+    return val
+
+
 def _compose_slice(outer, inner):
     """Compose two contiguous slices: index ``inner`` within the
     extent selected by ``outer``."""
@@ -262,13 +293,27 @@ class ForwardPassStrategy:
         kwargs = self.model_kwargs
         if isinstance(kwargs, str):
             kwargs = {'model_dir': kwargs}
-        model = ModelClass.load(**kwargs)
+        try:
+            cache_key = (self.model_class, _model_fingerprint(kwargs))
+            hash(cache_key)
+        except (TypeError, OSError):
+            cache_key = None  # unhashable kwargs / racing fs: no cache
+        model = _MODEL_CACHE.get(cache_key) if cache_key else None
+        if model is None:
+            model = ModelClass.load(**kwargs)
+            if cache_key is not None:
+                _MODEL_CACHE[cache_key] = model
         if self.inference_mode != 'exact':
             if not hasattr(type(model), 'inference_mode'):
                 raise ValueError(
                     f'{self.model_class} does not support '
                     f'inference_mode={self.inference_mode!r}')
+        # reset mutable inference flags unconditionally: a cached
+        # instance may carry another strategy's mode/shard setting
+        if hasattr(type(model), 'inference_mode'):
             model.inference_mode = self.inference_mode
+        if hasattr(type(model), 'inference_shard_aligned'):
+            model.inference_shard_aligned = False
         return model
 
     def load_exo_data(self, model):
