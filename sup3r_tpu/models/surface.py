@@ -233,6 +233,92 @@ class SurfaceSpatialMetModel(AbstractInterface):
         return hi
 
     # ------------------------------------------------------------------
+    def train(self, true_hr_temp, true_hr_rh, true_hr_topo,
+              input_resolution):
+        """Fit the relative-humidity linear model from true high-res
+        fields (reference: sup3r/models/surface.py:735-827).
+
+        The temperature lapse rate and pressure scaling are fixed
+        parameterizations; only the two RH regression weights are
+        trained. The truth fields are coarsened to low-res, re-upscaled
+        with the default (LANCZOS) interpolation, and the RH residual is
+        regressed (zero intercept) on the temperature and topography
+        residuals.
+
+        Parameters
+        ----------
+        true_hr_temp : np.ndarray
+            True high-res daily-average temperature, (lat, lon, n_days).
+        true_hr_rh : np.ndarray
+            True high-res daily-average relative humidity,
+            (lat, lon, n_days).
+        true_hr_topo : np.ndarray
+            High-res surface elevation in meters, (lat, lon).
+        input_resolution : dict
+            e.g. ``{'spatial': '20km', 'temporal': '60min'}`` — recorded
+            on the model meta.
+
+        Returns
+        -------
+        w_delta_temp : float
+            Fitted weight on (true HR temp - interpolated temp).
+        w_delta_topo : float
+            Fitted weight on (true HR topo - interpolated topo).
+        regr : object
+            Fitted zero-intercept linear model with ``coef_``,
+            ``intercept_`` and ``predict(x)`` (lstsq; stands in for the
+            reference's sklearn LinearRegression).
+        x : np.ndarray
+            (n, 2) regression inputs (delta-temp, delta-topo).
+        y : np.ndarray
+            (n,) regression target (delta-RH).
+        """
+        true_hr_temp = np.asarray(true_hr_temp)
+        true_hr_rh = np.asarray(true_hr_rh)
+        true_hr_topo = np.asarray(true_hr_topo)
+        assert true_hr_temp.ndim == 3, 'Bad true_hr_temp shape'
+        assert true_hr_rh.ndim == 3, 'Bad true_hr_rh shape'
+        assert true_hr_topo.ndim == 2, 'Bad true_hr_topo shape'
+        self._input_resolution = input_resolution
+
+        topo_days = np.repeat(true_hr_topo[..., None],
+                              true_hr_temp.shape[-1], axis=-1)
+
+        def _residual(hr_field):
+            # truth minus coarsen->LANCZOS-upscale reconstruction,
+            # per day (the reference uses downscale_arr's default
+            # method here, not the model's interp_method)
+            lr = spatial_coarsening(hr_field, s_enhance=self._s_enhance,
+                                    obs_axis=False)
+            interp = np.stack(
+                [self.downscale_arr(np.asarray(lr[..., i]),
+                                    self._s_enhance)
+                 for i in range(lr.shape[-1])], axis=-1)
+            return np.asarray(hr_field, dtype=np.float32) - interp
+
+        x = np.vstack((_residual(true_hr_temp).ravel(),
+                       _residual(topo_days).ravel())).T
+        y = _residual(true_hr_rh).ravel()
+
+        coef, *_ = np.linalg.lstsq(
+            x.astype(np.float64), y.astype(np.float64), rcond=None)
+
+        class _LinearFit:
+            coef_ = coef
+            intercept_ = 0.0
+
+            @staticmethod
+            def predict(xq):
+                return np.asarray(xq) @ coef
+
+        w_delta_temp, w_delta_topo = float(coef[0]), float(coef[1])
+        logger.info(
+            'Trained RH model weights: w_delta_temp=%.6f '
+            'w_delta_topo=%.6f (defaults %.6f / %.6f)', w_delta_temp,
+            w_delta_topo, self.W_DELTA_TEMP, self.W_DELTA_TOPO)
+        return w_delta_temp, w_delta_topo, _LinearFit(), x, y
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _get_topo_from_exo(exogenous_data):
         """(lr_topo, hr_topo) 2D arrays from the exo dict."""
