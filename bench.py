@@ -296,7 +296,7 @@ def main():
     # validated end-to-end in tests/forward_pass/test_fast_mode.py,
     # and the on-device max abs deviation vs the exact path (in
     # normalized output units) is reported alongside the rate ----
-    fast_vps = fast_err = None
+    fast_vps = fast_err = fast_out_scale = None
     try:
         if not _have_time(180, 'fast inference mode'):
             raise _Skip
@@ -316,6 +316,11 @@ def main():
             fbest = min(fbest, (time.perf_counter() - t0) / n_iters)
         fast_vps = hr_voxels / fbest
         fast_err = float(maxerr(fout, out))
+        # budgeted form: relative to the exact output's max magnitude
+        # (the absolute normalized-units number tracks the random-
+        # weight network's output scale, not the approximation)
+        fast_out_scale = float(jax.jit(
+            lambda a: jnp.max(jnp.abs(a)))(out))
         _stamp(f'fast mode done ({fast_vps:.3g} voxels/s)')
     except _Skip:
         pass
@@ -424,6 +429,13 @@ def main():
                                              / voxels_per_sec, 2)
     if fast_err is not None:
         rec['fast_max_abs_err_norm_units'] = round(fast_err, 5)
+        if fast_out_scale:
+            # the budgeted metric (docs/PERFORMANCE.md): max abs
+            # deviation relative to the exact output's max magnitude;
+            # budget 0.04 (measured 0.0168 on chip at r4's recorded
+            # 0.0766 abs / 4.55 out-scale; 0.0195 on CPU — ~2x margin)
+            rec['fast_max_rel_err'] = round(fast_err / fast_out_scale,
+                                            5)
     if train_loop_vps is not None:
         rec['train_loop_hr_voxels_per_sec'] = round(train_loop_vps, 1)
     e2e = dispatch = None

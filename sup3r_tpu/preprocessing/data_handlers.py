@@ -37,8 +37,10 @@ class DataHandler:
     sup3r/preprocessing/batch_queues/abstract.py:135-141)."""
 
     FEATURE_REGISTRY = RegistryBase
-    #: handlers whose hooks reshape the full domain (daily coarsening,
-    #: clearsky injection) can't window their derivations
+    #: every handler family supports mode='lazy' (daily coarsening
+    #: windows over whole days, clearsky injection reads per window
+    #: with precomputed full-extent factors); a subclass genuinely
+    #: unable to window sets this False to fail loudly
     SUPPORTS_LAZY = True
 
     def __init__(self, file_paths, features='all', target=None,
@@ -81,11 +83,13 @@ class DataHandler:
             raster_data = self.rasterizer.data
             feats = (raster_data.features if features in ('all', None)
                      else [f.lower() for f in features])
+            registry = self._lazy_registry(registry)
             self.data = LazyGridDataset(
                 raster_data, feats, FeatureRegistry=registry,
                 interp_kwargs=interp_kwargs,
                 nan_method_kwargs=nan_method_kwargs,
                 time_shift=time_shift)
+            self._lazy_hook()
             return
 
         cached = self._check_cache(cache_kwargs, features)
@@ -143,6 +147,16 @@ class DataHandler:
     def _deriver_hook(self):
         """Subclass hook after derivation (e.g. daily coarsening)."""
 
+    def _lazy_registry(self, registry):
+        """Subclass hook: adapt the feature registry for lazy
+        (windowed) derivation (e.g. replace the full-extent night
+        mask with a precomputed per-timestep table)."""
+        return registry
+
+    def _lazy_hook(self):
+        """Subclass hook after lazy construction (e.g. wrapping
+        ``self.data`` into a lazy (daily, hourly) pair)."""
+
     def _cache_hit_hook(self):
         """Subclass hook after a cache reload (e.g. rebuilding the
         daily view from the cached hourly data)."""
@@ -177,9 +191,56 @@ class DataHandler:
 class DailyDataHandler(DataHandler):
     """Produces a (daily, hourly) PairedDataset: hourly data trimmed to
     whole days + daily coarsening with min/max handling for temperature
-    and RH extremes (reference: data_handlers/base.py:293-380)."""
+    and RH extremes (reference: data_handlers/base.py:293-380).
 
-    SUPPORTS_LAZY = False
+    ``mode='lazy'`` composes a ``LazyDailyDataset`` over the lazy
+    hourly view (daily coarsening windows cleanly over whole days —
+    the reference's dask plane is lazy here too, base.py:293-396)."""
+
+    SUPPORTS_LAZY = True
+    #: lazy daily clearsky_ratio = totals-based ratio (H5SolarCC)
+    _LAZY_CSR_TOTALS = False
+
+    @staticmethod
+    def _day_steps(ti):
+        """Steps per full day from the actual time step (reference:
+        data_handlers/base.py:333)."""
+        time_step = ((ti[1] - ti[0]).total_seconds()
+                     if len(ti) > 1 else 3600.0)
+        return max(int(round(24 * 3600 / time_step)), 1)
+
+    def _lazy_hook(self):
+        """Trim the lazy hourly view to whole days (a contiguous crop
+        — day boundaries only cut at the extent's ends for contiguous
+        time indexes) and pair it with a LazyDailyDataset."""
+        from sup3r_tpu.preprocessing.lazy import LazyDailyDataset
+
+        hourly = self.data
+        ti = hourly.time_index
+        assert ti is not None, 'DailyDataHandler needs a time index'
+        day_ids = pd.DatetimeIndex(ti.date)
+        day_steps = self._day_steps(ti)
+        msg = (f'DailyDataHandler needs at least one full day '
+               f'({day_steps} steps), got {len(ti)}')
+        assert len(ti) >= day_steps, msg
+        counts = day_ids.value_counts()
+        keep = np.isin(day_ids, counts[counts == day_steps].index)
+        assert keep.any(), msg
+        idx = np.flatnonzero(keep)
+        a, b = int(idx[0]), int(idx[-1]) + 1
+        if b - a != len(idx):
+            raise NotImplementedError(
+                "mode='lazy' daily handling needs the whole-day trim "
+                'to be a contiguous crop, but full days are '
+                'interleaved with partial ones (gappy time index) — '
+                "use mode='eager'")
+        if (a, b) != (0, len(ti)):
+            hourly = hourly.time_slice_view(slice(a, b))
+        daily = LazyDailyDataset(
+            hourly, day_steps, csr_from_totals=self._LAZY_CSR_TOTALS)
+        self.data = PairedDataset(daily=daily, hourly=hourly)
+        self.daily = daily
+        self.hourly = hourly
 
     def _cache_hit_hook(self):
         """Cached data is the hourly member; rebuild the daily view."""
@@ -247,18 +308,66 @@ class DataHandlerH5SolarCC(DailyDataHandler):
     data_handlers/base.py:390)."""
 
     FEATURE_REGISTRY = RegistryH5SolarCC
+    _LAZY_CSR_TOTALS = True
 
     def __init__(self, file_paths, features='all', **kwargs):
         required = ['ghi', 'clearsky_ghi']
         self._requested_features = (
             None if features in ('all', None)
             else [x.lower() for x in features])
-        if features not in ('all', None):
+        # lazy mode derives on demand, so the ghi/clearsky_ghi helper
+        # CHANNELS (which eager adds then trims) are never needed —
+        # the lazy daily view reads them internally for the
+        # totals-based csr
+        if features not in ('all', None) and kwargs.get(
+                'mode', 'eager') != 'lazy':
             missing = [f for f in required if f not in [x.lower()
                                                         for x in features]]
             if 'clearsky_ratio' in [x.lower() for x in features] and missing:
                 features = list(features) + missing
         super().__init__(file_paths, features=features, **kwargs)
+
+    def _lazy_registry(self, registry):
+        """Windowed derivation of the hourly ``clearsky_ratio`` needs
+        the night mask, which the base registry computes as a
+        FULL-SPATIAL-EXTENT reduction per timestep (derivers.py
+        _clearsky_ratio: ``(cs <= 1).any(axis=(0, 1))``) — non-local,
+        so LazyGridDataset would reject it. Precompute the mask as a
+        per-timestep table here (one streamed pass over clearsky_ghi
+        at construction) and swap in a window-local csr derivation
+        that indexes the table by the window's raw timestamps —
+        bit-identical to the eager full-domain derivation."""
+        from sup3r_tpu.names import Dimension
+        from sup3r_tpu.preprocessing.derivers import _Method
+
+        raw = self.rasterizer.data
+        if 'clearsky_ghi' not in raw or raw.time_index is None:
+            return registry
+        var = raw.data_vars['clearsky_ghi']
+        s1, s2 = raw.grid_shape
+        n_t = len(raw.time_index)
+        night = np.empty(n_t, dtype=bool)
+        block_t = max(1, 2 ** 22 // max(s1 * s2, 1))
+        for t0 in range(0, n_t, block_t):
+            tsl = slice(t0, min(t0 + block_t, n_t))
+            if hasattr(var, 'isel'):
+                block = var.isel({Dimension.TIME: tsl})
+            else:
+                block = var[:, :, tsl]
+            night[tsl] = (np.asarray(block) <= 1).any(axis=(0, 1))
+        positions = pd.Index(raw.time_index)
+
+        def _clearsky_ratio_night_table(ctx):
+            with np.errstate(divide='ignore', invalid='ignore'):
+                csr = ctx['ghi'] / ctx['clearsky_ghi']
+            locs = positions.get_indexer(ctx.time_index)
+            assert (locs >= 0).all(), 'window timestamps not in raster'
+            csr[..., night[locs]] = np.nan
+            return csr.astype(np.float32)
+
+        return {**registry,
+                'clearsky_ratio': _Method(_clearsky_ratio_night_table,
+                                          ('ghi', 'clearsky_ghi'))}
 
     def _deriver_hook(self):
         """Daily clearsky_ratio must be total ghi / total cs ghi, not a
@@ -304,7 +413,11 @@ class DataHandlerNCforCC(DataHandler):
     (reference: data_handlers/nc_cc.py:24-243)."""
 
     FEATURE_REGISTRY = RegistryNCforCC
-    SUPPORTS_LAZY = False
+    #: lazy mode injects a windowed-read clearsky_ghi variable with a
+    #: precomputed full-extent per-pixel scale raster (lazy.py
+    #: _LazyClearskyGHI) — the clearsky_ratio derivation itself is
+    #: pointwise (nc_cc registry _clearsky_ratio_cc)
+    SUPPORTS_LAZY = True
 
     def __init__(self, file_paths, features='all', nsrdb_source_fp=None,
                  nsrdb_agg=1, nsrdb_smoothing=0, clearsky_scale=None,
@@ -327,11 +440,82 @@ class DataHandlerNCforCC(DataHandler):
         need_cs = feats not in ('all', None) and any(
             f.lower() in ('clearsky_ratio', 'clearsky_ghi')
             for f in feats)
-        if need_cs and self._nsrdb_source_fp is not None:
-            self.rasterizer.data.data_vars['clearsky_ghi'] = (
-                self.get_clearsky_ghi())
-            self.rasterizer.data.var_dims['clearsky_ghi'] = (
-                'south_north', 'west_east', 'time')
+        if not (need_cs and self._nsrdb_source_fp is not None):
+            return
+        if getattr(self.rasterizer, 'lazy', False):
+            self._inject_lazy_clearsky()
+            return
+        self.rasterizer.data.data_vars['clearsky_ghi'] = (
+            self.get_clearsky_ghi())
+        self.rasterizer.data.var_dims['clearsky_ghi'] = (
+            'south_north', 'west_east', 'time')
+
+    def _inject_lazy_clearsky(self):
+        """Lazy clearsky_ghi: precompute the full-extent per-pixel
+        scale raster (streamed rsds time-max / regridded-cs time-max,
+        or the given ``clearsky_scale``) and register a windowed-read
+        variable. Keeps host memory bounded: the raster is one
+        (s1, s2) plane and both passes stream in blocks."""
+        from sup3r_tpu.preprocessing.lazy import _LazyClearskyGHI
+
+        if self._nsrdb_smoothing:
+            raise NotImplementedError(
+                "nsrdb_smoothing is not supported with mode='lazy' "
+                '(window-local smoothing diverges at window borders); '
+                "use mode='eager' or nsrdb_smoothing=0")
+        raw = self.rasterizer.data
+        gcm_ti = raw.time_index
+        lat_lon = self.rasterizer.lat_lon
+        s1, s2 = self.rasterizer.grid_shape
+        scale = self._clearsky_scale
+        if isinstance(scale, str):
+            scale = np.load(scale)
+        if scale is None and 'rsds' in raw:
+            scale = self._full_extent_clearsky_scale(
+                raw, lat_lon, gcm_ti)
+        if isinstance(scale, np.ndarray) and scale.ndim == 2:
+            if scale.shape != (s1, s2):
+                raise ValueError(
+                    f'clearsky_scale raster shape {scale.shape} does '
+                    f'not match handler grid {(s1, s2)}; chunked_io '
+                    'callers must window the raster to the handler')
+        raw.data_vars['clearsky_ghi'] = _LazyClearskyGHI(
+            self._nsrdb_source_fp, self._nsrdb_agg, lat_lon, gcm_ti,
+            scale, self._regrid_clearsky)
+        raw.var_dims['clearsky_ghi'] = (
+            'south_north', 'west_east', 'time')
+
+    def _full_extent_clearsky_scale(self, raw, lat_lon, gcm_ti):
+        """Per-pixel ``rsds.max(time) / cs.max(time)`` over the FULL
+        extent (reference nc_cc.py:231-240), streamed: rsds in time
+        blocks, the unscaled regridded cs curve in point blocks —
+        bit-equal to the eager ratio (max is associative; the regrid
+        is per-point independent)."""
+        from sup3r_tpu.names import Dimension
+
+        s1, s2 = raw.grid_shape
+        rsds = raw.data_vars['rsds']
+        n_t = len(gcm_ti)
+        rsds_max = np.full((s1, s2), -np.inf, dtype=np.float32)
+        block_t = max(1, 2 ** 22 // max(s1 * s2, 1))
+        with np.errstate(invalid='ignore'):
+            for t0 in range(0, n_t, block_t):
+                tsl = slice(t0, min(t0 + block_t, n_t))
+                if hasattr(rsds, 'isel'):
+                    block = rsds.isel({Dimension.TIME: tsl})
+                else:
+                    block = rsds[:, :, tsl]
+                rsds_max = np.fmax(
+                    rsds_max, np.nanmax(np.asarray(block), axis=-1))
+        pts = lat_lon.reshape(-1, 2)
+        cs_max = np.empty(len(pts), dtype=np.float32)
+        block_p = max(1, 2 ** 18 // max(n_t, 1))
+        for i0 in range(0, len(pts), block_p):
+            out = self._regrid_clearsky(
+                self._nsrdb_source_fp, self._nsrdb_agg,
+                pts[i0:i0 + block_p], gcm_ti)
+            cs_max[i0:i0 + block_p] = np.nanmax(out, axis=0)
+        return rsds_max / np.maximum(cs_max.reshape(s1, s2), 1e-6)
 
     def get_clearsky_ghi(self):
         """Regrid NSRDB clearsky_ghi to the GCM grid: KDTree agg of

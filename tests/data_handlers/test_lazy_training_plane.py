@@ -11,11 +11,6 @@ import numpy as np
 import pytest
 
 from sup3r_tpu.preprocessing import DataHandler, LazyGridDataset
-from sup3r_tpu.preprocessing.data_handlers import (
-    DataHandlerH5SolarCC,
-    DataHandlerH5WindCC,
-    DataHandlerNCforCC,
-)
 from sup3r_tpu.utilities.test_helpers import (
     make_fake_h5_file,
     make_fake_nc4_file,
@@ -188,15 +183,13 @@ def test_lazy_rejects_unsupported(tmp_path):
                         tmp_path / 'c_{feature}.h5')})
     with pytest.raises(ValueError, match='eager.*lazy'):
         DataHandler(path, features=['u_100m'], mode='nope')
-    # CC handlers reshape the full domain
+    # CC handlers support lazy since round 5 (tests/data_handlers/
+    # test_lazy_cc.py); the non-local night-mask derivation is still
+    # rejected for PLAIN handlers (the CC handlers swap in a
+    # precomputed per-timestep mask table instead)
     solar = make_fake_h5_file(
         str(tmp_path / 'nsrdb.h5'), (8, 8, 48), ['ghi', 'clearsky_ghi'],
         freq='h', value_range=(0, 600))
-    for cls in (DataHandlerH5WindCC, DataHandlerH5SolarCC,
-                DataHandlerNCforCC):
-        with pytest.raises(NotImplementedError, match='lazy'):
-            cls(solar, features=['ghi'], mode='lazy')
-    # non-local night-mask derivation
     with pytest.raises(NotImplementedError, match='non-local'):
         DataHandler(solar, features=['clearsky_ratio'], mode='lazy')
 

@@ -150,3 +150,71 @@ def test_fast_mode_accuracy_budget(tmp_path):
     _, fr_f = frequency_spectrum(np.moveaxis(cube_f, 0, -1))
     np.testing.assert_allclose(np.log10(fr_f), np.log10(fr_e),
                                atol=0.1)
+
+
+def test_fast_mode_solar_chain_budget(tmp_path):
+    """Fast-mode accuracy budget through the FULL SolarMultiStepGan
+    chain (VERDICT r4 #8): spatial solar + wind GANs -> temporal
+    SolarCC-style member -> chunk files -> Solar module irradiance.
+    The stitched clearsky_ratio chunks must stay within 0.05 of the
+    exact path on the data scale, and the derived GHI within 5% of
+    the exact GHI's peak (the csr error times the clearsky curve)."""
+    from sup3r_tpu.solar import Solar
+    from tests.forward_pass.test_sup3rcc_chain import (
+        _spatial_gan,
+        _temporal_solar_gan,
+    )
+    from tests.solar_qa.test_solar_qa import _make_fake_nsrdb
+
+    input_file = make_fake_nc_file(
+        str(tmp_path / 'gcm.nc'), (8, 8, 2),
+        ['clearsky_ratio', 'u_200m', 'v_200m'], freq='D',
+        start='2050-06-01')
+    ssm = _spatial_gan(tmp_path, 'ssm', ['clearsky_ratio'], 1)
+    swm = _spatial_gan(tmp_path, 'swm', ['u_200m', 'v_200m'], 2)
+    tsm = _temporal_solar_gan(tmp_path)
+    # ONE nsrdb fixture for both modes (it is randomly generated)
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (20, 20, 96), start='2050-06-01')
+
+    def run_chain(mode):
+        out_dir = tmp_path / f'out_{mode}'
+        strategy = ForwardPassStrategy(
+            file_paths=input_file,
+            model_class='SolarMultiStepGan',
+            model_kwargs={'spatial_solar_model_dirs': ssm,
+                          'spatial_wind_model_dirs': swm,
+                          'temporal_solar_model_dirs': tsm},
+            fwp_chunk_shape=(8, 8, 1),
+            spatial_pad=0, temporal_pad=0,
+            inference_mode=mode,
+            out_pattern=str(out_dir / 'sup3r_chunk_{file_id}.h5'))
+        ForwardPass.run(strategy, 0)
+        chunks = {}
+        for fp in sorted(out_dir.glob('sup3r_chunk_*.h5')):
+            with h5py.File(fp, 'r') as f:
+                d = f['clearsky_ratio']
+                chunks[fp.name] = d[:] / d.attrs.get('scale_factor', 1)
+        written = Solar.run_temporal_chunks(
+            str(out_dir / 'sup3r_chunk_*.h5'), nsrdb_fp, tz=-6)
+        with h5py.File(written[0], 'r') as f:
+            ghi = f['ghi'][:] / f['ghi'].attrs['scale_factor']
+        return chunks, ghi
+
+    chunks_e, ghi_e = run_chain('exact')
+    chunks_f, ghi_f = run_chain('fast')
+    assert set(chunks_e) == set(chunks_f) and chunks_e
+
+    engaged = False
+    for name, csr_e in chunks_e.items():
+        csr_f = chunks_f[name]
+        scale = max(1.0, float(np.abs(csr_e).max()))
+        err = float(np.abs(csr_f - csr_e).max())
+        assert err <= 0.05 * scale, (name, err, scale)
+        engaged = engaged or err > 0.0
+    assert engaged, 'fast mode never engaged through the solar chain'
+
+    # irradiance: csr error propagates multiplicatively through the
+    # clearsky curve; bound it at 5% of the exact GHI peak
+    assert ghi_e.max() > 0
+    assert np.abs(ghi_f - ghi_e).max() <= 0.05 * ghi_e.max()
