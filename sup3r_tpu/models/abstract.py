@@ -237,6 +237,23 @@ class AbstractSingleModel(AbstractInterface):
     #: True/False force it on/off.
     train_shard_aligned = None
 
+    #: opt-in mixed-precision training: 'bfloat16' runs the generator
+    #: and discriminator forward+backward in bf16 while master weights,
+    #: gradients (cast back at the dtype boundary), optimizer state,
+    #: and losses stay fp32 — the standard mixed-precision recipe.
+    #: Default None (fp32 compute, matching the reference's fp32 TF
+    #: training, sup3r/models/abstract.py:1190). Measured 1.29x at
+    #: bench shapes — 92.5 vs 119.7 ms/step, 47.6 TFLOP/s
+    #: (scripts/bench_train_bf16.py; docs/PERFORMANCE.md). Unlike
+    #: inference (body convs already bf16-rounded internally via XLA's
+    #: --xla_allow_excess_precision), training gains from halving the
+    #: saved-activation and gradient bandwidth in the backward pass.
+    #: Convergence parity vs fp32 is pinned by
+    #: tests/training/test_bf16_train.py. Set BEFORE the first train
+    #: step (the step closure caches it; assign train_dtype then
+    #: ``_train_step_fn = None`` to rebuild).
+    train_dtype = None
+
     def _auto_shard_aligned(self):
         """Resolve ``train_shard_aligned=None`` from the attached
         mesh: on when the spatial axis is >= 4 wide."""

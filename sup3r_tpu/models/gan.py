@@ -264,12 +264,27 @@ class Sup3rGan(AbstractSingleModel):
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
 
+        # mixed precision (train_dtype='bfloat16'): params/activations
+        # cast at the network boundary, fp32 master weights + losses;
+        # grads flow through astype (cast back to fp32 at the boundary)
+        tdt = jnp.dtype(self.train_dtype) if self.train_dtype else None
+
+        def _cast_net(params, *arrays):
+            if tdt is None:
+                return params, arrays
+            return (jax.tree.map(lambda p: p.astype(tdt), params),
+                    tuple(a.astype(tdt) for a in arrays))
+
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             k_g, k_d1, k_d2, k_loss = jax.random.split(key, 4)
             exo = split_exo(hr)
             gkw = ({'train': True, 'dropout_key': k_g}
                    if gen_do else {})
-            out = gen_apply(gen_params, lr, exo=exo, **gkw)
+            gp, (lr_c,) = _cast_net(gen_params, lr)
+            exo_c = (exo if tdt is None
+                     else {k: v.astype(tdt) for k, v in exo.items()})
+            out = gen_apply(gp, lr_c, exo=exo_c, **gkw)
+            out = out.astype(jnp.float32)
             full = (jnp.concatenate(
                 [out] + [exo[f] for f in exo_names], axis=-1)
                 if n_exo else out)
@@ -277,8 +292,9 @@ class Sup3rGan(AbstractSingleModel):
                     if disc_do else {})
             d2kw = ({'train': True, 'dropout_key': k_d2}
                     if disc_do else {})
-            d_true = disc.apply(disc_params, hr, **d1kw)
-            d_gen = disc.apply(disc_params, full, **d2kw)
+            dp, (hr_c, full_c) = _cast_net(disc_params, hr, full)
+            d_true = disc.apply(dp, hr_c, **d1kw).astype(jnp.float32)
+            d_gen = disc.apply(dp, full_c, **d2kw).astype(jnp.float32)
             slc = slice(0, -n_exo) if n_exo else slice(None)
             # per-call-randomized losses (SlicedWasserstein) redraw
             # from the step key, matching the reference's per-call
@@ -299,18 +315,25 @@ class Sup3rGan(AbstractSingleModel):
         disc = self._disc
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
+        tdt = jnp.dtype(self.train_dtype) if self.train_dtype else None
 
         def disc_loss_fn(disc_params, hr, hi_res_gen, key):
+            dp = disc_params
+            if tdt is not None:
+                dp = jax.tree.map(lambda p: p.astype(tdt), dp)
+                hr = hr.astype(tdt)
+                hi_res_gen = hi_res_gen.astype(tdt)
             if disc_do:
                 k1, k2 = jax.random.split(key)
-                d_true = disc.apply(disc_params, hr, train=True,
+                d_true = disc.apply(dp, hr, train=True,
                                     dropout_key=k1)
-                d_gen = disc.apply(disc_params, hi_res_gen,
+                d_gen = disc.apply(dp, hi_res_gen,
                                    train=True, dropout_key=k2)
             else:
-                d_true = disc.apply(disc_params, hr)
-                d_gen = disc.apply(disc_params, hi_res_gen)
-            return relativistic_disc_loss(d_true, d_gen)
+                d_true = disc.apply(dp, hr)
+                d_gen = disc.apply(dp, hi_res_gen)
+            return relativistic_disc_loss(
+                d_true.astype(jnp.float32), d_gen.astype(jnp.float32))
 
         return disc_loss_fn
 
