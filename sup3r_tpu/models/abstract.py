@@ -328,6 +328,25 @@ class AbstractSingleModel(AbstractInterface):
 
         return apply
 
+    def _train_cast(self):
+        """Resolve ``train_dtype`` into a ``(tdt, cast)`` pair for the
+        jitted loss fns. ``tdt`` is the compute dtype (None = fp32
+        pass-through); ``cast(params, *arrays)`` returns the params
+        pytree and each array cast to ``tdt``. Callers must cast the
+        casted network's OUTPUTS back to fp32 so losses, gradients
+        (the astype transpose restores fp32 at the boundary),
+        and optimizer math stay fp32 — that is what keeps master
+        weights full-precision."""
+        tdt = jnp.dtype(self.train_dtype) if self.train_dtype else None
+
+        def cast(params, *arrays):
+            if tdt is None:
+                return params, arrays
+            return (jax.tree.map(lambda p: p.astype(tdt), params),
+                    tuple(a.astype(tdt) for a in arrays))
+
+        return tdt, cast
+
     def __init__(self):
         self.meta = {}
         self._means = None

@@ -94,9 +94,16 @@ class Sup3rCondMom(AbstractSingleModel):
                     for i, f in enumerate(exo_names)}
 
         gen_apply = self._maybe_remat(self._train_gen_apply())
+        # mixed precision (train_dtype): bf16 net, fp32 loss — same
+        # boundary-cast recipe as gan.py _make_gen_loss_fn
+        tdt, _cast_net = self._train_cast()
 
         def loss_fn(gen_params, lr, hr, output, mask):
-            out = gen_apply(gen_params, lr, exo=split_exo(hr))
+            gp, (lr_c,) = _cast_net(gen_params, lr)
+            exo = split_exo(hr)
+            if tdt is not None:
+                exo = {k: v.astype(tdt) for k, v in exo.items()}
+            out = gen_apply(gp, lr_c, exo=exo).astype(jnp.float32)
             if n_exo:
                 # append the TARGET's exo channels so out matches the
                 # queue's full-feature target/mask and the exo term is

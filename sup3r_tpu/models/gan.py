@@ -267,13 +267,7 @@ class Sup3rGan(AbstractSingleModel):
         # mixed precision (train_dtype='bfloat16'): params/activations
         # cast at the network boundary, fp32 master weights + losses;
         # grads flow through astype (cast back to fp32 at the boundary)
-        tdt = jnp.dtype(self.train_dtype) if self.train_dtype else None
-
-        def _cast_net(params, *arrays):
-            if tdt is None:
-                return params, arrays
-            return (jax.tree.map(lambda p: p.astype(tdt), params),
-                    tuple(a.astype(tdt) for a in arrays))
+        tdt, _cast_net = self._train_cast()
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             k_g, k_d1, k_d2, k_loss = jax.random.split(key, 4)
@@ -315,14 +309,11 @@ class Sup3rGan(AbstractSingleModel):
         disc = self._disc
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
-        tdt = jnp.dtype(self.train_dtype) if self.train_dtype else None
+        _, _cast_net = self._train_cast()
 
         def disc_loss_fn(disc_params, hr, hi_res_gen, key):
-            dp = disc_params
-            if tdt is not None:
-                dp = jax.tree.map(lambda p: p.astype(tdt), dp)
-                hr = hr.astype(tdt)
-                hi_res_gen = hi_res_gen.astype(tdt)
+            dp, (hr, hi_res_gen) = _cast_net(disc_params, hr,
+                                             hi_res_gen)
             if disc_do:
                 k1, k2 = jax.random.split(key)
                 d_true = disc.apply(dp, hr, train=True,

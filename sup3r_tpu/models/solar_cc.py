@@ -56,6 +56,9 @@ class SolarCC(Sup3rGan):
                      for l in self._gen.layers)
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
+        # mixed precision (train_dtype): bf16 nets, fp32 losses —
+        # same boundary-cast recipe as gan.py _make_gen_loss_fn
+        tdt, _cast_net = self._train_cast()
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             assert hr.shape[3] % 24 == 0, (
@@ -64,7 +67,9 @@ class SolarCC(Sup3rGan):
             key, k_g = jax.random.split(key)
             gkw = ({'train': True, 'dropout_key': k_g}
                    if gen_do else {})
-            out = gen_apply(gen_params, lr, **gkw)
+            gp, (lr_c,) = _cast_net(gen_params, lr)
+            out = gen_apply(gp, lr_c, **gkw).astype(jnp.float32)
+            dp, _ = _cast_net(disc_params)
             n_days = hr.shape[3] // 24
 
             def dkw():
@@ -84,11 +89,14 @@ class SolarCC(Sup3rGan):
                                         hr.shape[3] - dh + 1)
                 gen_win = jax.lax.dynamic_slice_in_dim(out, t0, dh,
                                                        axis=3)
-                d_gen.append(disc.apply(disc_params, gen_win, **dkw()))
+                _, (gw_c,) = _cast_net(None, gen_win)
+                d_gen.append(disc.apply(dp, gw_c, **dkw())
+                             .astype(jnp.float32))
                 # fixed daylight window for the true sample
                 true_sub = hr[:, :, :, base + sh:base + sh + dh, :]
-                d_true.append(disc.apply(disc_params, true_sub,
-                                         **dkw()))
+                _, (ts_c,) = _cast_net(None, true_sub)
+                d_true.append(disc.apply(dp, ts_c, **dkw())
+                              .astype(jnp.float32))
 
                 # content: center-hours pointwise + daily-mean match
                 p0 = base + (24 - plh) // 2
@@ -117,8 +125,11 @@ class SolarCC(Sup3rGan):
         sh, dh = self.STARTING_HOUR, self.DAYLIGHT_HOURS
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
+        _, _cast_net = self._train_cast()
 
         def disc_loss_fn(disc_params, hr, hi_res_gen, key):
+            disc_params, (hr, hi_res_gen) = _cast_net(
+                disc_params, hr, hi_res_gen)
             n_days = hr.shape[3] // 24
             d_true, d_gen = [], []
 
@@ -141,8 +152,8 @@ class SolarCC(Sup3rGan):
                     disc_params, hr[:, :, :, base + sh:base + sh + dh,
                                     :], **dkw()))
             return relativistic_disc_loss(
-                jnp.concatenate(d_true, axis=0),
-                jnp.concatenate(d_gen, axis=0))
+                jnp.concatenate(d_true, axis=0).astype(jnp.float32),
+                jnp.concatenate(d_gen, axis=0).astype(jnp.float32))
 
         return disc_loss_fn
 

@@ -146,6 +146,9 @@ class Sup3rGanWithObs(Sup3rGan):
                      for l in self._gen.layers)
         disc_do = any(type(l).__name__ == 'Dropout'
                       for l in disc.layers)
+        # mixed precision (train_dtype): bf16 nets, fp32 losses —
+        # same boundary-cast recipe as gan.py _make_gen_loss_fn
+        tdt, _cast_net = self._train_cast()
 
         def gen_loss_fn(gen_params, disc_params, lr, hr, w_adv, key):
             key, k_g, k_d1, k_d2, k_loss = jax.random.split(key, 5)
@@ -165,7 +168,11 @@ class Sup3rGanWithObs(Sup3rGan):
                 exo[name] = jnp.where(not_obs[..., :1], jnp.nan, chan)
             gkw = ({'train': True, 'dropout_key': k_g}
                    if gen_do else {})
-            out = gen_apply(gen_params, lr, exo=exo, **gkw)
+            gp, (lr_c,) = _cast_net(gen_params, lr)
+            exo_c = (exo if tdt is None
+                     else {k: v.astype(tdt) for k, v in exo.items()})
+            out = gen_apply(gp, lr_c, exo=exo_c, **gkw)
+            out = out.astype(jnp.float32)
             full = (jnp.concatenate(
                 [out] + [hr[..., hr.shape[-1] - n_exo + i:
                             hr.shape[-1] - n_exo + i + 1]
@@ -175,8 +182,9 @@ class Sup3rGanWithObs(Sup3rGan):
                     if disc_do else {})
             d2kw = ({'train': True, 'dropout_key': k_d2}
                     if disc_do else {})
-            d_true = disc.apply(disc_params, hr, **d1kw)
-            d_gen = disc.apply(disc_params, full, **d2kw)
+            dp, (hr_c, full_c) = _cast_net(disc_params, hr, full)
+            d_true = disc.apply(dp, hr_c, **d1kw).astype(jnp.float32)
+            d_gen = disc.apply(dp, full_c, **d2kw).astype(jnp.float32)
             slc = slice(0, -n_exo) if n_exo else slice(None)
             content = apply_loss(loss_fun, out, hr[..., slc],
                                  key=k_loss)
