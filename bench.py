@@ -8,6 +8,7 @@ Prints ONE JSON line:
    "inference_tflops": N, "train_tflops": N, "mfu_pct_bf16_peak": N,
    "fast_hr_voxels_per_sec": N, "fast_max_abs_err_norm_units": N,
    "train_loop_hr_voxels_per_sec": N,
+   "train_bf16_hr_voxels_per_sec": N, "train_bf16_speedup": N,
    "fwp_e2e_hr_voxels_per_sec": N,
    "fwp_e2e_dispatch_hr_voxels_per_sec": N}
 
@@ -413,6 +414,43 @@ def main():
     except Exception:
         traceback.print_exc(file=sys.stderr)
 
+    # ---- bf16 mixed-precision train step (opt-in
+    # train_dtype='bfloat16'; measured 1.29x in round 5 —
+    # docs/PERFORMANCE.md "Mixed-precision training"). Fresh model:
+    # the fp32 loop above donated the original param buffers ----
+    train_bf16_vps = None
+    try:
+        if not _have_time(150, 'bf16 train tier'):
+            raise _Skip
+        _stamp('bf16 train step: warm compile')
+        model_bf = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
+                            get_config('spatiotemporal/disc_test'),
+                            learning_rate=1e-4)
+        model_bf.train_dtype = 'bfloat16'
+        model_bf.init_weights((1, *tlr, 2), (1, *thr, 2))
+        step = model_bf.train_step_fn
+        state = (model_bf.gen_params, model_bf.disc_params,
+                 model_bf._gen_opt_state, model_bf._disc_opt_state)
+        w_adv = jnp.float32(1e-3)
+        tt = jnp.bool_(True)
+        key = jax.random.PRNGKey(0)
+        *state, det = step(*state, lr_b, hr_b, w_adv, tt, tt, key)
+        float(det['loss_gen'])
+        b_best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                *state, det = step(*state, lr_b, hr_b, w_adv, tt, tt,
+                                   key)
+            float(det['loss_gen'])
+            b_best = min(b_best, (time.perf_counter() - t0) / 4)
+        train_bf16_vps = train_voxels / b_best
+        _stamp(f'bf16 train step done ({train_bf16_vps:.3g} voxels/s)')
+    except _Skip:
+        pass
+    except Exception:
+        traceback.print_exc(file=sys.stderr)
+
     rec = {
         'metric': 'forward_pass_hr_voxels_per_sec_per_chip',
         'value': round(voxels_per_sec, 1),
@@ -438,6 +476,11 @@ def main():
                                             5)
     if train_loop_vps is not None:
         rec['train_loop_hr_voxels_per_sec'] = round(train_loop_vps, 1)
+    if train_bf16_vps is not None:
+        rec['train_bf16_hr_voxels_per_sec'] = round(train_bf16_vps, 1)
+        if train_vps:
+            rec['train_bf16_speedup'] = round(train_bf16_vps
+                                              / train_vps, 3)
     e2e = dispatch = None
     if _have_time(420, 'E2E chunked-ForwardPass tier'):
         e2e, dispatch = _bench_fwp_e2e()
