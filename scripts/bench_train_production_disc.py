@@ -1,7 +1,7 @@
 """Fused train-step benchmark with the PRODUCTION discriminator
 (VERDICT r4 #3): the real 'valid'-padding spatiotemporal disc
 (reference sup3r/configs/spatiotemporal/disc.json) needs >= 61 px
-spatial inputs, so it is timed at an HR sample of (72, 72, 24) —
+spatial inputs, so it is timed at an HR sample of (72, 72, 72) —
 a production-shaped sample — next to the 'same'-padding disc_test
 at the SAME shape so the disc's contribution is attributable, and
 disc_test at the (36, 36, 48) bench shape as the cross-round anchor.

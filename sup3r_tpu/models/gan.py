@@ -667,9 +667,15 @@ class Sup3rGan(AbstractSingleModel):
         entries = getattr(self, '_fused_cache_entries', None)
         if entries is None:
             entries = self._fused_cache_entries = []
+        # drop entries built for a params object that is no longer the
+        # live one (training replaces gen_params every step): each
+        # entry pins a full fused copy of the generator params on
+        # device, so keeping dead-params slots would hold ~4x params
+        # HBM. Live-params entries (one per inference-flag combo,
+        # e.g. exact + fast) stay.
+        entries[:] = [e for e in entries if e[0][0] is key[0]]
         cached = next(
-            (e for e in entries
-             if e[0][0] is key[0] and e[0][1:] == key[1:]), None)
+            (e for e in entries if e[0][1:] == key[1:]), None)
         if cached is None:
             from sup3r_tpu.models.fuse import (
                 FusedReflectConv,

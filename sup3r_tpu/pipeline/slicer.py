@@ -223,6 +223,50 @@ class ForwardPassSlicer:
             itertools.product(self.s1_hr_crop_slices,
                               self.s2_hr_crop_slices)))
 
+    def _exact_boundary_crops(self, lr_slices, pad_slices, crops, dim):
+        """Write-consistent variant of the boundary-adjusted crop.
+
+        The reference's ``check_boundary_slice`` keeps
+        ``slice(half*e, -half*e)`` of data padded to
+        ``pad_slice_width + 2*half`` — i.e. the PADDED-slice extent.
+        With ``spatial_pad > 0`` that is ``spatial_pad`` columns wider
+        than the chunk's raw extent, while ``hr_lat_lon``/``gids``
+        span only the raw extent (reference slicer.py:583-585 +
+        strategy.py:573-577): a latent reference inconsistency that
+        crashes (or misaligns) the writer for boundary-adjusted final
+        chunks. The corrected crop trims the extra leading halo so
+        the kept region is exactly the raw extent; with
+        ``spatial_pad == 0`` (where the reference math IS consistent)
+        it reduces to the reference slice. The reference-faithful
+        properties above are untouched (bit-parity-tested)."""
+        lr_start = lr_slices[-1].start or 0
+        lr_stop = lr_slices[-1].stop or self.coarse_shape[dim]
+        padded_width = 2 * self.spatial_pad + lr_stop - lr_start
+        if padded_width >= self.min_width[dim]:
+            return crops
+        half = self.min_width[dim] // 2 + 1
+        lead = (lr_start - pad_slices[-1].start) * self.s_enhance
+        crops = list(crops)
+        crops[-1] = slice(half * self.s_enhance + lead,
+                          -half * self.s_enhance)
+        return crops
+
+    @property
+    def s_hr_crop_slices_exact(self):
+        """Product of write-consistent HR spatial crop slices (see
+        ``_exact_boundary_crops``)."""
+
+        def build():
+            s1 = self._exact_boundary_crops(
+                self.s1_lr_slices, self.s1_lr_pad_slices,
+                self.s1_hr_crop_slices, 0)
+            s2 = self._exact_boundary_crops(
+                self.s2_lr_slices, self.s2_lr_pad_slices,
+                self.s2_hr_crop_slices, 1)
+            return list(itertools.product(s1, s2))
+
+        return self._cached('s_hr_crop_exact', build)
+
     @property
     def t_hr_crop_slices(self):
         """HR time crop slices — uniform halo crop (time is always
@@ -301,6 +345,22 @@ class ForwardPassSlicer:
             return out
 
         return self._cached('hr_crop', build)
+
+    @property
+    def hr_crop_slices_exact(self):
+        """``hr_crop_slices`` with write-consistent boundary-adjusted
+        spatial crops (see ``_exact_boundary_crops``) — what the
+        strategy hands to chunks so output shapes always match
+        ``hr_lat_lon``/``gids``."""
+
+        def build():
+            out = []
+            for t in self.t_hr_crop_slices:
+                out.append([(s[0], s[1], t, slice(None))
+                            for s in self.s_hr_crop_slices_exact])
+            return out
+
+        return self._cached('hr_crop_exact', build)
 
     # ------------------------------------------------------------------
     # chunk accounting

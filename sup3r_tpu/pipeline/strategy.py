@@ -21,21 +21,32 @@ from sup3r_tpu.utilities import Timer
 logger = logging.getLogger(__name__)
 
 
-#: process-level model cache: (class_name, kwargs_key, fingerprint) ->
-#: model instance. ForwardPass loads the model at strategy init (meta
-#: planning) AND per ForwardPass construction (reference loads per
-#: chunk/process, forward_pass.py:638); on TPU every fresh instance
-#: carries cold per-instance jit caches, and re-tracing + fetching
-#: cached executables through the tunnel costs seconds per program.
-#: The fingerprint (per-file name/mtime/size under any dir kwarg)
-#: invalidates the cache when the checkpoint on disk changes.
+#: process-level model cache: identity key (class + abspath'd kwargs +
+#: the strategy's mode flags) -> (disk fingerprint, model instance).
+#: ForwardPass loads the model at strategy init (meta planning) AND per
+#: ForwardPass construction (reference loads per chunk/process,
+#: forward_pass.py:638); on TPU every fresh instance carries cold
+#: per-instance jit caches, and re-tracing + fetching cached
+#: executables through the tunnel costs seconds per program. The
+#: fingerprint (per-file mtime/size under any dir/file kwarg)
+#: invalidates when the checkpoint on disk changes — and because the
+#: identity is the DICT KEY, a re-saved checkpoint REPLACES the stale
+#: entry instead of accumulating next to it (models pin params in
+#: HBM). The identity also carries inference_mode/use_mesh so
+#: concurrent strategies with different modes get separate instances
+#: rather than racing on one instance's mutable flags.
 _MODEL_CACHE = {}
 
 
-def _model_fingerprint(val):
-    """Recursive (name, mtime_ns, size) fingerprint of every file under
-    any directory-valued kwarg (model_dir / model_dirs lists)."""
+def _model_fingerprint(val, stat=True):
+    """Recursive fingerprint of every path-valued kwarg (model_dir /
+    model_dirs lists): abspath + per-file (name, mtime_ns, size) for
+    dirs AND single checkpoint files. ``stat=False`` yields the
+    path-identity only (the cache's dict key — stable across
+    re-saves, so stale entries are replaced, not retained)."""
     if isinstance(val, str) and os.path.isdir(val):
+        if not stat:
+            return os.path.abspath(val)
         out = []
         for root, _, files in sorted(os.walk(val)):
             for f in sorted(files):
@@ -43,12 +54,18 @@ def _model_fingerprint(val):
                 st = os.stat(p)
                 out.append((os.path.relpath(p, val), st.st_mtime_ns,
                             st.st_size))
-        return (val, tuple(out))
+        return (os.path.abspath(val), tuple(out))
+    if isinstance(val, str) and os.path.isfile(val):
+        if not stat:
+            return os.path.abspath(val)
+        st = os.stat(val)
+        return (os.path.abspath(val), st.st_mtime_ns, st.st_size)
     if isinstance(val, (list, tuple)):
-        return tuple(_model_fingerprint(v) for v in val)
+        return tuple(_model_fingerprint(v, stat=stat) for v in val)
     if isinstance(val, dict):
         return tuple(sorted(
-            (k, _model_fingerprint(v)) for k, v in val.items()))
+            (k, _model_fingerprint(v, stat=stat))
+            for k, v in val.items()))
     return val
 
 
@@ -294,15 +311,21 @@ class ForwardPassStrategy:
         if isinstance(kwargs, str):
             kwargs = {'model_dir': kwargs}
         try:
-            cache_key = (self.model_class, _model_fingerprint(kwargs))
-            hash(cache_key)
+            identity = (self.model_class,
+                        _model_fingerprint(kwargs, stat=False),
+                        self.inference_mode,
+                        getattr(self, 'use_mesh', False))
+            fingerprint = _model_fingerprint(kwargs)
+            hash((identity, fingerprint))
         except (TypeError, OSError):
-            cache_key = None  # unhashable kwargs / racing fs: no cache
-        model = _MODEL_CACHE.get(cache_key) if cache_key else None
+            identity = None  # unhashable kwargs / racing fs: no cache
+        entry = _MODEL_CACHE.get(identity) if identity else None
+        model = entry[1] if entry and entry[0] == fingerprint else None
         if model is None:
             model = ModelClass.load(**kwargs)
-            if cache_key is not None:
-                _MODEL_CACHE[cache_key] = model
+            if identity is not None:
+                # same-identity insert REPLACES a stale entry
+                _MODEL_CACHE[identity] = (fingerprint, model)
         if self.inference_mode != 'exact':
             if not hasattr(type(model), 'inference_mode'):
                 raise ValueError(
@@ -705,7 +728,8 @@ class ForwardPassStrategy:
             input_data=input_data,
             exo_data=exo_data,
             lr_pad_slice=self.fwp_slicer.s_lr_pad_slices[s_idx],
-            hr_crop_slice=self.fwp_slicer.hr_crop_slices[t_idx][s_idx],
+            hr_crop_slice=(
+                self.fwp_slicer.hr_crop_slices_exact[t_idx][s_idx]),
             hr_lat_lon=self.hr_lat_lon[hr_slice[0], hr_slice[1]],
             hr_times=OutputHandler.get_times(
                 lr_times, self.t_enhance * len(lr_times)),

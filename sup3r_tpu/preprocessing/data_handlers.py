@@ -451,11 +451,17 @@ class DataHandlerNCforCC(DataHandler):
             'south_north', 'west_east', 'time')
 
     def _inject_lazy_clearsky(self):
-        """Lazy clearsky_ghi: precompute the full-extent per-pixel
-        scale raster (streamed rsds time-max / regridded-cs time-max,
-        or the given ``clearsky_scale``) and register a windowed-read
-        variable. Keeps host memory bounded: the raster is one
-        (s1, s2) plane and both passes stream in blocks."""
+        """Lazy clearsky_ghi: precompute ONCE (a) the per-pixel NSRDB
+        daily clearsky table + gcm-step row mapping and (b) the
+        full-extent per-pixel scale raster (streamed rsds time-max /
+        table time-max, or the given ``clearsky_scale``), then
+        register a windowed-read variable whose reads are pure array
+        indexing. Without the table, every lazily sampled window
+        re-ran the full regrid (NSRDB open + KDTree over all sites +
+        whole-year daily means) in the sampler hot path. Host memory
+        stays bounded: the table is (n_days <= 366, s1, s2) float32 —
+        1/365th of one year of full-domain hourly data — and the rsds
+        scale pass streams in time blocks."""
         from sup3r_tpu.preprocessing.lazy import _LazyClearskyGHI
 
         if self._nsrdb_smoothing:
@@ -467,12 +473,12 @@ class DataHandlerNCforCC(DataHandler):
         gcm_ti = raw.time_index
         lat_lon = self.rasterizer.lat_lon
         s1, s2 = self.rasterizer.grid_shape
+        table, rows = self._clearsky_daily_table(lat_lon, gcm_ti)
         scale = self._clearsky_scale
         if isinstance(scale, str):
             scale = np.load(scale)
         if scale is None and 'rsds' in raw:
-            scale = self._full_extent_clearsky_scale(
-                raw, lat_lon, gcm_ti)
+            scale = self._full_extent_clearsky_scale(raw, table, rows)
         if isinstance(scale, np.ndarray) and scale.ndim == 2:
             if scale.shape != (s1, s2):
                 raise ValueError(
@@ -480,22 +486,53 @@ class DataHandlerNCforCC(DataHandler):
                     f'not match handler grid {(s1, s2)}; chunked_io '
                     'callers must window the raster to the handler')
         raw.data_vars['clearsky_ghi'] = _LazyClearskyGHI(
-            self._nsrdb_source_fp, self._nsrdb_agg, lat_lon, gcm_ti,
-            scale, self._regrid_clearsky)
+            table, rows, scale)
         raw.var_dims['clearsky_ghi'] = (
             'south_north', 'west_east', 'time')
 
-    def _full_extent_clearsky_scale(self, raw, lat_lon, gcm_ti):
+    def _clearsky_daily_table(self, lat_lon, gcm_ti):
+        """Per-pixel NSRDB daily clearsky curve for the FULL handler
+        grid, computed once (loader + KDTree built once, site columns
+        read per point block), plus the gcm-step -> table-row mapping.
+        Returns ``(table (n_days, s1, s2) float32, rows (n_t,) int)``.
+        Per-point math is identical to ``_regrid_clearsky`` so window
+        reads are bit-equal to the eager injection."""
+        s1g, s2g = lat_lon.shape[:2]
+        pts = lat_lon.reshape(-1, 2)
+        nsrdb = LoaderH5(self._nsrdb_source_fp)
+        nsrdb_ti = nsrdb.time_index
+        tree = cKDTree(nsrdb.lat_lon_flat)
+        day_ids = pd.DatetimeIndex(nsrdb_ti.date)
+        days = day_ids.unique()
+        day_masks = [day_ids == d for d in days]
+        table = np.empty((len(days), len(pts)), dtype=np.float32)
+        # bound the (t_nsrdb, n_uniq_sites) column read per block
+        block_p = max(1, 2 ** 22 // max(len(nsrdb_ti), 1))
+        for i0 in range(0, len(pts), block_p):
+            _, idx = tree.query(pts[i0:i0 + block_p],
+                                k=self._nsrdb_agg)
+            if idx.ndim == 1:
+                idx = idx[:, None]
+            uniq = np.unique(idx)
+            cs_ghi = nsrdb.get('clearsky_ghi', gids=uniq)
+            pos = np.searchsorted(uniq, idx)
+            agg = cs_ghi[:, pos].mean(axis=-1)  # (t, n_block)
+            for j, m in enumerate(day_masks):
+                table[j, i0:i0 + block_p] = agg[m].mean(axis=0)
+        rows = self._gcm_day_rows(days, gcm_ti)
+        return table.reshape(len(days), s1g, s2g), rows
+
+    def _full_extent_clearsky_scale(self, raw, table, rows):
         """Per-pixel ``rsds.max(time) / cs.max(time)`` over the FULL
-        extent (reference nc_cc.py:231-240), streamed: rsds in time
-        blocks, the unscaled regridded cs curve in point blocks —
-        bit-equal to the eager ratio (max is associative; the regrid
-        is per-point independent)."""
+        extent (reference nc_cc.py:231-240): rsds streamed in time
+        blocks; the cs time-max is the max over the daily-table rows
+        the gcm time index actually uses — bit-equal to the eager
+        ratio (max is associative)."""
         from sup3r_tpu.names import Dimension
 
         s1, s2 = raw.grid_shape
         rsds = raw.data_vars['rsds']
-        n_t = len(gcm_ti)
+        n_t = rsds.shape[-1]
         rsds_max = np.full((s1, s2), -np.inf, dtype=np.float32)
         block_t = max(1, 2 ** 22 // max(s1 * s2, 1))
         with np.errstate(invalid='ignore'):
@@ -507,15 +544,8 @@ class DataHandlerNCforCC(DataHandler):
                     block = rsds[:, :, tsl]
                 rsds_max = np.fmax(
                     rsds_max, np.nanmax(np.asarray(block), axis=-1))
-        pts = lat_lon.reshape(-1, 2)
-        cs_max = np.empty(len(pts), dtype=np.float32)
-        block_p = max(1, 2 ** 18 // max(n_t, 1))
-        for i0 in range(0, len(pts), block_p):
-            out = self._regrid_clearsky(
-                self._nsrdb_source_fp, self._nsrdb_agg,
-                pts[i0:i0 + block_p], gcm_ti)
-            cs_max[i0:i0 + block_p] = np.nanmax(out, axis=0)
-        return rsds_max / np.maximum(cs_max.reshape(s1, s2), 1e-6)
+        cs_max = np.nanmax(table[np.unique(rows)], axis=0)
+        return rsds_max / np.maximum(cs_max, 1e-6)
 
     def get_clearsky_ghi(self):
         """Regrid NSRDB clearsky_ghi to the GCM grid: KDTree agg of
@@ -597,14 +627,20 @@ class DataHandlerNCforCC(DataHandler):
         day_ids = pd.DatetimeIndex(nsrdb_ti.date)
         days = day_ids.unique()
         daily = np.stack([agg[day_ids == d].mean(axis=0) for d in days])
-        # map each gcm step to the same month+day in the nsrdb year —
-        # '%m.%d' string keys like the reference (nc_cc.py:216-223):
-        # dayofyear shifts by one after Feb in leap years, silently
-        # misaligning the whole spring/summer clearsky curve
+        rows = DataHandlerNCforCC._gcm_day_rows(days, gcm_ti)
+        return daily[rows].astype(np.float32)
+
+    @staticmethod
+    def _gcm_day_rows(days, gcm_ti):
+        """Map each gcm step to a row of the NSRDB daily table —
+        '%m.%d' string keys like the reference (nc_cc.py:216-223):
+        dayofyear shifts by one after Feb in leap years, silently
+        misaligning the whole spring/summer clearsky curve. Returns
+        an (len(gcm_ti),) int row index array."""
         key_nsrdb = pd.DatetimeIndex(days).strftime('%m.%d')
         key_order = {k: i for i, k in enumerate(key_nsrdb)}
         gcm_keys = pd.DatetimeIndex(gcm_ti).strftime('%m.%d')
-        out = np.empty((len(gcm_ti), daily.shape[1]), dtype=np.float32)
+        rows = np.empty(len(gcm_ti), dtype=np.intp)
         missing = set()
         doy_nsrdb = pd.DatetimeIndex(days).dayofyear.to_numpy()
         gcm_doy = pd.DatetimeIndex(gcm_ti).dayofyear.to_numpy()
@@ -619,12 +655,12 @@ class DataHandlerNCforCC(DataHandler):
                     np.abs(doy_nsrdb - gcm_doy[i]),
                     365 - np.abs(doy_nsrdb - gcm_doy[i]))))
                 missing.add(k)
-            out[i] = daily[j]
+            rows[i] = j
         if missing:
             logger.warning(
                 'NSRDB source has no data for GCM calendar day(s) %s; '
                 'used the nearest available day', sorted(missing))
-        return out
+        return rows
 
 
 class DataHandlerNCforCCwithPowerLaw(DataHandlerNCforCC):

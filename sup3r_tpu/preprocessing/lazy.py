@@ -540,27 +540,26 @@ class LazyCoarseDailyView(_LazySampleMixin):
 
 
 class _LazyClearskyGHI:
-    """Lazy (s1, s2, t) clearsky_ghi variable for GCM handlers: a
-    window read regrids NSRDB clearsky_ghi onto just the window's
-    pixels (KDTree agg + daily mean, point-separable — see
-    DataHandlerNCforCC._regrid_clearsky) and applies the PRECOMPUTED
-    per-pixel full-time-extent scale raster (reference nc_cc.py:231-240
-    scales per pixel over the FULL time axis, so windowed reads must
-    use the full-extent factors — the same invariant as chunked_io).
-    Bit-identical to the eager injection: the regrid is per-point
-    independent and the scale is an elementwise multiply."""
+    """Lazy (s1, s2, t) clearsky_ghi variable for GCM handlers: window
+    reads are pure array indexing into a PRECOMPUTED per-pixel NSRDB
+    daily table (built once per handler — see
+    DataHandlerNCforCC._clearsky_daily_table; rebuilding the regrid
+    per window cost an NSRDB open + full-site KDTree + whole-year
+    daily means in the sampler hot path) plus the precomputed
+    per-pixel full-time-extent scale raster (reference
+    nc_cc.py:231-240 scales per pixel over the FULL time axis, so
+    windowed reads must use the full-extent factors — the same
+    invariant as chunked_io). Bit-identical to the eager injection:
+    the table rows are the same daily means and the scale is an
+    elementwise multiply."""
 
     dims = (Dimension.SOUTH_NORTH, Dimension.WEST_EAST, Dimension.TIME)
 
-    def __init__(self, nsrdb_fp, nsrdb_agg, lat_lon, gcm_ti, scale,
-                 regrid_fn):
-        self._fp = nsrdb_fp
-        self._agg = nsrdb_agg
-        self._lat_lon = np.asarray(lat_lon)
-        self._ti = gcm_ti
+    def __init__(self, table, rows, scale):
+        self._table = np.asarray(table)  # (n_days, s1, s2)
+        self._rows = np.asarray(rows)    # (n_t,) table row per step
         self._scale = scale  # (s1, s2) raster, scalar, or None
-        self._regrid = regrid_fn
-        self.shape = (*self._lat_lon.shape[:2], len(gcm_ti))
+        self.shape = (*self._table.shape[1:], len(self._rows))
         self.ndim = 3
         self.dtype = np.float32
 
@@ -568,16 +567,14 @@ class _LazyClearskyGHI:
         s1 = sel.get(Dimension.SOUTH_NORTH, slice(None))
         s2 = sel.get(Dimension.WEST_EAST, slice(None))
         t = sel.get(Dimension.TIME, slice(None))
-        ll = self._lat_lon[s1, s2]
-        ti = self._ti[t]
-        out = self._regrid(self._fp, self._agg, ll.reshape(-1, 2), ti)
-        cs = out.T.reshape(*ll.shape[:2], len(ti))
+        cs = self._table[:, s1, s2][self._rows[t]]  # (nt, ns1, ns2)
+        cs = np.moveaxis(cs, 0, -1)
         scale = self._scale
         if isinstance(scale, np.ndarray) and scale.ndim == 2:
             cs = cs * scale[s1, s2][:, :, None]
         elif scale is not None:
             cs = cs * scale
-        return cs.astype(np.float32)
+        return np.ascontiguousarray(cs, dtype=np.float32)
 
     def __getitem__(self, idx):
         return self.materialize()[idx]

@@ -10,6 +10,7 @@ import json
 import logging
 import random
 import string
+import threading
 import time
 from warnings import warn
 
@@ -230,6 +231,10 @@ class Timer:
         self.log = {}
         self._start = None
         self.elapsed = 0.0
+        # timed calls run concurrently (ForwardPass prep pool + main
+        # dispatch + drain thread share one Timer); the read-add-store
+        # on self.log would lose increments without a lock
+        self._lock = threading.Lock()
 
     def start(self):
         """Mark interval start."""
@@ -258,8 +263,9 @@ class Timer:
             dt = time.perf_counter() - t0
             key = f'{func.__name__}' if call_id is None else (
                 f'{call_id}_{func.__name__}')
-            self.log[key] = self.log.get(key, 0.0) + dt
-            self.elapsed = dt
+            with self._lock:
+                self.log[key] = self.log.get(key, 0.0) + dt
+                self.elapsed = dt
             if log:
                 logger.debug('Call to %s took %.4f s', func.__name__, dt)
             return out

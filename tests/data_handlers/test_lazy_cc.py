@@ -173,6 +173,30 @@ def test_ncforcc_lazy_clearsky_bit_parity(gcm_and_nsrdb):
             np.asarray(eager.data.sample(idx)), lazy.data.sample(idx))
 
 
+def test_ncforcc_lazy_window_reads_no_regrid(gcm_and_nsrdb,
+                                             monkeypatch):
+    """Window reads must be pure indexing into the precomputed daily
+    table: re-running the regrid (NSRDB open + KDTree + whole-year
+    daily means) per sampled window put seconds of redundant I/O in
+    the sampler hot path (round-5 review finding)."""
+    import sup3r_tpu.preprocessing.data_handlers as dh_mod
+
+    gcm_fp, nsrdb_fp = gcm_and_nsrdb
+    lazy = DataHandlerNCforCC(
+        gcm_fp, mode='lazy', features=['clearsky_ratio'],
+        nsrdb_source_fp=nsrdb_fp, nsrdb_agg=2)
+
+    def _boom(*a, **k):
+        raise AssertionError('window read re-opened the NSRDB source')
+
+    monkeypatch.setattr(dh_mod, 'LoaderH5', _boom)
+    monkeypatch.setattr(dh_mod.DataHandlerNCforCC, '_regrid_clearsky',
+                        staticmethod(_boom))
+    out = lazy.data.sample(
+        (slice(1, 4), slice(2, 5), slice(0, 2), ['clearsky_ratio']))
+    assert np.isfinite(out).any()
+
+
 def test_ncforcc_lazy_scale_override(gcm_and_nsrdb, tmp_path):
     """A precomputed clearsky_scale raster (.npy, the chunked_io
     preflight artifact) feeds the lazy var directly — no rsds pass."""

@@ -64,13 +64,17 @@ def test_model_cache_reuses_instance(tmp_path):
     m1, m2 = s1.get_model(), s2.get_model()
     assert m1 is m2
 
-    # fast-mode strategy shares the instance but flips the flags; the
-    # next exact strategy resets them
+    # a fast-mode strategy gets its OWN instance (the mode is part of
+    # the cache identity): concurrent exact + fast strategies in one
+    # process must not race on one instance's mutable flags
     sf = _strategy(input_file, model_dir, tmp_path, mode='fast')
     mf = sf.get_model()
-    assert mf is m1 and mf.inference_mode == 'fast'
+    assert mf is not m1 and mf.inference_mode == 'fast'
     m3 = _strategy(input_file, model_dir, tmp_path).get_model()
     assert m3 is m1 and m3.inference_mode == 'exact'
+    # and the fast instance is itself cached/reused
+    assert _strategy(input_file, model_dir, tmp_path,
+                     mode='fast').get_model() is mf
 
 
 def test_model_cache_invalidated_by_resave(tmp_path):
@@ -86,8 +90,13 @@ def test_model_cache_invalidated_by_resave(tmp_path):
     for root, _, files in os.walk(model_dir):
         for f in files:
             os.utime(os.path.join(root, f))
+    n_before = len(_MODEL_CACHE)
     m2 = _strategy(input_file, model_dir, tmp_path).get_model()
     assert m2 is not m1
+    # the stale entry was REPLACED, not retained next to the new one
+    # (each cached model pins params in memory)
+    assert len(_MODEL_CACHE) == n_before
+    assert not any(entry[1] is m1 for entry in _MODEL_CACHE.values())
     w1 = np.asarray(next(iter(
         m1.gen_params[0].values() if isinstance(m1.gen_params[0], dict)
         else [m1.gen_params[0]])))
