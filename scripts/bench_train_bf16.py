@@ -24,21 +24,30 @@ def main():
     from sup3r_tpu.configs import get_config
     from sup3r_tpu.models import Sup3rGan
 
-    results = {}
-    for dt in (None, 'bfloat16'):
-        model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
-                         get_config('spatiotemporal/disc_test'),
-                         learning_rate=1e-4)
-        model.train_dtype = dt
-        t, vps, tflops = time_step(model, 16, (12, 12, 12),
-                                   (36, 36, 48))
-        results[dt or 'fp32'] = t
-        tf = f'{tflops:.1f}' if tflops else '?'
-        print(f'train_dtype={dt or "fp32 (default)"}: '
-              f'{t * 1e3:.1f} ms/step, {vps:.3g} HR voxels/s, '
-              f'{tf} TFLOP/s', flush=True)
-    speedup = results['fp32'] / results['bfloat16']
-    print(f'bf16 speedup vs fp32: {speedup:.3f}x', flush=True)
+    cases = [
+        ('bench shape', 'spatiotemporal/disc_test', 16,
+         (12, 12, 12), (36, 36, 48)),
+        # production-shaped sample with the real 'valid' disc (see
+        # bench_train_production_disc.py for the shape constraints)
+        ('production shape', 'spatiotemporal/disc', 4,
+         (24, 24, 18), (72, 72, 72)),
+    ]
+    for label, disc_name, tb, tlr, thr in cases:
+        results = {}
+        for dt in (None, 'bfloat16'):
+            model = Sup3rGan(get_config('spatiotemporal/gen_3x_4x_2f'),
+                             get_config(disc_name),
+                             learning_rate=1e-4)
+            model.train_dtype = dt
+            t, vps, tflops = time_step(model, tb, tlr, thr)
+            results[dt or 'fp32'] = t
+            tf = f'{tflops:.1f}' if tflops else '?'
+            print(f'[{label}] train_dtype={dt or "fp32 (default)"}: '
+                  f'{t * 1e3:.1f} ms/step, {vps:.3g} HR voxels/s, '
+                  f'{tf} TFLOP/s', flush=True)
+        speedup = results['fp32'] / results['bfloat16']
+        print(f'[{label}] bf16 speedup vs fp32: {speedup:.3f}x',
+              flush=True)
 
 
 if __name__ == '__main__':

@@ -87,6 +87,55 @@ def test_exact_crops_match_raw_extent():
                         coarse, chunk, pad, enh, us, ps, cs)
 
 
+def test_exact_crops_fuzz_full_tiling():
+    """Arithmetic fuzz: across random (grid, chunk, pad, enh) configs
+    the exact crops map every chunk's kept HR region onto EXACTLY its
+    raw hr placement slice — the written chunks tile the grid with no
+    overlap or hole, including all boundary-adjusted cases."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        n = int(rng.integers(5, 40))
+        c = int(rng.integers(2, n + 3))
+        pad = int(rng.integers(0, 4))
+        enh = int(rng.choice([1, 2, 3, 5]))
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            sl = ForwardPassSlicer(
+                coarse_shape=(n, n), time_steps=8, s_enhance=enh,
+                t_enhance=1, time_slice=slice(None), temporal_pad=0,
+                spatial_pad=pad, chunk_shape=(c, c, 8))
+            for dim, (lr_sl, pad_sl, hr_sl, crops) in enumerate([
+                (sl.s1_lr_slices, sl.s1_lr_pad_slices,
+                 sl.s1_hr_slices,
+                 sl._exact_boundary_crops(
+                     sl.s1_lr_slices, sl.s1_lr_pad_slices,
+                     sl.s1_hr_crop_slices, 0)),
+                (sl.s2_lr_slices, sl.s2_lr_pad_slices,
+                 sl.s2_hr_slices,
+                 sl._exact_boundary_crops(
+                     sl.s2_lr_slices, sl.s2_lr_pad_slices,
+                     sl.s2_hr_crop_slices, 1)),
+            ]):
+                covered = []
+                for us, ps, hs, cs in zip(lr_sl, pad_sl, hr_sl,
+                                          crops):
+                    pw = sl._get_pad_width(
+                        us, n, pad, min_width=sl.min_width[dim],
+                        check_boundary=True)
+                    # absolute HR coordinates of the padded block
+                    lo = (ps.start - pw[0]) * enh
+                    hi = (ps.stop + pw[1]) * enh
+                    kept = np.arange(lo, hi)[cs]
+                    assert kept[0] == hs.start and \
+                        kept[-1] + 1 == hs.stop, (
+                            n, c, pad, enh, dim, us, ps, cs)
+                    covered.extend(kept.tolist())
+                assert covered == list(range(n * enh)), (n, c, pad,
+                                                         enh, dim)
+
+
 @pytest.mark.parametrize('pack', [None, False])
 def test_boundary_chunk_fwp_writes_complete_grid(tmp_path, pack):
     """Grid 12 with chunk 8 / pad 1 triggers the min-width adjustment

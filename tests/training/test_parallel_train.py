@@ -164,6 +164,35 @@ def test_mesh_step_matches_single_device():
         np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
 
 
+def test_mesh_bf16_step_matches_single_device():
+    """train_dtype='bfloat16' composes with dp mesh sharding: the
+    8-device bf16 step reproduces the single-device bf16 losses and
+    params (the cast happens inside the per-shard computation; the
+    grad all-reduce runs on the fp32 master-weight gradients)."""
+    rng = np.random.default_rng(0)
+    lr = rng.random((8, 4, 4, 2)).astype(np.float32)
+    hr = rng.random((8, 8, 8, 2)).astype(np.float32)
+
+    def one_step(use_mesh):
+        model = Sup3rGan(_small_gen_s(), _small_disc(),
+                         learning_rate=1e-3)
+        model.train_dtype = 'bfloat16'
+        model.init_weights((1, 4, 4, 2), (1, 8, 8, 2), seed=3)
+        if use_mesh:
+            model.attach_mesh(get_mesh(8))
+        details = model.run_gradient_descent(
+            lr, hr, train_gen=True, train_disc=True)
+        return details, jax.tree.map(np.asarray, model.gen_params)
+
+    d1, p1 = one_step(False)
+    d8, p8 = one_step(True)
+    for k in d1:
+        np.testing.assert_allclose(d8[k], d1[k], rtol=1e-2, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        assert np.asarray(b).dtype == np.float32
+        np.testing.assert_allclose(b, a, rtol=1e-2, atol=1e-4)
+
+
 def test_mesh_2d_dp_sp_step_matches_single_device():
     """dp x sp COMPOSED training: a 4x2 mesh shards the batch over
     'data' and each sample's s1 dim over 'space' (XLA inserts conv
