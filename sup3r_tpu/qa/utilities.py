@@ -52,13 +52,14 @@ def frequency_spectrum(var, f_range=None):
     return _fold_freq_spectrum(spec, f_range)
 
 
-def wavenumber_spectrum(var, x_range=None, axis=None):
+def wavenumber_spectrum(var, x_range=None, axis=0):
     """2D spatial power spectrum of (s1, s2[, t]) data (mean over any
-    trailing axes). ``axis=None`` bins radially; ``axis=0``/``1``
-    returns the 1D zonal/meridional spectrum (mean of the 2D power
-    over that axis, folded halves — reference:
-    qa/utilities.py:131-168). ``x_range=[k_min, k_max]`` relabels the
-    wavenumber axis to physical units."""
+    trailing axes). ``axis=0``/``1`` returns the 1D zonal/meridional
+    spectrum (mean of the 2D power over that axis, folded halves —
+    reference: qa/utilities.py:131-168, whose default is also
+    ``axis=0``); ``axis=None`` is an extension that bins radially.
+    ``x_range=[k_min, k_max]`` relabels the wavenumber axis to
+    physical units."""
     if var.ndim == 3:
         var = var.mean(axis=-1)
     spec2d = np.abs(np.fft.fft2(var)) ** 2
@@ -83,9 +84,10 @@ def wavenumber_spectrum(var, x_range=None, axis=None):
     return _map_axis(kbins, x_range), spectrum
 
 
-def tke_wavenumber_spectrum(u, v, x_range=None, axis=None):
-    """Spatial spectrum of turbulent kinetic energy (radial by
-    default; ``axis`` selects the 1D zonal/meridional spectrum).
+def tke_wavenumber_spectrum(u, v, x_range=None, axis=0):
+    """Spatial spectrum of turbulent kinetic energy (zonal ``axis=0``
+    by default, matching the reference; ``axis=1`` meridional;
+    ``axis=None`` is a radial-binning extension).
     Amplitudes follow the reference convention |u_k|^2 + |v_k|^2
     (no 1/2 factor) so spectra compare against reference QA output
     (reference: qa/utilities.py:87-128)."""
