@@ -27,24 +27,34 @@ class FillAndSmoothMixin:
                         smooth_interior=0):
         """Fill missing (no base data) pixels from neighbors; smooth the
         filled extension and/or the interior (reference:
-        sup3r/bias/mixins.py:19)."""
+        sup3r/bias/mixins.py:19-102).
+
+        Reference semantics preserved exactly: the NN fill also runs
+        whenever ``smooth_interior > 0`` (even with
+        ``fill_extend=False`` — interior smoothing must not pull NaNs
+        across the boundary), and BOTH smoothed variants are computed
+        from the same filled layer, with extension pixels taking the
+        ``smooth_extend`` result and interior pixels the
+        ``smooth_interior`` result."""
         for key, arr in out.items():
             if arr.dtype == object or arr.ndim < 2:
                 continue
             nan_mask = np.isnan(arr[..., 0])
             for idt in range(arr.shape[-1]):
-                layer = arr[..., idt]
-                if fill_extend and np.isnan(layer).any():
+                layer = arr[..., idt].copy()
+                needs_fill = ((fill_extend and np.isnan(layer).any())
+                              or smooth_interior > 0)
+                if needs_fill:
                     layer = nn_fill_array(layer)
-                if smooth_extend > 0 and nan_mask.any():
-                    smoothed = gaussian_filter(layer, smooth_extend,
-                                               mode='nearest')
-                    layer[nan_mask] = smoothed[nan_mask]
+                ext = interior = layer
+                if smooth_extend > 0:
+                    ext = gaussian_filter(layer, smooth_extend,
+                                          mode='nearest')
                 if smooth_interior > 0:
-                    smoothed = gaussian_filter(layer, smooth_interior,
+                    interior = gaussian_filter(layer, smooth_interior,
                                                mode='nearest')
-                    layer[~nan_mask] = smoothed[~nan_mask]
-                arr[..., idt] = layer
+                arr[nan_mask, idt] = ext[nan_mask]
+                arr[~nan_mask, idt] = interior[~nan_mask]
             out[key] = arr
         return out
 
