@@ -11,6 +11,7 @@ import itertools
 import json
 import logging
 import os
+import shlex
 import time
 
 import click
@@ -87,9 +88,12 @@ def _node_cmd(module, config, node_index, run_dir,
         "from sup3r_tpu.utilities.cli import init_node_logger;"
         "init_node_logger(cfg.pop('log_file', None), "
         "cfg.pop('log_level', 'INFO'), cfg.get('node_index'));")
-    return (
-        f'python -c "{prefix} cfg = json.load(open({cfg_fp!r})); '
-        f'{log_init}{body}"')
+    # shlex.quote the whole -c payload: cfg_fp embeds run_dir, and a
+    # path containing $ ` or " would otherwise be shell-expanded or
+    # break the quoting entirely
+    payload = (f'{prefix} cfg = json.load(open({cfg_fp!r})); '
+               f'{log_init}{body}')
+    return f'python -c {shlex.quote(payload)}'
 
 
 @click.group()
@@ -336,6 +340,41 @@ def pipeline(ctx, monitor, cancel, background):
     config = _get_config(ctx)
     run_dir = config['run_dir']
     status = Status(run_dir)
+
+    def _parse_step(step):
+        """(module, cfg_file) from either step spelling: the plain
+        ``{module: cfg}`` form, or the reference's named form
+        ``{'<any-name>': cfg, 'command': module}`` (reference:
+        examples/sup3rcc/run_configs/solar/config_pipeline.json)."""
+        step = dict(step)
+        module = step.pop('command', None)
+        (name, cfg_file), = step.items()
+        return module or name, cfg_file
+
+    # step identity = module + config hash: repeated modules (the
+    # sup3rwind two-fwp chain), edited configs, and reordered steps
+    # all resolve to the right skip/rerun behavior — identical
+    # (module, config) pairs genuinely ARE the same work
+    def _step_info(step):
+        """(module, abs cfg path, status key, status dir). The status
+        dir replicates what the invoked command's _get_config will
+        compute (explicit 'run_dir' key, else the config's own
+        directory) — the step's node jobs record status THERE, so the
+        monitor must poll there too, not in the pipeline's run_dir."""
+        module, cfg_file = _parse_step(step)
+        fp = (cfg_file if os.path.isabs(cfg_file)
+              else os.path.join(run_dir, cfg_file))
+        fp = os.path.abspath(fp)
+        try:
+            step_cfg = load_config(fp)
+            tag = _cfg_tag(step_cfg)
+        except FileNotFoundError:
+            step_cfg = {}
+            tag = _cfg_tag({'file': cfg_file})
+        step_dir = os.path.abspath(step_cfg.get('run_dir')
+                                   or os.path.dirname(fp))
+        return module, fp, f'{module}#{tag}', step_dir
+
     if background:
         cfg_fp = os.path.abspath(ctx.obj.get('CONFIG_FILE'))
         log_fp = os.path.join(run_dir, 'pipeline_monitor.log')
@@ -352,10 +391,18 @@ def pipeline(ctx, monitor, cancel, background):
                     proc.pid, log_fp)
         return
     if cancel:
-        # cancel every non-terminal job recorded for this project
-        # (reference: gaps Pipeline.cancel_all)
+        # cancel every non-terminal job recorded for this project —
+        # including step configs whose status lives in their own
+        # directory (reference: gaps Pipeline.cancel_all)
         n = 0
-        for module, jobs in status.read().items():
+        status_dirs = [run_dir]
+        for step in config.get('pipeline', []):
+            *_, step_dir = _step_info(step)
+            if step_dir not in status_dirs:
+                status_dirs.append(step_dir)
+        for module, jobs, step_status in (
+                (m, j, st) for st in map(Status, status_dirs)
+                for m, j in st.read().items()):
             if module.startswith('__'):
                 continue
             for job_name, job in jobs.items():
@@ -382,10 +429,11 @@ def pipeline(ctx, monitor, cancel, background):
                         logger.warning('scancel not available; only '
                                        'marking job %s canceled',
                                        job_id)
-                status.update(module, job_name, job_status='canceled')
+                step_status.update(module, job_name,
+                                   job_status='canceled')
                 n += 1
-        logger.info('Canceled %d pending/running job(s) in %s', n,
-                    status.fp)
+        logger.info('Canceled %d pending/running job(s) across %s',
+                    n, status_dirs)
         return
     steps = config['pipeline']
     commands = {
@@ -397,47 +445,23 @@ def pipeline(ctx, monitor, cancel, background):
     }
     poll_interval = float(config.get('poll_interval', 10))
 
-    def _parse_step(step):
-        """(module, cfg_file) from either step spelling: the plain
-        ``{module: cfg}`` form, or the reference's named form
-        ``{'<any-name>': cfg, 'command': module}`` (reference:
-        examples/sup3rcc/run_configs/solar/config_pipeline.json)."""
-        step = dict(step)
-        module = step.pop('command', None)
-        (name, cfg_file), = step.items()
-        return module or name, cfg_file
-
-    # step identity = module + config hash: repeated modules (the
-    # sup3rwind two-fwp chain), edited configs, and reordered steps
-    # all resolve to the right skip/rerun behavior — identical
-    # (module, config) pairs genuinely ARE the same work
-    def _step_key(step):
-        module, cfg_file = _parse_step(step)
-        fp = (cfg_file if os.path.isabs(cfg_file)
-              else os.path.join(run_dir, cfg_file))
-        try:
-            tag = _cfg_tag(load_config(fp))
-        except FileNotFoundError:
-            tag = _cfg_tag({'file': cfg_file})
-        return f'{module}#{tag}'
-
-    step_keys = [_step_key(step) for step in steps]
-    for step, skey in zip(steps, step_keys):
-        module, step_config_file = _parse_step(step)
-        status.poll(skey)  # pick up finished SLURM jobs first
-        if status.module_successful(skey):
+    for step in steps:
+        module, step_cfg_fp, skey, step_dir = _step_info(step)
+        # the step command records its node jobs in ITS config's
+        # run dir (see _get_config) — poll the same store, or steps
+        # whose config lives in a subdirectory never look successful
+        step_status = Status(step_dir)
+        step_status.poll(skey)  # pick up finished SLURM jobs first
+        if step_status.module_successful(skey):
             logger.info('Pipeline step "%s" already successful.',
                         skey)
             continue
         logger.info('Running pipeline step "%s"', skey)
-        status.clear_failed(skey)  # retry failed jobs of this step
+        # retry failed jobs of this step
+        step_status.clear_failed(skey)
         step_ctx = click.Context(commands[module],
                                  obj={'STATUS_MODULE': skey,
-                                      'CONFIG_FILE': os.path.join(
-                                     run_dir, step_config_file)
-                                     if not os.path.isabs(
-                                         step_config_file)
-                                     else step_config_file})
+                                      'CONFIG_FILE': step_cfg_fp})
         try:
             with step_ctx:
                 commands[module].invoke(step_ctx)
@@ -445,8 +469,9 @@ def pipeline(ctx, monitor, cancel, background):
             # setup failures (bad config, missing model dir) happen
             # before any node job records status — record them so
             # `.status.json` always explains why the pipeline stopped
-            status.update(skey, f'{skey}_setup',
-                          job_status='failed', stderr=str(e)[-2000:])
+            step_status.update(skey, f'{skey}_setup',
+                               job_status='failed',
+                               stderr=str(e)[-2000:])
             raise click.ClickException(
                 f'Pipeline step "{skey}" failed during setup: '
                 f'{e}') from e
@@ -456,20 +481,20 @@ def pipeline(ctx, monitor, cancel, background):
         # next step only starts on success (reference: gaps Pipeline
         # monitoring, sup3r/utilities/cli.py:214-267)
         while True:
-            status.poll(skey)
-            if status.module_successful(skey):
+            step_status.poll(skey)
+            if step_status.module_successful(skey):
                 break
-            if status.module_failed(skey):
+            if step_status.module_failed(skey):
                 raise click.ClickException(
                     f'Pipeline step "{skey}" failed; see '
-                    f'{status.fp}')
+                    f'{step_status.fp}')
             pending = any(
                 j.get('job_status') in ('submitted', 'running')
-                for j in status.read().get(skey, {}).values())
+                for j in step_status.read().get(skey, {}).values())
             if not pending:
                 raise click.ClickException(
                     f'Pipeline step "{skey}" did not complete; see '
-                    f'{status.fp}')
+                    f'{step_status.fp}')
             time.sleep(poll_interval)
 
 

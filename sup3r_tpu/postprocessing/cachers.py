@@ -39,8 +39,10 @@ def parse_chunks(feature, chunks, shape):
     back to h5py auto-chunking (``True``). Chunk sizes are clipped to
     the array shape.
     """
-    if chunks in (None, 'auto'):
-        return None
+    if chunks is None:
+        return None  # h5py contiguous layout
+    if chunks == 'auto':
+        return True  # h5py auto-chunking (the documented contract)
     fchunks = chunks
     if isinstance(chunks, dict):
         lowered = {str(k).lower(): v for k, v in chunks.items()}

@@ -324,7 +324,11 @@ class CollectorNC:
         from sup3r_tpu.preprocessing.loaders import LoaderNC
 
         if isinstance(file_paths, str):
+            pattern = file_paths
             file_paths = sorted(glob(file_paths))
+            assert file_paths, (
+                f'No chunk files to collect for {pattern!r}')
+        assert file_paths, 'No chunk files to collect'
         file_paths = sorted(file_paths, key=get_chunk_indices)
 
         def load(fp):

@@ -39,7 +39,10 @@ def write_nc_file(out_file, times, lat2d, lon2d, feature_arrays,
     os.makedirs(os.path.dirname(os.path.abspath(out_file)),
                 exist_ok=True)
     lat2d = np.asarray(lat2d)
-    with netcdf_file(tmp, 'w') as f:
+    # version=2 (64-bit offset): the classic-format ~2 GiB
+    # per-variable limit would fail a year-of-hourly collected cube
+    # at the very end of the pipeline
+    with netcdf_file(tmp, 'w', version=2) as f:
         f.createDimension('time', len(times))
         f.createDimension('south_north', lat2d.shape[0])
         f.createDimension('west_east', lat2d.shape[1])

@@ -107,6 +107,20 @@ class Solar:
         if 'nsrdb_tslice' not in self._cache:
             doy_n = self.nsrdb.time_index.dayofyear
             doy_g = self.time_index.dayofyear
+            # reference parity: matching is by day-of-year
+            # (reference solar.py:220-222). That silently shifts every
+            # post-February day by one when exactly one of the two
+            # years is a leap year — warn loudly (same bug class as
+            # the NCforCC '%m.%d' day matching, nc_cc.py:231-240).
+            leap_n = bool(self.nsrdb.time_index.is_leap_year.any())
+            leap_g = bool(self.time_index.is_leap_year.any())
+            if leap_n != leap_g:
+                logger.warning(
+                    'NSRDB (leap=%s) and GAN output (leap=%s) years '
+                    'differ in leap status; day-of-year matching '
+                    'shifts all post-Feb-28 days by one. Use an '
+                    'NSRDB file from a year with matching leap '
+                    'status.', leap_n, leap_g)
             mask = np.isin(doy_n, doy_g)
             if mask.sum() == 0:
                 raise RuntimeError(
@@ -324,10 +338,20 @@ class Solar:
         over <= max_nodes jobs)."""
         out = cls.get_sup3r_fps(fp_pattern, ignore=f'_{fp_out_suffix}')
         fp_sets, t_slices, t_ids, _, target_fps = out
-        if temporal_ids is None and max_nodes and max_nodes > 1:
-            uniq = sorted(set(t_ids))
-            splits = np.array_split(uniq, min(max_nodes, len(uniq)))
-            if node_index >= len(splits):
+        if temporal_ids is not None:
+            # normalize JSON-config spellings: integer ids match the
+            # zero-padded string ids encoded in the chunk file names
+            temporal_ids = [t if isinstance(t, str) else
+                            str(int(t)).zfill(6) for t in temporal_ids]
+        if max_nodes and max_nodes > 1:
+            # an explicit temporal_ids list restricts the universe but
+            # must STILL split across nodes, or every node would
+            # process (and double-write) every listed chunk
+            uniq = sorted(set(t_ids) if temporal_ids is None
+                          else set(t_ids) & set(temporal_ids))
+            splits = np.array_split(uniq, min(max_nodes,
+                                              max(len(uniq), 1)))
+            if node_index >= len(splits) or not uniq:
                 # more nodes than temporal chunks: surplus nodes no-op
                 logger.info('Node %d has no temporal chunks '
                             '(%d chunk splits)', node_index,

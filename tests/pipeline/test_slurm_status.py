@@ -131,7 +131,11 @@ def test_kickoff_jobs_slurm_with_injected_sbatch(tmp_path):
     status = Status(str(run_dir))
     jobs = status.read()['forward-pass']
     assert sorted(jobs) == ['forward-pass_0', 'forward-pass_1']
-    assert all(j['job_status'] == 'submitted' for j in jobs.values())
+    # the fake sbatch runs synchronously, and each run_slurm polls the
+    # module before submitting (live-job resubmit guard) — so job 0
+    # may already show successful when job 1 is kicked off
+    assert all(j['job_status'] in ('submitted', 'successful')
+               for j in jobs.values())
     status.poll()
     assert status.module_successful('forward-pass')
 
@@ -173,3 +177,46 @@ def test_pipeline_cancel_marks_jobs(tmp_path):
     assert after['forward-pass']['fwd_0']['job_status'] == 'canceled'
     assert after['forward-pass']['fwd_1']['job_status'] == 'successful'
     assert after['data-collect']['col_0']['job_status'] == 'canceled'
+
+
+def test_live_job_not_resubmitted(tmp_path):
+    """A job still submitted/running (no completion evidence) must NOT
+    be resubmitted — a duplicate SLURM job would double-write the same
+    chunk outputs (round-5 review finding; reference refuses to
+    resubmit any non-failed submitted job, utilities/cli.py:229-233).
+    Once the sentinel shows a failure, resubmission proceeds."""
+    run_dir = str(tmp_path / 'run')
+    sbatch = _fake_sbatch(tmp_path, run_immediately=False, job_id=90)
+    BaseCLI.run_slurm('true', 'fp', 'j0', run_dir, sbatch=sbatch)
+    status = Status(run_dir)
+    assert status.job_status('fp', 'j0') == 'submitted'
+    script = os.path.join(run_dir, 'j0.sbatch')
+    mtime = os.path.getmtime(script)
+    exit_fp = status.read()['fp']['j0']['exit_file']
+
+    # no sentinel, no scheduler evidence -> still live -> refuse
+    rc = BaseCLI.run_slurm('true', 'fp', 'j0', run_dir, sbatch=sbatch)
+    assert rc == 0
+    assert os.path.getmtime(script) == mtime
+    assert not os.path.exists(exit_fp), (
+        'refused resubmit must not delete the live job sentinel path')
+    assert status.job_status('fp', 'j0') == 'submitted'
+
+    # the job dies: sentinel records a nonzero exit -> resubmit runs
+    with open(exit_fp, 'w') as f:
+        f.write('1')
+    rc = BaseCLI.run_slurm('true', 'fp', 'j0', run_dir, sbatch=sbatch)
+    assert rc == 0
+    assert Status(run_dir).job_status('fp', 'j0') == 'submitted'
+
+
+def test_walltime_string_config(tmp_path):
+    """A quoted JSON walltime ('4') must parse as hours, not string-
+    repeat into a absurd --time value (round-5 review finding)."""
+    run_dir = str(tmp_path / 'run')
+    sbatch = _fake_sbatch(tmp_path, run_immediately=False, job_id=91)
+    BaseCLI.run_slurm('true', 'fp', 'j0', run_dir, sbatch=sbatch,
+                      walltime='0.5')
+    with open(os.path.join(run_dir, 'j0.sbatch')) as f:
+        script = f.read()
+    assert '#SBATCH --time=30\n' in script

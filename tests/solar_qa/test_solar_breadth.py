@@ -208,3 +208,34 @@ def test_fps_grouping_tolerates_trailing_tags(tmp_path):
     assert len(fps) == 3
     assert [len(s) for s in fps] == [2, 3, 2]
     assert all(os.path.exists(f) for fs in fps for f in fs)
+
+
+def test_explicit_temporal_ids_still_split_across_nodes(tmp_path):
+    """An explicit temporal_ids list restricts the chunk universe but
+    must STILL split over max_nodes — otherwise every node processes
+    (and double-writes) every listed chunk (round-5 review finding).
+    Integer JSON-config ids normalize to the zero-padded string ids
+    encoded in chunk file names."""
+    for t_id in ('000000', '000001', '000002'):
+        _make_fake_cs_ratio_file(
+            str(tmp_path / f'sup3r_chunk_{t_id}_000000.h5'),
+            (5, 5, 24), start='2050-06-01')
+    nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
+                                (10, 10, 48 * 3))
+    pattern = str(tmp_path / 'sup3r_chunk_*.h5')
+    # integer ids (the natural JSON spelling) select chunks 0 and 2
+    written = []
+    for node in range(2):
+        written += Solar.run_temporal_chunks(
+            pattern, nsrdb_fp, tz=-6, temporal_ids=[0, 2],
+            max_nodes=2, node_index=node)
+    assert len(written) == 2
+    assert len(set(written)) == 2
+    assert not any('000001' in fp for fp in written)
+    # rerun skips existing outputs — no node double-writes
+    rerun = []
+    for node in range(2):
+        rerun += Solar.run_temporal_chunks(
+            pattern, nsrdb_fp, tz=-6, temporal_ids=[0, 2],
+            max_nodes=2, node_index=node)
+    assert rerun == []

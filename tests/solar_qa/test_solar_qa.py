@@ -255,18 +255,28 @@ def test_spectrum_range_relabeling():
     assert np.isfinite(s1).all() and (s1 >= 0).all()
     assert not np.allclose(s1, s0)
 
-    # radial wavenumber binning is unweighted: pure relabel
-    k0, w0 = wavenumber_spectrum(var)
-    k1, w1 = wavenumber_spectrum(var, x_range=[0.1, 2.0])
+    # radial binning (axis=None extension) is unweighted: pure relabel
+    k0, w0 = wavenumber_spectrum(var, axis=None)
+    k1, w1 = wavenumber_spectrum(var, x_range=[0.1, 2.0], axis=None)
     np.testing.assert_array_equal(w0, w1)
     assert k1[0] == pytest.approx(0.1) and k1[-1] == pytest.approx(2.0)
+
+    # the default (reference axis=0 zonal) k^2-weights on the physical
+    # axis before folding, so relabeling rescales amplitudes
+    kz0, wz0 = wavenumber_spectrum(var)
+    kz1, wz1 = wavenumber_spectrum(var, x_range=[0.1, 2.0])
+    assert len(kz1) == len(kz0)
+    assert kz1[0] == pytest.approx(0.1)
+    assert np.isfinite(wz1).all() and (wz1 >= 0).all()
+    assert not np.allclose(wz1, wz0)
 
     u = rng.random((8, 8, 4)).astype(np.float32)
     v = rng.random((8, 8, 4)).astype(np.float32)
     ft, st = tke_frequency_spectrum(u, v, f_range=[0.01, 0.5])
     assert ft[0] == pytest.approx(0.01)
     assert np.isfinite(st).all()
-    kt, wt = tke_wavenumber_spectrum(u, v, x_range=[0.1, 1.0])
+    kt, wt = tke_wavenumber_spectrum(u, v, x_range=[0.1, 1.0],
+                                     axis=None)
     assert kt[-1] == pytest.approx(1.0)
 
 
