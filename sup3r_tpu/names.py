@@ -202,6 +202,39 @@ def get_feature_basename(feature):
     return parse_feature(feature)[0]
 
 
+def uv_height_pairs(features):
+    """Resolve the u/v → windspeed/winddirection inversion pairs for a
+    list of output features.
+
+    Detection mirrors the reference writer's loose case-insensitive
+    match (reference: sup3r/writers/base.py:217-227,
+    ``re.match('u_(.*?)m', f.lower())`` + integer height rounding),
+    after which the canonical ``u_{h}m`` / ``v_{h}m`` names are looked
+    up exactly. Any u-like feature that does NOT resolve to a canonical
+    pair — decimal height, non-lowercase spelling, missing v partner —
+    raises ValueError, the same loud outcome as the reference's
+    ``features.index(...)`` calls, instead of silently leaving raw u/v
+    columns in the output.
+
+    Returns a list of ``(height, u_idx, v_idx)`` tuples.
+    """
+    feats = list(features)
+    pairs = []
+    for f in feats:
+        if not re.match('u_(.*?)m', str(f).lower()):
+            continue
+        height = parse_feature(f)[1]
+        u, v = f'u_{height}m', f'v_{height}m'
+        if height is None or u not in feats or v not in feats:
+            raise ValueError(
+                f'Feature "{f}" looks like a u-wind component but does '
+                f'not resolve to a canonical u_{{h}}m/v_{{h}}m pair in '
+                f'{feats} — cannot invert u/v to windspeed/winddirection'
+            )
+        pairs.append((height, feats.index(u), feats.index(v)))
+    return pairs
+
+
 def strip_obs_suffix(feature):
     """Base feature name of an ``*_obs`` observation feature — strips
     the SUFFIX only (``str.replace`` would also eat an interior

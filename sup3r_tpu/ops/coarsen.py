@@ -182,7 +182,10 @@ def smooth_data(low_res, training_features, smoothing_ignore,
     """
     if smoothing is None:
         return low_res
-    low_res = np.asarray(low_res)
+    # copy: np.asarray over a jax array yields a READ-ONLY view (the
+    # in-place writes below would raise) and over a numpy input it
+    # would silently mutate the caller's batch
+    low_res = np.array(low_res)
     feat_iter = [
         j for j, f in enumerate(training_features)
         if f not in smoothing_ignore

@@ -49,6 +49,43 @@ def _dim_numbers(n_spatial):
     return ('NDHWC', 'DHWIO', 'NDHWC')
 
 
+def _check_k3(kernel, n_spatial):
+    """Both custom backwards hard-code the k=3 transpose (dgrad pads
+    (2,2); edge taps kernel[0]/kernel[2]) — any other kernel size
+    would produce silently wrong gradients, so reject it at trace
+    time (shapes are static under jit)."""
+    taps = tuple(kernel.shape[:n_spatial])
+    if taps != (3,) * n_spatial:
+        raise ValueError(
+            f'reflect_conv custom-VJP ops require a k=3 kernel on '
+            f'every spatial dim; got spatial taps {taps} '
+            f'(kernel shape {kernel.shape})')
+
+
+def _fold_reflect_halos(gx, start_dim, n_spatial):
+    """Exact transpose of the 1-cell reflect pad applied by
+    ``_reflect_pad1(..., start_dim)``, one dim at a time: inner cell
+    ``i`` takes the padded gradient at ``i+1``; cells 1 and S-2 absorb
+    the reflected halo gradients. Halo slabs keep the other dims'
+    padding so corner contributions compose exactly like the nested
+    forward pads did. Shared by the plain and shard-aligned backward
+    passes — the pad-index arithmetic must never desynchronize."""
+    zero = jnp.asarray(0, gx.dtype)
+    for d in range(start_dim, 1 + n_spatial):
+        n = gx.shape[d]
+        center = jax.lax.slice_in_dim(gx, 1, n - 1, axis=d)
+        lo = jax.lax.slice_in_dim(gx, 0, 1, axis=d)
+        hi = jax.lax.slice_in_dim(gx, n - 1, n, axis=d)
+        m = center.shape[d]
+        pad_lo = [(0, 0, 0)] * gx.ndim
+        pad_lo[d] = (1, m - 2, 0)
+        pad_hi = [(0, 0, 0)] * gx.ndim
+        pad_hi[d] = (m - 2, 1, 0)
+        gx = (center + jax.lax.pad(lo, zero, pad_lo)
+              + jax.lax.pad(hi, zero, pad_hi))
+    return gx
+
+
 def _reflect_pad1(x, n_spatial, start_dim=1):
     """1-cell reflect pad of the spatial dims from ``start_dim`` on
     (same op sequence jnp.pad(mode='reflect') lowers to: slice +
@@ -67,6 +104,7 @@ def reflect_conv_ad(x, kernel, bias, n_spatial, alpha):
 
     ``alpha=None`` skips the activation. Forward numerics are identical
     to the unfused ``jnp.pad`` + ``conv_general_dilated`` sequence."""
+    _check_k3(kernel, n_spatial)
     xp = _reflect_pad1(x, n_spatial)
     y = jax.lax.conv_general_dilated(
         xp, kernel, (1,) * n_spatial, 'VALID',
@@ -87,6 +125,7 @@ def _sa_impl(x, kernel, bias, n_spatial, alpha):
     """Plain (autodiff-differentiable) shard-aligned forward; the
     numerics reference for the custom VJP below. Returns
     ``(out, pre_activation)``."""
+    _check_k3(kernel, n_spatial)
     xp = _pad_st(x, n_spatial)
     pads = [(1, 1)] + [(0, 0)] * (n_spatial - 1)
     y = jax.lax.conv_general_dilated(
@@ -198,19 +237,7 @@ def _sa_bwd(n_spatial, alpha, res, dy):
            + jax.lax.pad(g_bot, zero, pad_rm2))
 
     # fold the s2/t reflect halos back (exact transpose of _pad_st)
-    gx = gxp
-    for d in range(2, 1 + n_spatial):
-        n = gx.shape[d]
-        center = jax.lax.slice_in_dim(gx, 1, n - 1, axis=d)
-        lo = jax.lax.slice_in_dim(gx, 0, 1, axis=d)
-        hi = jax.lax.slice_in_dim(gx, n - 1, n, axis=d)
-        m = center.shape[d]
-        pad_lo = [(0, 0, 0)] * gx.ndim
-        pad_lo[d] = (1, m - 2, 0)
-        pad_hi = [(0, 0, 0)] * gx.ndim
-        pad_hi[d] = (m - 2, 1, 0)
-        gx = (center + jax.lax.pad(lo, zero, pad_lo)
-              + jax.lax.pad(hi, zero, pad_hi))
+    gx = _fold_reflect_halos(gxp, 2, n_spatial)
 
     # weight gradient: XLA's native wgrad for the main conv, plus the
     # two edge-tap contributions
@@ -244,6 +271,7 @@ reflect_conv_shard_aligned.defvjp(_sa_fwd, _sa_bwd)
 
 
 def _fwd(x, kernel, bias, n_spatial, alpha):
+    _check_k3(kernel, n_spatial)
     xp = _reflect_pad1(x, n_spatial)
     pre = jax.lax.conv_general_dilated(
         xp, kernel, (1,) * n_spatial, 'VALID',
@@ -271,25 +299,7 @@ def _bwd(n_spatial, alpha, res, dy):
     gxp = jax.lax.conv_general_dilated(
         dy, kf, (1,) * n_spatial, [(2, 2)] * n_spatial,
         dimension_numbers=dn)
-    # fold the halo one dim at a time — each step is the exact
-    # transpose of that dim's pad (inner cell i takes padded grad
-    # i+1; cells 1 and S-2 absorb the reflected halo grads). Halo
-    # slabs keep the other dims' padding so corner contributions
-    # compose exactly like the nested forward pads did.
-    gx = gxp
-    zero = jnp.asarray(0, gx.dtype)
-    for d in range(1, 1 + n_spatial):
-        n = gx.shape[d]
-        center = jax.lax.slice_in_dim(gx, 1, n - 1, axis=d)
-        lo = jax.lax.slice_in_dim(gx, 0, 1, axis=d)
-        hi = jax.lax.slice_in_dim(gx, n - 1, n, axis=d)
-        m = center.shape[d]
-        pad_lo = [(0, 0, 0)] * gx.ndim
-        pad_lo[d] = (1, m - 2, 0)
-        pad_hi = [(0, 0, 0)] * gx.ndim
-        pad_hi[d] = (m - 2, 1, 0)
-        gx = (center + jax.lax.pad(lo, zero, pad_lo)
-              + jax.lax.pad(hi, zero, pad_hi))
+    gx = _fold_reflect_halos(gxp, 1, n_spatial)
 
     # weight gradient: XLA's native wgrad on the padded input
     xp = _reflect_pad1(x, n_spatial)

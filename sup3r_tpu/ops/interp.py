@@ -34,6 +34,18 @@ def _interp1d_weights(src, dst, xp):
     return lo, hi, xp.asarray(alpha)
 
 
+def _lerp_axis(xp, arr, lo, hi, alpha, axis):
+    """Gather-and-lerp one axis onto (lo, hi, alpha) query weights —
+    the separable building block shared by st_interp (trilinear) and
+    bilinear_resize."""
+    a_lo = xp.take(arr, lo, axis=axis)
+    a_hi = xp.take(arr, hi, axis=axis)
+    shape = [1] * arr.ndim
+    shape[axis] = -1
+    w = xp.reshape(alpha, shape)
+    return a_lo * (1 - w) + a_hi * w
+
+
 def st_interp(low, s_enhance, t_enhance, t_centered=False):
     """Tri-linear spatiotemporal interpolation of a ``(s1, s2, t)`` field
     onto the enhanced grid, with cell-centered spatial registration and
@@ -58,17 +70,9 @@ def st_interp(low, s_enhance, t_enhance, t_centered=False):
         _axis_points(lr_t * t_enhance, offset=t_centered), xp)
 
     # interpolate one axis at a time (separable trilinear)
-    def lerp_axis(arr, lo, hi, alpha, axis):
-        a_lo = xp.take(arr, lo, axis=axis)
-        a_hi = xp.take(arr, hi, axis=axis)
-        shape = [1] * arr.ndim
-        shape[axis] = -1
-        w = xp.reshape(alpha, shape)
-        return a_lo * (1 - w) + a_hi * w
-
-    out = lerp_axis(low, y_lo, y_hi, y_a, 0)
-    out = lerp_axis(out, x_lo, x_hi, x_a, 1)
-    return lerp_axis(out, t_lo, t_hi, t_a, 2)
+    out = _lerp_axis(xp, low, y_lo, y_hi, y_a, 0)
+    out = _lerp_axis(xp, out, x_lo, x_hi, x_a, 1)
+    return _lerp_axis(xp, out, t_lo, t_hi, t_a, 2)
 
 
 def get_level_masks(lev_array, level):
@@ -171,13 +175,5 @@ def bilinear_resize(arr, out_s1, out_s2):
     x_lo, x_hi, x_a = _interp1d_weights(
         _axis_points(s2), _axis_points(out_s2), xp)
 
-    def lerp_axis(a, lo, hi, alpha, axis):
-        a_lo = xp.take(a, lo, axis=axis)
-        a_hi = xp.take(a, hi, axis=axis)
-        shape = [1] * a.ndim
-        shape[axis] = -1
-        w = xp.reshape(alpha, shape)
-        return a_lo * (1 - w) + a_hi * w
-
-    out = lerp_axis(arr, y_lo, y_hi, y_a, 0)
-    return lerp_axis(out, x_lo, x_hi, x_a, 1)
+    out = _lerp_axis(xp, arr, y_lo, y_hi, y_a, 0)
+    return _lerp_axis(xp, out, x_lo, x_hi, x_a, 1)

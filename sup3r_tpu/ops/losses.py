@@ -188,6 +188,15 @@ class LowResLoss:
         self._s = s_enhance
         self._t = t_enhance
         self._t_method = str(t_method).casefold()
+        # the reference (loss_metrics.py:633-640) matches t_method
+        # against exactly 'average'/'subsample' and SILENTLY applies no
+        # temporal coarsening otherwise — a config typo ('mean', 'avg')
+        # would train against a different loss surface with no signal.
+        # Validate up front instead.
+        if self._t > 1 and self._t_method not in ('average', 'subsample'):
+            raise ValueError(
+                f'LowResLoss t_method="{t_method}" is not a valid '
+                'option; must be "average" or "subsample"')
         self._pw = self.PW_LOSSES[tf_loss]
         self._ex = self.EX_LOSSES[ex_loss] if ex_loss else None
 
@@ -200,7 +209,13 @@ class LowResLoss:
                 x, (n, s1 // self._s, self._s, s2 // self._s, self._s,
                     *trail))
             x = jnp.sum(x, axis=(2, 4)) / self._s**2
-        if self._t > 1 and x.ndim == 5:
+        if self._t > 1:
+            if x.ndim != 5:
+                # the reference fails loudly here too (assert 5D in
+                # _t_coarsen_avg; 5-index slice in _t_coarsen_sample)
+                raise ValueError(
+                    'LowResLoss with t_enhance > 1 needs 5D '
+                    f'(n, s1, s2, t, f) tensors, got shape {x.shape}')
             if self._t_method == 'subsample':
                 x = x[:, :, :, ::self._t, :]
             else:

@@ -28,11 +28,11 @@ Parity notes:
 """
 
 import functools
-import re
 
 import jax
 import numpy as np
 
+from sup3r_tpu.names import uv_height_pairs
 from sup3r_tpu.ops.wind import _grid_angle, invert_uv_core
 from sup3r_tpu.utilities.utilities import (
     OUTPUT_ATTRS,
@@ -54,12 +54,7 @@ def pack_plan(features, invert_uv):
     names = list(feats)
     pairs = []
     if invert_uv:
-        matches = (re.match(r'u_(\d+)m$', f) for f in feats)
-        heights = [m.group(1) for m in matches
-                   if m and f'v_{m.group(1)}m' in feats]
-        for h in heights:
-            ui = feats.index(f'u_{h}m')
-            vi = feats.index(f'v_{h}m')
+        for h, ui, vi in uv_height_pairs(feats):
             pairs.append((ui, vi))
             names[ui] = f'windspeed_{h}m'
             names[vi] = f'winddirection_{h}m'

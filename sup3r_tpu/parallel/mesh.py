@@ -56,15 +56,21 @@ def shard_batch_spatial(mesh, *arrays, batch_axis='data',
 
     The batch dim must divide the data-axis size and the spatial dim
     the space-axis size — uneven splits would silently change shard
-    halo geometry. Multi-host meshes take process-LOCAL shards."""
+    halo geometry. Arrays of rank <= ``spatial_dim`` (e.g. per-sample
+    weight vectors) are sharded batch-only, matching the rank-aware
+    spec truncation below. Multi-host meshes take process-LOCAL
+    shards."""
     dp = mesh.shape[batch_axis]
     sp = mesh.shape[space_axis]
     for a in arrays:
-        if a.shape[0] % dp or a.shape[spatial_dim] % sp:
+        bad = a.shape[0] % dp or (
+            a.ndim > spatial_dim and a.shape[spatial_dim] % sp)
+        if bad:
             raise ValueError(
                 f'shard_batch_spatial: shape {a.shape} not divisible '
                 f'by the {dp}x{sp} mesh on dims (0, {spatial_dim})')
-    spec = [None] * max(a.ndim for a in arrays)
+    spec = [None] * max(spatial_dim + 1,
+                        max(a.ndim for a in arrays))
     spec[0] = batch_axis
     spec[spatial_dim] = space_axis
 

@@ -40,11 +40,14 @@ def _layer_shapes(layers, in_shape):
     for lyr in layers:
         try:
             shape = tuple(lyr.out_shape(shape))
-        except Exception:
+        except NotImplementedError:
             # fused layers don't do shape inference; a k3/s1 reflect
             # conv preserves spatial dims and we cannot see c_out
             # here, so reuse the current shape (channel counts in the
-            # flagship bodies are constant between fusable blocks)
+            # flagship bodies are constant between fusable blocks).
+            # Any OTHER exception is a genuine planner bug and must
+            # surface here, not as a device OOM after a 30-90 s
+            # remote compile with a ~32x-undersized estimate.
             shape = tuple(shape)
         shapes.append(shape)
     return shapes
@@ -75,10 +78,20 @@ def estimate_activation_bytes(model, lr_shape):
     gen = getattr(model, 'generator', None)
     if gen is None:  # physics/linear models: in + out only
         s = int(np.prod(lr_shape)) * 4
-        se = getattr(model, 's_enhance', 1) ** 2
-        te = getattr(model, 't_enhance', 1)
+        se = int(getattr(model, 's_enhance', 1) or 1) ** 2
+        te = int(getattr(model, 't_enhance', 1) or 1)
         return s * (1 + se * te)
-    shapes = _layer_shapes(gen.layers, (1, *lr_shape))
+    if getattr(model, 'is_4d', False) and len(lr_shape) == 4:
+        # spatial models fold time into the batch at dispatch
+        # (forward_pass._reshape_data_chunk): estimate one time slice
+        # through the layers and scale by the folded batch factor
+        t = int(lr_shape[2])
+        shapes = _layer_shapes(gen.layers,
+                               (1, lr_shape[0], lr_shape[1],
+                                lr_shape[3]))
+        shapes = [(s[0] * t, *s[1:]) for s in shapes]
+    else:
+        shapes = _layer_shapes(gen.layers, (1, *lr_shape))
     sizes = [int(np.prod(s)) * 4 for s in shapes]
     # peak = largest adjacent in+out pair (+50% fusion/temp headroom)
     peak_pair = max(a + b for a, b in zip(sizes[:-1], sizes[1:]))

@@ -7,7 +7,6 @@ Reference parity: sup3r/writers/base.py (pad_lat_lon :348, get_lat_lon
 
 import logging
 import os
-import re
 from warnings import warn
 
 import h5py
@@ -16,6 +15,7 @@ import pandas as pd
 from scipy.interpolate import griddata
 
 import sup3r_tpu
+from sup3r_tpu.names import uv_height_pairs
 from sup3r_tpu.ops import invert_uv
 from sup3r_tpu.utilities import (
     Timer,
@@ -192,14 +192,13 @@ class OutputHandler:
     @classmethod
     def get_renamed_features(cls, features):
         """u_Xm/v_Xm pairs become windspeed_Xm/winddirection_Xm in output
-        files (reference: writers/base.py:195)."""
-        heights = [re.match(r'u_(\d+)m$', f).group(1)
-                   for f in features if re.match(r'u_(\d+)m$', f)]
+        files (reference: writers/base.py:195). Raises ValueError for
+        u-like features with no canonical pair (same loud outcome as the
+        reference's ``features.index``)."""
         out = list(features)
-        for h in heights:
-            if f'v_{h}m' in features:
-                out[out.index(f'u_{h}m')] = f'windspeed_{h}m'
-                out[out.index(f'v_{h}m')] = f'winddirection_{h}m'
+        for h, ui, vi in uv_height_pairs(features):
+            out[ui] = f'windspeed_{h}m'
+            out[vi] = f'winddirection_{h}m'
         return out
 
     @classmethod
@@ -208,25 +207,22 @@ class OutputHandler:
         """In-place u/v -> ws/wd inversion for all height pairs.
 
         data: (s1, s2, t, f)."""
-        matches = (re.match(r'u_(\d+)m$', f) for f in features)
-        heights = [m.group(1) for m in matches
-                   if m and f'v_{m.group(1)}m' in features]
+        pairs = uv_height_pairs(features)
 
-        def one(h):
-            ui = features.index(f'u_{h}m')
-            vi = features.index(f'v_{h}m')
+        def one(pair):
+            _, ui, vi = pair
             ws, wd = invert_uv(data[..., ui], data[..., vi], lat_lon)
             data[..., ui] = ws
             data[..., vi] = wd
 
-        if max_workers == 1 or len(heights) <= 1:
-            for h in heights:
-                one(h)
+        if max_workers == 1 or len(pairs) <= 1:
+            for p in pairs:
+                one(p)
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=max_workers) as pool:
-                list(pool.map(one, heights))
+                list(pool.map(one, pairs))
         return cls.get_renamed_features(features)
 
     @classmethod

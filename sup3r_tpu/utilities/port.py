@@ -297,8 +297,11 @@ def load_reference_gan(model_dir, lr_shape=None, hr_shape=None):
         model._disc_opt_state = model._disc_tx.init(model.disc_params)
     means = saved.get('means')
     stdevs = saved.get('stdevs')
-    if means and stdevs:
-        model.set_norm_stats(means, stdevs)
+    # unconditional, like Sup3rGan.load (models/gan.py): set_norm_stats
+    # handles per-argument None itself. Gating on BOTH being truthy
+    # would silently discard a half-present stats dict and generate()
+    # would then run on un-normalized physical-unit input.
+    model.set_norm_stats(means, stdevs)
     logger.info('Imported reference model from %s (%d gen + %d disc '
                 'weight arrays)', model_dir, len(gen_w),
                 len(disc_w or []))

@@ -85,6 +85,28 @@ def test_jit_and_vmap():
     assert np.all(np.isfinite(np.asarray(g(x))))
 
 
+def test_non_k3_kernel_rejected():
+    """The custom backwards hard-code the k=3 transpose; any other
+    kernel size must raise at trace time, not produce silently wrong
+    gradients."""
+    from sup3r_tpu.ops.conv_ad import reflect_conv_shard_aligned
+
+    x = jnp.asarray(RNG.standard_normal((1, 8, 8, 2)), jnp.float32)
+    b = jnp.zeros(4, jnp.float32)
+    k5 = jnp.asarray(RNG.standard_normal((5, 5, 2, 4)), jnp.float32)
+    with pytest.raises(ValueError, match='k=3'):
+        reflect_conv_ad(x, k5, b, 2, 0.2)
+    with pytest.raises(ValueError, match='k=3'):
+        jax.grad(lambda x: jnp.sum(
+            reflect_conv_ad(x, k5, b, 2, 0.2)))(x)
+    with pytest.raises(ValueError, match='k=3'):
+        reflect_conv_shard_aligned(x, k5, b, 2, 0.2)
+    # mixed taps (3 on one dim only) are rejected too
+    k35 = jnp.asarray(RNG.standard_normal((3, 5, 2, 4)), jnp.float32)
+    with pytest.raises(ValueError, match='k=3'):
+        reflect_conv_ad(x, k35, b, 2, None)
+
+
 def test_train_step_uses_custom_vjp():
     """The fused train path produces the same losses/grads as the
     unfused network (Sup3rGan parity at the step level)."""

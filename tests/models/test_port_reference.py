@@ -173,6 +173,22 @@ def test_load_reference_gan_end_to_end(source_model, tmp_path):
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
 
 
+def test_partial_norm_stats_still_load(source_model, tmp_path):
+    """model_params.json with means populated but stdevs null must
+    still load the means (set_norm_stats handles per-argument None);
+    gating on both would silently generate on un-normalized input."""
+    d = _write_reference_dir(tmp_path, source_model)
+    fp = os.path.join(d, 'model_params.json')
+    with open(fp) as f:
+        params = json.load(f)
+    params['stdevs'] = None
+    with open(fp, 'w') as f:
+        json.dump(params, f)
+    model = load_reference_gan(d, lr_shape=(1, 8, 8, 2))
+    assert model._means == {k: 0.1 for k in FEATURES}
+    assert model._stdevs is None
+
+
 def test_shape_mismatch_raises(source_model, tmp_path):
     gen_w = _to_tf_weights(source_model.generator,
                            source_model.gen_params)

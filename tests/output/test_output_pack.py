@@ -68,6 +68,36 @@ def test_pack_plan_names_pairs_quant():
         pack_plan(['not_a_feature'], True)
 
 
+def test_pack_plan_unresolvable_uv_is_loud():
+    """u-like features that don't resolve to a canonical u_{h}m/v_{h}m
+    pair must raise, not silently write raw u/v columns — the same
+    loud outcome as the reference's features.index() calls
+    (reference writers/base.py:217-227)."""
+    # missing v partner
+    with pytest.raises(ValueError, match='pair'):
+        pack_plan(['u_100m', 'temperature_2m'], True)
+    # non-lowercase spelling
+    with pytest.raises(ValueError, match='pair'):
+        pack_plan(['U_100m', 'v_100m'], True)
+    # decimal hub height (reference: parse_feature height regex
+    # doesn't match, then index('u_Nonem') raises)
+    with pytest.raises(ValueError, match='pair'):
+        pack_plan(['u_2.5m', 'v_2.5m'], True)
+    # invert_uv=False never inspects pairs: raw writes stay permissive
+    names, pairs, _ = pack_plan(['u_100m', 'temperature_2m'], False)
+    assert pairs == () and names == ('u_100m', 'temperature_2m')
+
+
+def test_get_renamed_features_unresolvable_uv_is_loud():
+    from sup3r_tpu.postprocessing.writers import OutputHandler
+
+    assert OutputHandler.get_renamed_features(
+        ['u_10m', 'v_10m', 'topography']) == [
+        'windspeed_10m', 'winddirection_10m', 'topography']
+    with pytest.raises(ValueError, match='pair'):
+        OutputHandler.get_renamed_features(['u_10m'])
+
+
 def test_quantize_in_range_matches_numpy():
     import jax.numpy as jnp
 

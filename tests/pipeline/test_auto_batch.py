@@ -33,6 +33,37 @@ def test_estimates_scale_with_chunk():
     assert small > 1024 ** 2  # at least the params + activations
 
 
+def test_spatial_model_5d_chunk_folds_time_into_batch():
+    """Strategy planning always hands the padded (s1, s2, t, f) chunk
+    shape to the estimator; a 4D spatial model folds time into the
+    batch at dispatch (forward_pass._reshape_data_chunk), so the
+    estimate must scale with t instead of silently reusing the input
+    shape for every layer (which hid the 2->64 channel growth and
+    undersized per-chunk bytes ~32x)."""
+    model = Sup3rGan(get_config('spatial/gen_2x_2f'),
+                     get_config('spatial/disc_test'))
+    model.init_weights((1, 12, 12, 2), (1, 24, 24, 2))
+    one = estimate_activation_bytes(model, (24, 24, 1, 2))
+    many = estimate_activation_bytes(model, (24, 24, 16, 2))
+    # activations scale 16x with t; params/overhead are constant
+    assert many > 4 * one
+    # and the per-slice estimate sees the channel growth: well above
+    # the raw in+out footprint of a 2-feature slice
+    assert one > 3 * (24 * 24 * 2 * 4 * (1 + 4))
+
+
+def test_shape_inference_failure_is_loud():
+    """A genuine shape-inference bug must surface at planning time,
+    not degrade into a ~32x-undersized estimate and a device OOM
+    after a 30-90 s remote compile (only NotImplementedError — the
+    documented fused-layer case — falls back)."""
+    model = _flagship()
+    with pytest.raises(Exception) as err:
+        # rank-2 lr shape: every conv's out_shape fails
+        estimate_activation_bytes(model, (12, 2))
+    assert not isinstance(err.value, NotImplementedError)
+
+
 def test_resolution_default_hbm():
     """A (24, 24, 28) padded chunk fits many times into 16 GB."""
     model = _flagship()

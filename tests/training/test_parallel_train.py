@@ -241,6 +241,12 @@ def test_mesh_2d_sharding_layout():
         shard_batch_spatial(mesh, np.zeros((3, 8, 6, 2), np.float32))
     with _pytest.raises(ValueError, match='not divisible'):
         shard_batch_spatial(mesh, np.zeros((4, 6, 6, 2), np.float32))
+    # rank <= spatial_dim arrays (per-sample weights) shard batch-only
+    full, wts = shard_batch_spatial(
+        mesh, arr, np.zeros((4,), np.float32))
+    assert {s.data.shape for s in wts.addressable_shards} == {(2,)}
+    assert {s.data.shape
+            for s in full.addressable_shards} == {(2, 2, 6, 2)}
 
 
 def _fusable_gen_s(n_feats=2, mult=2):

@@ -80,6 +80,29 @@ def test_low_res_loss():
     assert float(loss4(y1, y2)) > 0
 
 
+def test_low_res_loss_t_method_validated():
+    """The reference (loss_metrics.py:633-640) silently applies NO
+    temporal coarsening for a typo'd t_method — we refuse up front
+    instead of training against a different loss surface."""
+    import pytest
+
+    with pytest.raises(ValueError, match='t_method'):
+        LowResLoss(t_enhance=2, t_method='mean')
+    # inert with t_enhance=1 (never consulted), like the reference
+    LowResLoss(t_enhance=1, t_method='mean')
+
+
+def test_low_res_loss_4d_with_t_enhance_raises():
+    """Temporal coarsening needs 5D tensors; the reference fails
+    loudly here too (assert in _t_coarsen_avg)."""
+    import pytest
+
+    y1, y2 = _pair((2, 8, 8, 2))
+    loss = LowResLoss(t_enhance=2, t_method='average')
+    with pytest.raises(ValueError, match='5D'):
+        loss(y1, y2)
+
+
 def test_sliced_wasserstein():
     x1, x2 = _pair((2, 4, 4, 4, 2))
     loss = SlicedWassersteinLoss(n_projections=64)

@@ -199,6 +199,22 @@ def test_smooth_data_ignores_features():
     np.testing.assert_allclose(out[..., 1], data[..., 1])
 
 
+def test_smooth_data_no_mutation_and_jax_input():
+    """smooth_data must copy: a numpy caller's batch must not be
+    mutated in place, and a jax input (np.asarray gives a READ-ONLY
+    view) must not crash the in-place filter writes."""
+    import jax.numpy as jnp
+
+    data = RNG.random((2, 8, 8, 2)).astype(np.float32)
+    orig = data.copy()
+    out = smooth_data(data, ['u_10m', 'v_10m'], [], smoothing=1.0)
+    np.testing.assert_array_equal(data, orig)
+    assert not np.allclose(out, orig)
+    out_j = smooth_data(jnp.asarray(data), ['u_10m', 'v_10m'], [],
+                        smoothing=1.0)
+    np.testing.assert_allclose(out_j, out, rtol=1e-6)
+
+
 def test_bilinear_resize_shape():
     arr = RNG.random((4, 4, 3))
     out = bilinear_resize(arr, 8, 8)
