@@ -80,11 +80,21 @@ class BaseBatchHandler:
             sample_shape=sample_shape, batch_size=batch_size,
             feature_sets=feature_sets, **sampler_kwargs)
         samplers = [self._make_sampler(c) for c in train_containers]
+        reserved = {'batch_size', 'n_batches', 's_enhance', 't_enhance',
+                    'queue_cap', 'max_workers', 'transform_kwargs'}
+        clash = reserved & set(queue_kwargs)
+        if clash:
+            # these have dedicated handler arguments; letting them
+            # through dies as an opaque 'multiple values for keyword'
+            raise ValueError(
+                f'queue_kwargs {sorted(clash)} collide with dedicated '
+                f'{type(self).__name__} arguments — pass them '
+                'directly (e.g. batch_size=...) instead')
         queue_kwargs = dict(
             batch_size=batch_size, n_batches=n_batches,
             s_enhance=s_enhance, t_enhance=t_enhance,
             queue_cap=queue_cap, max_workers=max_workers,
-            transform_kwargs=transform_kwargs, **(queue_kwargs or {}))
+            transform_kwargs=transform_kwargs, **queue_kwargs)
         self._queue = self.MAIN_QUEUE(samplers, **queue_kwargs)
 
         if val_containers:

@@ -195,7 +195,26 @@ class AbstractBatchQueue:
 
     def __next__(self):
         self.start()
-        return self.queue.get(timeout=60)
+        starved = False
+        while True:
+            try:
+                batch = self.queue.get(timeout=1.0)
+                self._gets += 1
+                self._starved_waits += int(starved)
+                return batch
+            except Empty:
+                # same diagnostics as __iter__: a dead producer must
+                # point at its traceback, not hang then raise a bare
+                # queue.Empty; starvation accounting stays correct for
+                # next()-style consumers
+                starved = True
+                if not self._training_flag.is_set():
+                    raise StopIteration
+                if (self._thread is None
+                        or not self._thread.is_alive()):
+                    raise RuntimeError(
+                        'Batch producer thread died (see "Batch '
+                        'producer error" traceback in the log)')
 
 
 class SingleBatchQueue(AbstractBatchQueue):
@@ -370,6 +389,14 @@ class ConditionalBatchQueue(SingleBatchQueue):
     def __init__(self, samplers, time_enhance_mode='constant',
                  lower_models=None, s_padding=0, t_padding=0,
                  end_t_padding=False, **kwargs):
+        if kwargs.get('device_transform'):
+            # post_proc below always emits host-built ConditionalBatch
+            # (mask + moment target); accepting the flag would make it
+            # a silent no-op with a stale model transform config
+            raise NotImplementedError(
+                'Conditional-moment queues build the mask/output '
+                'target on the host; device_transform=True is not '
+                'supported here')
         self.time_enhance_mode = time_enhance_mode
         self.lower_models = lower_models or {}
         self.s_padding = s_padding
@@ -507,6 +534,11 @@ class ValBatchQueueDC(BatchQueueDC):
 
     def __init__(self, samplers, n_space_bins=1, n_time_bins=1, **kwargs):
         kwargs['n_batches'] = n_space_bins * n_time_bins
+        # each sample_batch call mutates EVERY sampler's bin weights
+        # (focus-one-bin), so two in-flight productions would both
+        # draw from the later call's bin — per-bin validation losses
+        # require serial production
+        kwargs['max_workers'] = 1
         super().__init__(samplers, n_space_bins=n_space_bins,
                          n_time_bins=n_time_bins, **kwargs)
 

@@ -61,12 +61,15 @@ class DataHandler:
                     f'{type(self).__name__} reshapes the full domain '
                     '(daily coarsening / clearsky injection) and does '
                     "not support mode='lazy'")
+            # identity values only: time_roll=0 and
+            # hr_spatial_coarsen=1 are no-ops; time_roll=1 is a REAL
+            # one-step roll and must be rejected like any other
             unsupported = {
                 k: v for k, v in (('time_roll', time_roll or 0),
                                   ('hr_spatial_coarsen',
                                    hr_spatial_coarsen or 1),
                                   ('cache_kwargs', cache_kwargs))
-                if v and v not in (0, 1)}
+                if v and not (k == 'hr_spatial_coarsen' and v == 1)}
             if unsupported:
                 raise NotImplementedError(
                     f"mode='lazy' does not support "
@@ -164,8 +167,6 @@ class DataHandler:
     # container API used by samplers / stats
     @property
     def features(self):
-        if hasattr(self.data, 'members'):
-            return self.data.features
         return self.data.features
 
     @property
@@ -256,15 +257,17 @@ class DailyDataHandler(DataHandler):
         # 24 trimmed EVERY day of sub-hourly data (e.g. 30-min NSRDB
         # = 48 steps/day; reference: data_handlers/base.py:333
         # day_steps = int(24*3600 / time_step))
-        time_step = ((ti[1] - ti[0]).total_seconds()
-                     if len(ti) > 1 else 3600.0)
-        day_steps = max(int(round(24 * 3600 / time_step)), 1)
+        day_steps = self._day_steps(ti)
         msg = (f'DailyDataHandler needs at least one full day '
                f'({day_steps} steps), got {len(ti)}')
         assert len(ti) >= day_steps, msg
         # trim partial days
         keep = np.isin(day_ids, [
             d for d in days if (day_ids == d).sum() == day_steps])
+        # day_steps rows can still hold zero COMPLETE calendar days
+        # (e.g. 24 hourly steps from 12:00 to 11:00) — fail with the
+        # prepared message, not an opaque np.stack([]) error
+        assert keep.any(), msg
         hourly = GridDataset(
             hourly.data[:, :, keep], hourly.features,
             lat_lon=hourly.lat_lon, time_index=ti[keep])

@@ -258,10 +258,14 @@ class PairedDataset:
         return out
 
     def mean(self):
-        return list(self._members.values())[0].mean()
+        """Mean of the last (high-res/hourly) member — the reference
+        computes paired stats from member index 1 (base.py:288-298),
+        and normalization stats must come from the hourly data."""
+        return list(self._members.values())[-1].mean()
 
     def std(self):
-        return list(self._members.values())[0].std()
+        """Std of the last (high-res/hourly) member (see mean)."""
+        return list(self._members.values())[-1].std()
 
     def __repr__(self):
         inner = ', '.join(f'{k}={v!r}' for k, v in self._members.items())

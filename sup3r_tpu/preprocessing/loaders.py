@@ -970,8 +970,29 @@ class LoaderH5:
                     [t.decode()[:19] if isinstance(t, bytes) else str(t)
                      for t in ti])
                 tis.append(ti)
+        if tis and len(tis) != len(self._handles):
+            raise ValueError(
+                'Some H5 member files lack a time_index — cannot '
+                'concatenate a mixed time-varying/time-independent '
+                'file set along time')
+        if len(tis) > 1:
+            # member files arrive in FILENAME order (expand_paths
+            # sorts lexically; 'wtk_10.h5' sorts before 'wtk_2.h5') —
+            # reorder files to CHRONOLOGICAL order, same contract as
+            # LoaderNCFlat._init_members
+            order = sorted(range(len(tis)), key=lambda i: tis[i][0])
+            tis = [tis[i] for i in order]
+            self._handles = [self._handles[i] for i in order]
+            self.file_paths = [self.file_paths[i] for i in order]
+            h0 = self._handles[0]
         self.time_index = (pd.DatetimeIndex(
             np.concatenate([t.values for t in tis])) if tis else None)
+        if self.time_index is not None and len(self.time_index) > 1:
+            if (np.diff(self.time_index.values)
+                    <= np.timedelta64(0)).any():
+                raise ValueError(
+                    'H5 member files have overlapping or '
+                    'non-monotonic time ranges')
 
         self._vars = {}
         skip = {'meta', 'time_index', 'coordinates'}
@@ -979,6 +1000,15 @@ class LoaderH5:
             if name in skip or isinstance(h0[name], h5py.Group):
                 continue
             dsets = [h[name] for h in self._handles if name in h]
+            if h0[name].ndim >= 2 and len(dsets) != len(self._handles):
+                # a time-varying dataset missing from some members
+                # would be silently short along the concatenated time
+                # axis (temporal misalignment); site-static 1D
+                # datasets legitimately use a single copy
+                raise ValueError(
+                    f'Time-varying dataset "{name}" is missing in '
+                    'some H5 member files — every member must carry '
+                    'it for a time concatenation')
             scale = float(h0[name].attrs.get('scale_factor', 1.0))
             self._vars[standardize_var_name(name)] = _H5Var(
                 dsets, scale,

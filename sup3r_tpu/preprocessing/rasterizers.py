@@ -219,6 +219,19 @@ class Rasterizer:
         lat_slice = slice(max(row - self._grid_shape[0] + 1, 0), row + 1)
         lon_slice = slice(col, min(col + self._grid_shape[1],
                                    full.shape[1]))
+        got = (lat_slice.stop - lat_slice.start,
+               lon_slice.stop - lon_slice.start)
+        if got != tuple(self._grid_shape):
+            # the reference warns and proceeds with the clipped extent
+            # (rasterizers/base.py:166-191 _check_raster_index) —
+            # silent clipping would surface far away as a sampler /
+            # forward-pass shape mismatch
+            msg = (f'Requested raster shape {tuple(self._grid_shape)} '
+                   f'at target {tuple(np.asarray(self._target))} '
+                   f'exceeds the available domain {full.shape[:2]}; '
+                   f'clipping to {got}')
+            logger.warning(msg)
+            warn(msg)
         if self._is_flat:
             idx = self._full_grid[lat_slice, lon_slice]
             if self.raster_file is not None:

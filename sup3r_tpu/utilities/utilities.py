@@ -19,9 +19,41 @@ from scipy import ndimage
 
 logger = logging.getLogger(__name__)
 
+class _LockedGenerator:
+    """Thread-safe facade over one seeded ``np.random.Generator``.
+
+    numpy Generators are NOT thread-safe, and batch-queue producer
+    pools (``max_workers > 1``) draw sample indices concurrently —
+    unserialized draws race on the bit-generator state (duplicated /
+    biased indices, lost reproducibility). Draw methods are serialized
+    with a lock; draws are microseconds, so the heavy work (window
+    reads, coarsening) stays parallel. Single-threaded draw order is
+    exactly the bare Generator's (same underlying bit_generator), so
+    tests keep reseeding via ``.bit_generator.state``."""
+
+    def __init__(self, seed):
+        self._rng = np.random.default_rng(seed=seed)
+        self._lock = threading.Lock()
+
+    @property
+    def bit_generator(self):
+        return self._rng.bit_generator
+
+    def __getattr__(self, name):
+        attr = getattr(self._rng, name)
+        if not callable(attr):
+            return attr
+
+        def locked(*args, **kwargs):
+            with self._lock:
+                return attr(*args, **kwargs)
+
+        return locked
+
+
 #: Single, seeded generator used for all host-side sampling so runs are
 #: reproducible; tests re-seed it per test.
-RANDOM_GENERATOR = np.random.default_rng(seed=42)
+RANDOM_GENERATOR = _LockedGenerator(seed=42)
 
 #: Physical attributes (storage scale/dtype/limits) for output features.
 #: Values match the reference's output_attrs.json so written H5 files are

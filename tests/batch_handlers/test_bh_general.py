@@ -208,3 +208,88 @@ def test_batch_sampling_workers_epoch():
     # second epoch works too (producer restartable)
     assert sum(1 for _ in bh) == 6
     bh.stop()
+
+
+def test_queue_kwargs_collision_is_loud():
+    """queue_kwargs entries shadowing dedicated handler arguments must
+    raise a descriptive error, not an opaque 'multiple values for
+    keyword argument' TypeError (round-5 review)."""
+    data = make_fake_dset((10, 10, 20), FEATURES)
+    with pytest.raises(ValueError, match='collide'):
+        BatchHandler([data], batch_size=2, n_batches=1, s_enhance=1,
+                     t_enhance=1, sample_shape=(4, 4, 5),
+                     queue_kwargs={'batch_size': 8})
+
+
+def test_conditional_queue_rejects_device_transform():
+    """Conditional-moment queues build mask/output targets on the
+    host; device_transform=True must raise, not become a silent no-op
+    with a stale model transform config (round-5 review)."""
+    from sup3r_tpu.preprocessing.batch_handlers import BatchHandlerMom1
+
+    data = make_fake_dset((10, 10, 20), FEATURES)
+    with pytest.raises(NotImplementedError, match='device_transform'):
+        BatchHandlerMom1([data], batch_size=2, n_batches=1,
+                         s_enhance=2, t_enhance=1,
+                         sample_shape=(4, 4, 1),
+                         device_transform=True)
+
+
+def test_next_detects_dead_producer():
+    """next(queue) must surface a dead producer as the diagnostic
+    RuntimeError (like iteration does), not hang then raise a bare
+    queue.Empty; starvation accounting must tick for next()-style
+    consumers too (round-5 review)."""
+    from sup3r_tpu.preprocessing.batch_queues import SingleBatchQueue
+    from sup3r_tpu.preprocessing.samplers import Sampler
+
+    s = Sampler(make_fake_dset((10, 10, 20), FEATURES),
+                sample_shape=(4, 4, 5))
+    q = SingleBatchQueue([s], s_enhance=1, t_enhance=1, batch_size=2,
+                         n_batches=2)
+    # healthy path: next() yields and counts the get
+    batch = next(q)
+    assert batch.high_res.shape[0] == 2
+    assert q._gets == 1
+    q.stop()
+    # dead-producer path: break the sampler, restart, expect the
+    # diagnostic error (the producer thread dies on first produce)
+    q.samplers[0].sample_shape = None
+    with pytest.raises((RuntimeError, StopIteration)):
+        next(q)
+    q.stop()
+
+
+def test_random_generator_thread_safety():
+    """The shared RANDOM_GENERATOR serializes draws: hammering it from
+    many threads stays in-range and error-free (numpy Generators are
+    not thread-safe bare; round-5 review), and tests can still reseed
+    via bit_generator.state."""
+    import threading
+
+    from sup3r_tpu.utilities import RANDOM_GENERATOR
+
+    errs = []
+
+    def hammer():
+        try:
+            for _ in range(200):
+                v = RANDOM_GENERATOR.integers(0, 10)
+                assert 0 <= v < 10
+                RANDOM_GENERATOR.choice(5, p=[0.2] * 5)
+        except Exception as e:  # pragma: no cover - failure capture
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # reseed contract: same state -> same draw
+    state = np.random.default_rng(7).bit_generator.state
+    RANDOM_GENERATOR.bit_generator.state = state
+    a = RANDOM_GENERATOR.random(3)
+    RANDOM_GENERATOR.bit_generator.state = state
+    b = RANDOM_GENERATOR.random(3)
+    np.testing.assert_array_equal(a, b)

@@ -122,10 +122,12 @@ def test_run_temporal_chunks_multi_node(tmp_path):
         _make_fake_nsrdb,
     )
 
-    for t_id in ('000000', '000001', '000002'):
+    # sequential day-long chunks (reference fake chunk files carry
+    # distinct consecutive times, helpers.py make_fake_cs_ratio_files)
+    for t, t_id in enumerate(('000000', '000001', '000002')):
         _make_fake_cs_ratio_file(
             str(tmp_path / f'sup3r_chunk_{t_id}_000000.h5'),
-            (5, 5, 24), start='2050-06-01')
+            (5, 5, 24), start=f'2050-06-0{1 + t}')
     nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
                                 (10, 10, 48 * 3))
     pattern = str(tmp_path / 'sup3r_chunk_*.h5')
@@ -216,10 +218,10 @@ def test_explicit_temporal_ids_still_split_across_nodes(tmp_path):
     (and double-writes) every listed chunk (round-5 review finding).
     Integer JSON-config ids normalize to the zero-padded string ids
     encoded in chunk file names."""
-    for t_id in ('000000', '000001', '000002'):
+    for t, t_id in enumerate(('000000', '000001', '000002')):
         _make_fake_cs_ratio_file(
             str(tmp_path / f'sup3r_chunk_{t_id}_000000.h5'),
-            (5, 5, 24), start='2050-06-01')
+            (5, 5, 24), start=f'2050-06-0{1 + t}')
     nsrdb_fp = _make_fake_nsrdb(str(tmp_path / 'nsrdb.h5'),
                                 (10, 10, 48 * 3))
     pattern = str(tmp_path / 'sup3r_chunk_*.h5')
