@@ -227,3 +227,26 @@ def test_chunked_io_fwp_flat_nc(tmp_path):
     out_l = ForwardPass.run(lazy, 0)
     for a, b in zip(out_e, out_l):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_io_fwp_multifile_reordered_h5(tmp_path):
+    """chunked_io with MULTI-FILE H5 input given out of chronological
+    order: the loader reorders members (round-5 review) and per-chunk
+    gid-window reads that cross the member boundary must equal the
+    eager full-domain path."""
+    feb = make_fake_h5_file(str(tmp_path / 'a_feb.h5'), (10, 10, 4),
+                            ['u_100m', 'v_100m'], start='2023-02-01')
+    jan = make_fake_h5_file(str(tmp_path / 'b_jan.h5'), (10, 10, 4),
+                            ['u_100m', 'v_100m'], start='2023-01-01')
+    model_dir = _small_gan(tmp_path)
+    kwargs = dict(file_paths=[feb, jan],
+                  model_kwargs={'model_dir': model_dir},
+                  fwp_chunk_shape=(5, 5, 6), spatial_pad=1,
+                  temporal_pad=1, out_pattern=None)
+    eager = ForwardPassStrategy(**kwargs)
+    lazy = ForwardPassStrategy(chunked_io=True, **kwargs)
+    assert eager.input_handler.time_index[0].month == 1
+    for idx in range(eager.fwp_slicer.n_chunks):
+        a, _ = eager.prep_chunk_data(idx)
+        b, _ = lazy.prep_chunk_data(idx)
+        np.testing.assert_allclose(a, b, rtol=1e-6)

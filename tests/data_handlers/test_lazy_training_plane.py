@@ -353,3 +353,29 @@ def test_lazy_accepts_falsy_unsupported_kwargs(tmp_path):
     with pytest.raises(NotImplementedError, match='cache_kwargs'):
         DataHandler(nc, features=['u_100m'], mode='lazy',
                     cache_kwargs={'cache_pattern': 'x_{feature}.h5'})
+
+
+def test_lazy_multifile_reorder_sample_parity(tmp_path):
+    """Multi-file H5 members given OUT of chronological order: the
+    loader reorders them (round-5 data-plane review), and lazy
+    gid-window reads that CROSS the member-file boundary must match
+    eager bit-exactly (the window time routing runs over the
+    reordered handle list)."""
+    feb = make_fake_h5_file(
+        str(tmp_path / 'a_feb.h5'), (10, 9, 12),
+        ['windspeed_100m', 'winddirection_100m'],
+        start='2023-02-01', value_range=(0, 300))
+    jan = make_fake_h5_file(
+        str(tmp_path / 'b_jan.h5'), (10, 9, 12),
+        ['windspeed_100m', 'winddirection_100m'],
+        start='2023-01-01', value_range=(0, 300))
+    feats = ['u_100m', 'v_100m']
+    eager = DataHandler([feb, jan], features=feats)
+    lazy = DataHandler([feb, jan], features=feats, mode='lazy')
+    assert lazy.data.shape == eager.data.shape
+    assert eager.time_index[0].month == 1
+    # windows inside each member AND straddling the file boundary
+    for t in (slice(0, 6), slice(9, 15), slice(18, 24)):
+        idx = (slice(2, 8), slice(1, 7), t, feats)
+        np.testing.assert_array_equal(
+            lazy.data.sample(idx), eager.data.sample(idx))
