@@ -301,3 +301,41 @@ def test_pack_gate_force_unsupported_raises(tmp_path):
         pack_output_on_device=True)
     with pytest.raises(RuntimeError, match='cannot pack'):
         ForwardPass.run(strat, 0)
+
+
+def test_packed_drain_fast_mode_matches_host_files(tmp_path):
+    """inference_mode='fast' through the packed drain: the pack
+    consumes whatever float32 block generate hands back, so fast-mode
+    packed files must match fast-mode host-transform files at the
+    storage quantum (the fast-vs-exact ACCURACY budget is a separate
+    test, tests/forward_pass/test_fast_mode.py)."""
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (12, 12, 8), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+
+    def run(sub, pack):
+        out_dir = tmp_path / sub
+        strat = ForwardPassStrategy(
+            file_paths=input_file,
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(6, 6, 4), spatial_pad=1, temporal_pad=1,
+            out_pattern=str(out_dir / 'chunk_{file_id}.h5'),
+            device_batch_size=4, pack_output_on_device=pack,
+            inference_mode='fast')
+        ForwardPass.run(strat, 0)
+        return sorted(glob.glob(str(out_dir / 'chunk_*.h5')))
+
+    host_files = run('host_fast', False)
+    dev_files = run('dev_fast', True)
+    assert len(host_files) == len(dev_files) > 0
+    for hf, df in zip(host_files, dev_files):
+        with h5py.File(hf) as fh, h5py.File(df) as fd:
+            assert set(fh) == set(fd)
+            for k in fh:
+                if k in ('meta', 'time_index'):
+                    continue
+                a = fh[k][:].astype(np.int64)
+                b = fd[k][:].astype(np.int64)
+                diff = np.abs(a - b)
+                assert diff.max() <= 1, (k, diff.max())
+                assert (diff != 0).mean() < 0.02, k
