@@ -166,3 +166,30 @@ def test_fwp_presrat_no_zero_rate(tmp_path):
     np.testing.assert_allclose(
         chunk_bc[..., 0], (chunk_raw[..., 0] - 2) * k,
         rtol=1e-3, atol=5e-2)
+
+
+def test_fwp_qdm_chunked_io_matches_eager(tmp_path):
+    """Bias correction composes with chunked_io=True: per-chunk
+    windowed reads + windowed factor rasters produce the same
+    corrected chunk data as the eager full-domain strategy — on a
+    MULTI-chunk layout so lr_padded_slice windowing is exercised off
+    the origin."""
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (S, S, 4), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _s_gen_config(), 2, 1,
+                               is_5d=False)
+    fp_bc = _qdm_file(str(tmp_path / 'qdm.h5'))
+    bc_kwargs = {'u_100m': {'bias_fp': fp_bc, 'base_dset': 'ws',
+                            'relative': False}}
+    common = dict(
+        file_paths=input_file, model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(5, 5, 4), spatial_pad=0, temporal_pad=0,
+        out_pattern=None, bias_correct_method='local_qdm_bc',
+        bias_correct_kwargs=bc_kwargs)
+    eager = ForwardPassStrategy(**common)
+    chunked = ForwardPassStrategy(chunked_io=True, **common)
+    assert eager.fwp_slicer.n_chunks == chunked.fwp_slicer.n_chunks > 1
+    for idx in range(eager.fwp_slicer.n_chunks):
+        a, _ = eager.prep_chunk_data(idx)
+        b, _ = chunked.prep_chunk_data(idx)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
