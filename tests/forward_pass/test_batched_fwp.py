@@ -114,3 +114,46 @@ def test_exo_chunks_are_batched(tmp_path):
         _, single = fp1.run_chunk(fp1.get_input_chunk(idx))
         np.testing.assert_allclose(out_batched[idx], single,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_packed_drain_files(tmp_path):
+    """use_mesh (chunk fan-out over 8 virtual devices) composes with
+    the device-packed H5 drain: the packed files match the unsharded
+    host-transform files at the storage quantum."""
+    import glob
+    import os
+
+    import h5py
+    import jax
+
+    assert jax.device_count() >= 8
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (12, 12, 12), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+
+    def run(sub, **extra):
+        out_dir = tmp_path / sub
+        strat = ForwardPassStrategy(
+            file_paths=input_file,
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(6, 6, 4), spatial_pad=1, temporal_pad=1,
+            out_pattern=str(out_dir / 'chunk_{file_id}.h5'), **extra)
+        ForwardPass.run(strat, 0)
+        return sorted(glob.glob(str(out_dir / 'chunk_*.h5')))
+
+    host_files = run('host', device_batch_size=4,
+                     pack_output_on_device=False)
+    mesh_files = run('mesh', device_batch_size=16, use_mesh=True,
+                     pack_output_on_device=True)
+    assert len(host_files) == len(mesh_files) > 0
+    for hf, mf in zip(host_files, mesh_files):
+        assert os.path.basename(hf) == os.path.basename(mf)
+        with h5py.File(hf) as fh, h5py.File(mf) as fm:
+            assert set(fh) == set(fm)
+            for k in fh:
+                if k in ('meta', 'time_index'):
+                    continue
+                a = fh[k][:].astype(np.int64)
+                b = fm[k][:].astype(np.int64)
+                diff = np.abs(a - b)
+                assert diff.max() <= 1, (k, diff.max())
