@@ -179,3 +179,53 @@ def test_collective_bytes_async_pairs_counted_once():
     # whole gradient pytree into one all-reduce)
     ar, n_ar = _collective_bytes(Fake(), ('all-reduce',))
     assert (ar, n_ar) == ((4 + 6) * 4, 1)
+
+
+def test_fwp_use_mesh_spatial_packed_drain_files(tmp_path):
+    """use_mesh='spatial' (s1 split over the mesh) composes with the
+    device-packed H5 drain: packed files match the serial host-path
+    files at the storage quantum."""
+    import glob
+    import os
+
+    import h5py
+
+    from sup3r_tpu.pipeline import ForwardPass, ForwardPassStrategy
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+    from tests.forward_pass.test_batched_fwp import (
+        _save_model,
+        _st_gen_config,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (16, 16, 8), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+
+    def run(sub, **extra):
+        out_dir = tmp_path / sub
+        strat = ForwardPassStrategy(
+            file_paths=input_file,
+            model_kwargs={'model_dir': model_dir},
+            fwp_chunk_shape=(16, 16, 4), spatial_pad=0,
+            temporal_pad=0,
+            out_pattern=str(out_dir / 'chunk_{file_id}.h5'), **extra)
+        ForwardPass.run(strat, 0)
+        return sorted(glob.glob(str(out_dir / 'chunk_*.h5')))
+
+    host_files = run('host', pack_output_on_device=False)
+    sp_files = run('sp', device_batch_size=2, use_mesh='spatial',
+                   pack_output_on_device=True)
+    assert len(host_files) == len(sp_files) > 0
+    for hf, sf in zip(host_files, sp_files):
+        assert os.path.basename(hf) == os.path.basename(sf)
+        with h5py.File(hf) as fh, h5py.File(sf) as fs:
+            assert set(fh) == set(fs)
+            for k in fh:
+                if k in ('meta', 'time_index'):
+                    continue
+                a = fh[k][:].astype(np.int64)
+                b = fs[k][:].astype(np.int64)
+                diff = np.abs(a - b)
+                # sp sharding reassociates conv fp32 sums (~1e-6 rel);
+                # storage quantization can flip one quantum either way
+                assert diff.max() <= 2, (k, diff.max())
