@@ -229,3 +229,35 @@ def test_fwp_use_mesh_spatial_packed_drain_files(tmp_path):
                 # sp sharding reassociates conv fp32 sums (~1e-6 rel);
                 # storage quantization can flip one quantum either way
                 assert diff.max() <= 2, (k, diff.max())
+
+
+def test_fwp_use_mesh_spatial_fast_mode_matches_serial_fast(tmp_path):
+    """inference_mode='fast' (subpixel tail + bf16 body) under
+    use_mesh='spatial': the SPMD partitioner must produce the same
+    result as the serial fast path (bf16 reassociation tolerance).
+    The subpixel tail is not shard-aligned — correctness is XLA's
+    job here, only wire volume differs."""
+    from sup3r_tpu.pipeline import ForwardPass, ForwardPassStrategy
+    from sup3r_tpu.utilities.test_helpers import make_fake_nc_file
+    from tests.forward_pass.test_batched_fwp import (
+        _save_model,
+        _st_gen_config,
+    )
+
+    input_file = make_fake_nc_file(str(tmp_path / 'input.nc'),
+                                   (16, 16, 8), ['u100', 'v100'])
+    model_dir, _ = _save_model(tmp_path, _st_gen_config(), 3, 4)
+    kwargs = dict(
+        file_paths=input_file,
+        model_kwargs={'model_dir': model_dir},
+        fwp_chunk_shape=(16, 16, 4), spatial_pad=0, temporal_pad=0,
+        out_pattern=None, inference_mode='fast')
+    serial = ForwardPass.run(ForwardPassStrategy(**kwargs), 0)
+    spatial = ForwardPass.run(
+        ForwardPassStrategy(**kwargs, device_batch_size=2,
+                            use_mesh='spatial'), 0)
+    assert set(serial) == set(spatial)
+    for idx in serial:
+        scale = np.abs(serial[idx]).max()
+        np.testing.assert_allclose(spatial[idx], serial[idx],
+                                   atol=2e-2 * scale)
